@@ -1,0 +1,81 @@
+"""The analytical core: daily-genre KPI aggregation (SURVEY.md §3.2).
+
+Re-expresses ``REF/glue_jobs/transform.py:13-36`` as a composable operator:
+
+    streams + to_date(listen_time)                  (:19,  F2)
+    songs projected to 4 columns                    (:20,  F1)
+    inner equi-join on track_id                     (:23,  J1)
+    groupBy(listen_date, track_genre).agg(
+        countDistinct(user_id)  AS unique_listeners (:27)
+        sum(duration_ms)        AS total_listening_time (:28)
+        count(track_id)         AS listen_count     (:29)
+    )                                               (A1)
+    + avg_listening_time_per_user = total/unique    (:33-36, A4/F3)
+
+Scale posture (100 TB fact side):
+- the songs dim is broadcast (explicit ``F.broadcast`` — the canonical
+  broadcast-hash-join; no shuffle of the fact table for the join).
+- exact ``countDistinct`` forces Spark's distinct-expand + double shuffle —
+  correct but the #1 scale risk (SURVEY.md §2.4). ``approx=True`` swaps in
+  ``approx_count_distinct`` (HLL++, single shuffle) as the documented scale
+  variant; the oracle checks the exact one.
+- the join output fans out to three consumers in the reference without
+  caching (recomputed 3×, ``transform.py:53-55``); callers here persist the
+  joined frame once (see plans.pipeline).
+
+The semantic trap preserved faithfully: ``avg_listening_time_per_user`` is a
+ratio of two aggregates (total time / distinct listeners), NOT ``avg()`` per
+stream row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import safe_div
+
+
+def with_listen_date(streams: DataFrame, ts_col: str = "listen_time") -> DataFrame:
+    """F2: derive the daily bucket from the event timestamp
+    (REF/glue_jobs/transform.py:19)."""
+    return streams.withColumn("listen_date", F.to_date(F.col(ts_col)))
+
+
+def join_streams_songs(streams: DataFrame, songs: DataFrame,
+                       key: str = "track_id") -> DataFrame:
+    """J1: fact ⋈ dim inner equi-join (REF/glue_jobs/transform.py:23),
+    dim side broadcast."""
+    return streams.join(F.broadcast(songs), on=key, how="inner")
+
+
+def daily_genre_kpis(joined: DataFrame, *, approx: bool = False) -> DataFrame:
+    """A1 + A4: per (listen_date, track_genre) KPIs
+    (REF/glue_jobs/transform.py:26-36).
+
+    ``duration_ms`` is integral (SURVEY.md §1.2), so the sum is exact under
+    any parallel aggregation order, and the derived average is one IEEE
+    division of exact inputs — deterministic across runs and engines (no
+    rounding needed; ROUND semantics on doubles differ between engines at
+    .5 boundaries).
+    """
+    distinct_users = (
+        F.approx_count_distinct("user_id") if approx else F.countDistinct("user_id")
+    ).alias("unique_listeners")
+    kpis = joined.groupBy("listen_date", "track_genre").agg(
+        distinct_users,
+        F.sum("duration_ms").alias("total_listening_time"),
+        F.count("track_id").alias("listen_count"),
+    )
+    return kpis.withColumn(
+        "avg_listening_time_per_user",
+        safe_div(F.col("total_listening_time"), F.col("unique_listeners")),
+    )
+
+
+def genre_kpi_pipeline(streams: DataFrame, songs: DataFrame, *,
+                       approx: bool = False) -> DataFrame:
+    """The flagship chain: F2 → F1 → J1 → A1 → A4."""
+    return daily_genre_kpis(
+        join_streams_songs(with_listen_date(streams), songs), approx=approx
+    )

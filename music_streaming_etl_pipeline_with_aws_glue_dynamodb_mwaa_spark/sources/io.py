@@ -1,0 +1,89 @@
+"""Batch sources and sinks (SURVEY.md §2.1, S1-S3 / S7-S9 / S12).
+
+The reference reads CSV two ways — bytes→pandas in validation
+(``REF/glue_jobs/validate.py:19-23``) and schema-less Spark CSV in transform
+(``REF/glue_jobs/transform.py:16``) — and writes parquet three ways. Here both
+collapse into two functions each, always schema-explicit, always distributed:
+
+- ``read_csv``      PERMISSIVE CSV scan with explicit schema + corrupt-record
+                    capture (replaces the single-process pandas read — the
+                    reference's validation memory ceiling, SURVEY.md §6).
+- ``read_parquet``  plain columnar scan; Catalyst pushes filters/projection.
+- ``write_parquet`` partitioned, snappy parquet (implements the *documented*
+                    layout — ``date=`` partitions per README.md:193 — that the
+                    reference's transform.py forgot, SURVEY.md §1.4).
+- ``write_quarantine`` bad-record sink mirroring ``bad-records/<name>/``
+                    (``REF/glue_jobs/validate.py:43-45``).
+- ``archive_files`` post-batch raw→archive move
+                    (``REF/dags/music_etl_pipeline.py:58-63``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, *,
+             keep_corrupt: bool = True) -> DataFrame:
+    """Header CSV scan with explicit schema (S1/S2).
+
+    PERMISSIVE mode: rows that fail type coercion land with nulls plus the
+    raw line in ``_corrupt_record`` so the validation operator can quarantine
+    them — at scale a single bad row must never kill the job (the reference's
+    pandas read would raise instead).
+    """
+    sch = schema
+    if keep_corrupt and CORRUPT_COL not in [f.name for f in schema.fields]:
+        sch = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)])
+    return (
+        spark.read.schema(sch)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, *, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Parquet sink (S7/S8). With ``partitionOverwriteMode=dynamic`` (session
+    conf) an overwrite only replaces the partitions present in ``df`` —
+    partition-granular overwrite instead of the reference's whole-dir rewrite.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_quarantine(bad: DataFrame, base_dir: str, name: str) -> str:
+    """Quarantine sink (S9): ``<base>/bad-records/<name>/``."""
+    path = os.path.join(base_dir, "bad-records", name)
+    write_parquet(bad, path)
+    return path
+
+
+def archive_files(paths: list[str], archive_dir: str) -> list[str]:
+    """Move processed raw files into the archive prefix (S12).
+
+    Local-FS equivalent of the reference's S3 copy+delete
+    (``REF/dags/music_etl_pipeline.py:58-63``). With the streaming source the
+    same effect comes from ``cleanSource=archive`` (see streaming.filestream).
+    """
+    os.makedirs(archive_dir, exist_ok=True)
+    out = []
+    for p in paths:
+        dest = os.path.join(archive_dir, os.path.basename(p))
+        shutil.move(p, dest)
+        out.append(dest)
+    return out

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import kpi
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
+
+from .conftest import SF_SMOKE
+
+
+def _tiny_fixture(spark):
+    """Deterministic music-domain fixture per FIXTURES.md §A."""
+    songs = spark.createDataFrame(
+        [("t1", "Alpha", "rock", 200_000), ("t2", "Beta", "rock", 100_000),
+         ("t3", "Gamma", "jazz", 300_000)],
+        "track_id string, track_name string, track_genre string, duration_ms long",
+    )
+    ts = datetime.datetime
+    streams = spark.createDataFrame(
+        [
+            ("u1", "t1", ts(2024, 1, 1, 10)),
+            ("u1", "t1", ts(2024, 1, 1, 11)),   # same user twice → 1 unique
+            ("u2", "t2", ts(2024, 1, 1, 12)),
+            ("u3", "t3", ts(2024, 1, 2, 9)),
+            ("u1", "tX", ts(2024, 1, 2, 9)),    # no song match → dropped by inner join
+        ],
+        "user_id string, track_id string, listen_time timestamp",
+    )
+    return streams, songs
+
+
+def test_daily_genre_kpis_semantics(spark):
+    streams, songs = _tiny_fixture(spark)
+    out = kpi.genre_kpi_pipeline(streams, songs).collect()
+    rows = {(str(r["listen_date"]), r["track_genre"]): r for r in out}
+    # 2024-01-01 rock: users u1,u2 → 2 unique; 3 plays; total 200k+200k+100k
+    r = rows[("2024-01-01", "rock")]
+    assert r["unique_listeners"] == 2
+    assert r["listen_count"] == 3
+    assert r["total_listening_time"] == 500_000.0
+    # avg is per UNIQUE LISTENER, not per stream (SURVEY.md §2.4 A4)
+    assert r["avg_listening_time_per_user"] == 250_000.0
+    # unmatched track dropped by inner join → no ('2024-01-02', None) group
+    assert all(k[1] in ("rock", "jazz") for k in rows)
+
+
+def test_avg_null_on_zero_unique(spark):
+    # degenerate frame: all user_id null → countDistinct = 0 → avg null, not crash
+    songs = spark.createDataFrame([("t1", "A", "rock", 10)],
+                                  "track_id string, track_name string, track_genre string, duration_ms long")
+    streams = spark.createDataFrame(
+        [(None, "t1", datetime.datetime(2024, 1, 1))],
+        "user_id string, track_id string, listen_time timestamp")
+    out = kpi.genre_kpi_pipeline(streams, songs).collect()
+    assert out[0]["unique_listeners"] == 0
+    assert out[0]["avg_listening_time_per_user"] is None
+
+
+def test_flagship_on_testdata(spark):
+    streams = catalog.streams_from_lineitem(catalog.load_table(spark, SF_SMOKE, "lineitem"))
+    songs = catalog.songs_from_part(catalog.load_table(spark, SF_SMOKE, "part"))
+    df = kpi.genre_kpi_pipeline(streams, songs)
+    assert df.count() > 0
+    assert df.filter(F.col("listen_count") <= 0).count() == 0
+
+
+def test_broadcast_join_in_plan(spark):
+    streams = catalog.streams_from_lineitem(catalog.load_table(spark, SF_SMOKE, "lineitem"))
+    songs = catalog.songs_from_part(catalog.load_table(spark, SF_SMOKE, "part"))
+    plan = kpi.join_streams_songs(kpi.with_listen_date(streams), songs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
