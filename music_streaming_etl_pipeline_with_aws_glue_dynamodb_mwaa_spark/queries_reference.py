@@ -1,0 +1,296 @@
+"""Oracle-checked query registry: the reference operator surface
+(SURVEY.md §2 ✓ rows) expressed over the driver's synthetic tables.
+
+Each entry pairs a PySpark callable ``(spark, sf_dir) -> DataFrame`` with the
+equivalent ANSI SQL for the DuckDB oracle. Conventions that keep the
+order-insensitive value hash stable across engines (see
+tools/oracle_check.py and .claude/skills/verify/SKILL.md):
+
+- identical column aliases on both sides (driver sorts columns by name);
+- no ROUND on computed doubles — integral measures + single IEEE division;
+- deterministic tie-breaks inside every window (SURVEY.md §2.5);
+- explicit casts where Spark and DuckDB default types differ
+  (row_number int32 vs int64; ns timestamps).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import kpi, kv_projection, topk, validate
+from .sources import catalog
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _streams_songs(spark: SparkSession, sf_dir: str):
+    streams = catalog.streams_from_lineitem(catalog.load_table(spark, sf_dir, "lineitem"))
+    songs = catalog.songs_from_part(catalog.load_table(spark, sf_dir, "part"))
+    return streams, songs
+
+
+def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    streams, songs = _streams_songs(spark, sf_dir)
+    return kpi.join_streams_songs(kpi.with_listen_date(streams), songs)
+
+
+# The songs-dim stand-in (part) in SQL, shared by several oracles — mirrors
+# sources.catalog.songs_from_part (duration = exact integer cents).
+_SONGS_SQL = """
+    SELECT p_partkey AS track_id, p_name AS track_name, p_type AS track_genre,
+           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS duration_ms
+    FROM part
+"""
+
+_JOINED_SQL = f"""
+    SELECT CAST(l_shipdate AS DATE) AS listen_date, s.*
+    FROM lineitem JOIN ({_SONGS_SQL}) s ON l_partkey = s.track_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Flagship: daily genre KPIs (S2/S3, F1-F3, J1, A1, A4 — transform.py:13-36)
+# --------------------------------------------------------------------------
+
+@register("daily_genre_kpis", f"""
+    SELECT listen_date, track_genre, unique_listeners, total_listening_time,
+           listen_count,
+           CAST(total_listening_time AS DOUBLE) / NULLIF(unique_listeners, 0)
+               AS avg_listening_time_per_user
+    FROM (
+      SELECT CAST(l_shipdate AS DATE)                        AS listen_date,
+             s.track_genre,
+             count(DISTINCT l_suppkey)                       AS unique_listeners,
+             CAST(SUM(s.duration_ms) AS BIGINT)              AS total_listening_time,
+             count(*)                                        AS listen_count
+      FROM lineitem JOIN ({_SONGS_SQL}) s ON l_partkey = s.track_id
+      GROUP BY 1, 2
+    )
+""")
+def daily_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    streams, songs = _streams_songs(spark, sf_dir)
+    return kpi.genre_kpi_pipeline(streams, songs)
+
+
+@register("daily_genre_kpis_approx", None)  # HLL++ ≠ oracle-exact: rows-only
+def daily_genre_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of A1: approx_count_distinct avoids the distinct-expand
+    double shuffle (SURVEY.md §2.4) — the 100 TB default."""
+    streams, songs = _streams_songs(spark, sf_dir)
+    return kpi.genre_kpi_pipeline(streams, songs, approx=True)
+
+
+# --------------------------------------------------------------------------
+# Top-k windows (W1/W2, F6, A2/A3, O2 — transform.py:39-50)
+# --------------------------------------------------------------------------
+
+@register("top_songs_per_genre", f"""
+    SELECT listen_date, track_genre, track_name, listen_count,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY listen_date, track_genre
+          ORDER BY listen_count DESC, track_name) AS rnk
+      FROM (
+        SELECT listen_date, track_genre, track_name, count(*) AS listen_count
+        FROM ({_JOINED_SQL}) GROUP BY 1, 2, 3
+      )
+    ) WHERE rnk <= 3
+""")
+def top_songs_per_genre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_songs_per_genre(_joined(spark, sf_dir))
+
+
+@register("top_genres_per_day", f"""
+    SELECT listen_date, track_genre, listen_count, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY listen_date
+          ORDER BY listen_count DESC, track_genre) AS rnk
+      FROM (
+        SELECT listen_date, track_genre, count(*) AS listen_count
+        FROM ({_JOINED_SQL}) GROUP BY 1, 2
+      )
+    ) WHERE rnk <= 5
+""")
+def top_genres_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_genres_per_day(_joined(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Validation split (F4/F5 — validate.py:34-45). The synthetic tables have no
+# nulls, so both engines inject the same deterministic nulls first.
+# --------------------------------------------------------------------------
+
+_EV_REQUIRED = ["event_id", "user_id", "ts", "event_type"]
+
+_EV_WITH_NULLS_SQL = """
+    SELECT event_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+           CASE WHEN event_id % 101 = 0 THEN NULL ELSE event_type END AS event_type,
+           value, props
+    FROM events
+"""
+
+
+def _events_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "ts",
+        F.when(F.col("event_id") % 97 == 0, None).otherwise(F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 101 == 0, None).otherwise(F.col("event_type")).alias("event_type"),
+        "value", "props",
+    )
+
+
+@register("validate_split_good", f"""
+    SELECT * FROM ({_EV_WITH_NULLS_SQL})
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      AND ts IS NOT NULL AND event_type IS NOT NULL
+""")
+def validate_split_good(spark: SparkSession, sf_dir: str) -> DataFrame:
+    good, _ = validate.split_valid_invalid(_events_with_nulls(spark, sf_dir), _EV_REQUIRED)
+    return good
+
+
+@register("validate_split_bad", f"""
+    SELECT * FROM ({_EV_WITH_NULLS_SQL})
+    WHERE NOT (event_id IS NOT NULL AND user_id IS NOT NULL
+               AND ts IS NOT NULL AND event_type IS NOT NULL)
+""")
+def validate_split_bad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, bad = validate.split_valid_invalid(_events_with_nulls(spark, sf_dir), _EV_REQUIRED)
+    return bad
+
+
+# --------------------------------------------------------------------------
+# KV projections (F7-F9, S10 keying — load_dynamo.py:121-153)
+# --------------------------------------------------------------------------
+
+_KPIS_SQL = REGISTRY["daily_genre_kpis"][1]
+
+
+@register("kv_genre_kpi_items", f"""
+    SELECT CAST(listen_date AS VARCHAR)                  AS date,
+           track_genre                                   AS genre,
+           listen_count,
+           unique_listeners,
+           CAST(total_listening_time AS DOUBLE)          AS total_listening_time,
+           COALESCE(avg_listening_time_per_user, 0.0)    AS avg_listen_time_per_user
+    FROM ({_KPIS_SQL})
+    WHERE listen_date IS NOT NULL AND track_genre IS NOT NULL
+      AND CAST(track_genre AS VARCHAR) <> ''
+""")
+def kv_genre_kpi_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kv_projection.genre_kpi_items(daily_genre_kpis(spark, sf_dir))
+
+
+@register("kv_top_song_items", f"""
+    SELECT CAST(listen_date AS VARCHAR)                      AS date,
+           track_genre || '#' || track_name                  AS genre_track,
+           track_genre                                       AS genre,
+           track_name,
+           CAST(listen_count AS BIGINT)                      AS play_count,
+           CAST(rank AS BIGINT)                              AS rank
+    FROM ({REGISTRY["top_songs_per_genre"][1]})
+    WHERE listen_date IS NOT NULL AND track_genre <> '' AND track_name <> ''
+""")
+def kv_top_song_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kv_projection.top_song_items(top_songs_per_genre(spark, sf_dir))
+
+
+@register("kv_top_genre_items", f"""
+    SELECT CAST(listen_date AS VARCHAR)    AS date,
+           track_genre                     AS genre,
+           CAST(listen_count AS BIGINT)    AS listen_count,
+           CAST(rank AS BIGINT)            AS rank
+    FROM ({REGISTRY["top_genres_per_day"][1]})
+    WHERE listen_date IS NOT NULL AND track_genre <> ''
+""")
+def kv_top_genre_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kv_projection.top_genre_items(top_genres_per_day(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Latest-partition selection (S5/A5 — load_dynamo.py:27-39): on a
+# date-partitioned lake this is a metadata-only max + partition-pruned scan.
+# --------------------------------------------------------------------------
+
+@register("latest_day_kpis", f"""
+    SELECT * FROM ({_KPIS_SQL})
+    WHERE listen_date = (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem)
+""")
+def latest_day_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kpis = daily_genre_kpis(spark, sf_dir)
+    latest = kpis.agg(F.max("listen_date").alias("_latest"))
+    return kpis.join(F.broadcast(latest),
+                     kpis["listen_date"] == latest["_latest"]).drop("_latest")
+
+
+# --------------------------------------------------------------------------
+# Scan + projection + predicate pushdown (S3, F1 — transform.py:13,20)
+# --------------------------------------------------------------------------
+
+@register("scan_project_filter", """
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part WHERE p_size < 15
+""")
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = catalog.load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", "p_name", "p_size", "p_retailprice").filter(
+        F.col("p_size") < 15)
+
+
+# --------------------------------------------------------------------------
+# Daily tumbling aggregation over the events stream table (§2.9: the
+# reference's daily grouping ≡ 1-day tumbling window in batch mode).
+# min/max instead of sum(value): order-exact under parallel aggregation.
+# --------------------------------------------------------------------------
+
+@register("events_daily_agg", """
+    SELECT CAST(ts AS DATE)              AS event_date,
+           event_type,
+           count(*)                      AS n_events,
+           count(DISTINCT user_id)       AS unique_users,
+           min(value)                    AS min_value,
+           max(value)                    AS max_value
+    FROM events GROUP BY 1, 2
+""")
+def events_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").alias("event_date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (extension E4 seed: events.props is a JSON doc)
+# --------------------------------------------------------------------------
+
+@register("events_props_extract", """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+""")
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("prop_k")).filter(F.col("prop_k") >= 50)

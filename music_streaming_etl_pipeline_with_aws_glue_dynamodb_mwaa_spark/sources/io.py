@@ -67,9 +67,12 @@ def write_parquet(df: DataFrame, path: str, *, partition_by: list[str] | None = 
 
 
 def write_quarantine(bad: DataFrame, base_dir: str, name: str) -> str:
-    """Quarantine sink (S9): ``<base>/bad-records/<name>/``."""
+    """Quarantine sink (S9): ``<base>/bad-records/<name>/``, append-mode —
+    each batch adds its bad rows; a clean batch must not erase prior
+    evidence (the reference writes one file per job run, so overwrite vs
+    append never surfaces there)."""
     path = os.path.join(base_dir, "bad-records", name)
-    write_parquet(bad, path)
+    write_parquet(bad, path, mode="append")
     return path
 
 
