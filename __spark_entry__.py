@@ -18,7 +18,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import queries_reference
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import (
+    queries_extensions,  # noqa: F401  (imports populate the shared registry)
+    queries_reference,
+)
 from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import kpi
 from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
 

@@ -1,0 +1,269 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §7 E1).
+
+Four tiers, each with a different cost/recall envelope at 100 TB:
+
+- ``dedup_exact``          hash group-by on a key (or the full text) —
+                           one shuffle, keep-first deterministic.
+- ``ngram_jaccard_pairs``  exact set-similarity join via a shingle inverted
+                           index — no quadratic cross join: only documents
+                           sharing a shingle meet in the shuffle.
+- ``minhash_near_dup_pairs``  MinHash + banded LSH: signature is a fixed-size
+                           sketch (H mins), candidate generation touches only
+                           band-collisions — the 100 TB near-dup path.
+- ``simhash64``            64-bit SimHash sketch (vectorized pandas UDF) +
+                           hamming-banded pair generation.
+
+The reference has no dedup surface (its ledger dedupes *files*, not records —
+``REF/dags/music_etl_pipeline.py:34-45``); these are the extension operators
+mandated by BASELINE.json, built Spark-first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.text_funcs import shingles, tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep exactly one row per key group, deterministically (first under
+    ``order_by`` ascending). ``dropDuplicates`` keeps an *arbitrary* row —
+    unacceptable for reproducible corpus builds.
+
+    One hash-shuffle on ``keys``; Spark ≥3.5 turns the rank-filter into
+    WindowGroupLimit (partial top-1 before the shuffle).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard similarity join (exact)
+# --------------------------------------------------------------------------
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, n)).alias("_shingle"),
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """All document pairs with n-gram-shingle Jaccard ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on the shingle,
+    count common shingles per pair, then |A∪B| = |A|+|B|-common. Documents
+    sharing no shingle never meet — at scale, the shuffle is proportional to
+    the inverted-index postings, not |docs|². (Very hot shingles should be
+    dropped by a document-frequency cap upstream — standard trick; exposed
+    via ``max_shingle_df``.)
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b. jaccard is one IEEE
+    division of exact integers — deterministic, oracle-comparable.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._shingle") == F.col("b._shingle"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    return (
+        common
+        .join(na, F.col("doc_a") == F.col("na._id"))
+        .join(nb, F.col("doc_b") == F.col("nb._id"))
+        .select(
+            "doc_a", "doc_b",
+            (F.col("_common").cast("double")
+             / (F.col("na._n") + F.col("nb._n") - F.col("_common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH (approximate candidate generation, exact verification)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
+                       n: int = 3, num_hashes: int = 48) -> DataFrame:
+    """H-min signature per document: h_i = min over shingles of
+    xxhash64(shingle, i). One explode + one groupBy; the signature is a
+    constant-size sketch regardless of document length."""
+    sh = _shingled(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64(F.col("_shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                           n: int = 3, num_hashes: int = 48, bands: int = 12,
+                           threshold: float = 0.7,
+                           verify_exact: bool = True) -> DataFrame:
+    """Banded-LSH near-dup pairs.
+
+    Signature split into ``bands`` bands of r = H/bands rows; documents
+    colliding in ≥1 band become candidates (collision prob ≈
+    1-(1-j^r)^b — the S-curve centered near (1/b)^(1/r)). Candidates are
+    then verified: exact shingle Jaccard when ``verify_exact`` (semi-joined
+    back, so verification cost is |candidates| not |pairs|), else the
+    signature-agreement estimate.
+
+    Returns (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)],
+                            F.lit(bi)).alias("bhash"))
+        for bi in range(bands)
+    ])
+    banded = sig.select(F.col("_id"), F.explode(band_structs).alias("b")) \
+                .select("_id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+
+    x, y = banded.alias("x"), banded.alias("y")
+    candidates = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bhash") == F.col("y.bhash"))
+               & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
+        .distinct()
+    )
+
+    if verify_exact:
+        sh = _shingled(df, id_col, text_col, n)
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        # verification restricted to candidate pairs (broadcast-able at sane
+        # candidate counts; at scale use a shuffle join on doc_a)
+        common = (
+            candidates
+            .join(a, F.col("doc_a") == F.col("a._id"))
+            .join(b, (F.col("doc_b") == F.col("b._id"))
+                  & (F.col("a._shingle") == F.col("b._shingle")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
+        na, nb = sizes.alias("na"), sizes.alias("nb")
+        verified = (
+            common
+            .join(na, F.col("doc_a") == F.col("na._id"))
+            .join(nb, F.col("doc_b") == F.col("nb._id"))
+            .select("doc_a", "doc_b",
+                    (F.col("_common").cast("double")
+                     / (F.col("na._n") + F.col("nb._n") - F.col("_common"))).alias("jaccard"))
+        )
+    else:
+        sa, sb = sig.alias("sa"), sig.alias("sb")
+        agree = sum(
+            F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        verified = (
+            candidates
+            .join(sa, F.col("doc_a") == F.col("sa._id"))
+            .join(sb, F.col("doc_b") == F.col("sb._id"))
+            .select("doc_a", "doc_b",
+                    (agree / F.lit(num_hashes)).cast("double").alias("jaccard"))
+        )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash (vectorized sketch; hamming-banded pairs)
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(LongType())  # type object: a DDL string would need a live SparkContext at import
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, md5-based (stable across
+    processes — Python's builtin hash() is salted). Arrow-batched: one
+    Python call per ~10k rows, numpy bit math inside."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok, cnt in Counter((t or "").split()).items():
+            h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, cnt, -cnt)
+        sig = 0
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= 1 << int(b)
+        out[i] = np.int64(np.uint64(sig).astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Band trick: split the 64-bit sketch into (max_hamming+1) chunks — any
+    pair within the distance budget must agree exactly on ≥1 chunk
+    (pigeonhole), so candidates come from equality joins on chunks, never a
+    cross join. Exact hamming verifies candidates (bit_count is JVM-side).
+    """
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sig = df.select(F.col(id_col).alias("_id"),
+                    simhash64(F.col(text_col)).alias("_sig"))
+
+    chunk_structs = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(F.col("_sig"), c * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("cval"))
+        for c in range(nchunks)
+    ])
+    chunked = sig.select("_id", "_sig", F.explode(chunk_structs).alias("c")) \
+                 .select("_id", "_sig", F.col("c.chunk").alias("chunk"), F.col("c.cval").alias("cval"))
+
+    x, y = chunked.alias("x"), chunked.alias("y")
+    return (
+        x.join(y, (F.col("x.chunk") == F.col("y.chunk"))
+               & (F.col("x.cval") == F.col("y.cval"))
+               & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"),
+                F.bit_count(F.col("x._sig").bitwiseXOR(F.col("y._sig"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-based near-dup (cosine ≥ threshold) — delegates to similarity.py
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str, *,
+                             threshold: float = 0.95) -> DataFrame:
+    """Exact cosine near-dup pairs (doc_a < doc_b). Brute-force O(n²/2)
+    comparisons — correct baseline; the LSH-bucketed variant in
+    operators.similarity is the scale path."""
+    from .similarity import cosine_expr
+    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", cosine_expr("_va", "_vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing (SURVEY.md §7 E4).
+
+Media payloads ride as opaque ``binary`` columns with typed metadata beside
+them (schemas.MEDIA): the payload stays compressed/columnar, metadata prunes
+partitions without touching bytes — the only layout that survives 100 TB.
+
+The decode step is STUBBED: image/audio libraries are not in this
+environment, so ``decode`` raises ``NotImplementedError`` unless
+``fake=True`` substitutes a deterministic byte-derived feature vector. What
+IS real and tested is the Spark-side machinery every real decoder would ride
+on: the schema, the ``mapInPandas`` Arrow-batch iterator (bounded memory —
+batches stream, payloads never accumulate), the UDF signature, and the
+byte-level metadata extraction (pure JVM expressions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = (
+    "media_id long, kind string, byte_len long, content_md5 string, "
+    "feature array<double>"
+)
+
+
+def decode(payload: bytes, kind: str):
+    """Real decode hook. Plug PIL/torchaudio/av here when available."""
+    raise NotImplementedError(
+        f"no decoder for kind={kind!r} in this environment; "
+        "use extract_media_features(..., fake=True) for the plumbing path"
+    )
+
+
+def _fake_feature(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in feature: first FEATURE_DIM bytes scaled to
+    [0,1). Clearly fake; exists so batching/schema/partitioning are testable
+    without media libs."""
+    buf = np.frombuffer(payload[:FEATURE_DIM].ljust(FEATURE_DIM, b"\0"), dtype=np.uint8)
+    return buf.astype(np.float64) / 255.0
+
+
+def extract_media_features(media: DataFrame, *, fake: bool = False,
+                           batch_size_hint: int = 1024) -> DataFrame:
+    """Per-payload feature extraction via ``mapInPandas``.
+
+    Arrow streams record batches through the iterator: memory is bounded by
+    one batch of payloads per task, independent of partition size — the
+    shape any real image/audio decoder needs. Payload column is pruned from
+    the output (features only), so downstream stages never shuffle bytes.
+    """
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                data = bytes(payload) if payload is not None else b""
+                if fake:
+                    feats.append(_fake_feature(data))
+                else:
+                    feats.append(np.asarray(decode(data, kind), dtype=np.float64))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "byte_len": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                "content_md5": pdf["payload"].map(
+                    lambda p: hashlib.md5(bytes(p) if p is not None else b"").hexdigest()),
+                "feature": feats,
+            })
+
+    return media.mapInPandas(fn, _FEATURES_SCHEMA)
+
+
+def media_byte_stats(media: DataFrame, group_col: str = "kind") -> DataFrame:
+    """Pure-JVM metadata pass: byte accounting per media kind without
+    deserializing any payload (octet_length + md5 are native expressions)."""
+    return media.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.min(F.octet_length("payload")).alias("min_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a MEDIA-shaped frame from the documents table (payload =
+    utf-8 bytes of the text) — deterministic test/demo input for the
+    plumbing above, in lieu of real image/audio test assets."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (SURVEY.md §7 E2).
+
+Two paths over ``array<float>`` embeddings:
+
+- ``cosine_topk``       brute-force exact top-k: cross join against a
+                        (broadcast) query set, JVM-side expression math,
+                        rank window. The correctness baseline — and exactly
+                        reproducible against a SQL oracle (double-cast dot
+                        products are bit-identical across engines).
+- ``cosine_topk_lsh``   random-hyperplane LSH: 'sketch → bucket equi-join →
+                        exact re-rank inside buckets'. Candidate generation
+                        is an equi-join, so the 100 TB path never broadcasts
+                        or crosses the full corpus; recall is tunable via
+                        plane count / multi-probe and is self-tested against
+                        brute force (tests/test_similarity.py).
+
+Sketching uses a vectorized pandas UDF (one numpy matmul per Arrow batch) —
+the documented exception to the no-Python rule: 64-dim float math per row is
+where built-in expressions stop being the fast path. Exact scoring stays in
+expressions for oracle comparability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from .topk import top_k_per_group
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ with per-element double promotion, sequential accumulation —
+    bit-identical to DuckDB's list_dot_product on DOUBLE[]."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column | str) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbours per query vector.
+
+    ``queries`` is small (it's a query set) → broadcast; the corpus side
+    streams through map-side scoring with no shuffle until the final
+    per-query top-k (which WindowGroupLimit keeps partial).
+    Ties broken by neighbour id for determinism.
+    """
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            cosine_expr(vec_col, "_qv").alias("cosine"),
+        )
+    )
+    return top_k_per_group(scored, [query_id_col], "cosine", k,
+                           tie_break=["neighbor_id"])
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed variant
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def _bucket_udf(planes: np.ndarray):
+    @F.pandas_udf(IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())              # (batch, dim)
+        signs = (m @ planes.T) > 0                 # (batch, n_planes)
+        return pd.Series(signs.dot(1 << np.arange(planes.shape[0])).astype(np.int32))
+    return bucket
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str, *, dim: int,
+                    n_planes: int = 12, seed: int = 42,
+                    out_col: str = "_bucket") -> DataFrame:
+    """Attach the random-hyperplane bucket id (sign-bit sketch packed into an
+    int). Same (dim, n_planes, seed) ⇒ same buckets — so a corpus can be
+    bucketed once at ingest and queries sketched at query time."""
+    return df.withColumn(out_col, _bucket_udf(_hyperplanes(dim, n_planes, seed))(F.col(vec_col)))
+
+
+def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+                    dim: int, n_planes: int = 12, seed: int = 42,
+                    multi_probe_hamming: int = 1,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket, exact cosine re-rank
+    inside candidates.
+
+    ``multi_probe_hamming`` expands each query to all buckets within that
+    hamming distance of its own (probing 1+n_planes buckets at distance ≤1) —
+    the standard recall knob that avoids adding independent hash tables.
+    """
+    corpus = with_lsh_bucket(emb, vec_col, dim=dim, n_planes=n_planes, seed=seed)
+    q = with_lsh_bucket(
+        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
+        "_qv", dim=dim, n_planes=n_planes, seed=seed)
+
+    if multi_probe_hamming >= 1:
+        # probe own bucket + all buckets within the hamming budget
+        masks = [0] + [1 << i for i in range(n_planes)]
+        if multi_probe_hamming >= 2:
+            masks += [(1 << i) | (1 << j)
+                      for i in range(n_planes) for j in range(i + 1, n_planes)]
+        probes = F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        q = q.select("_qid", "_qv", F.explode(probes).alias("_bucket"))
+
+    scored = (
+        corpus.join(q, "_bucket")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            cosine_expr(vec_col, "_qv").alias("cosine"),
+        )
+        .groupBy(query_id_col, "neighbor_id")     # multi-probe may duplicate
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    return top_k_per_group(scored, [query_id_col], "cosine", k,
+                           tie_break=["neighbor_id"])

@@ -1,0 +1,100 @@
+"""Text-analysis operators over a documents table (SURVEY.md §7 E3).
+
+Everything is built-in Spark expressions (no Python on the hot path):
+per-document statistics, quality scoring, heuristic language ID, corpus
+token accounting, and content fingerprinting — the standard pre-training
+corpus triage toolkit, each oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import EN_STOPWORDS, distinct_tokens, fingerprint, stopword_count, tokens
+
+# BPE-ish word/number/symbol segmentation for token accounting; kept to a
+# subset of regex syntax with identical semantics in Java (Spark) and RE2
+# (DuckDB): lowercase runs, digit runs, single non-space symbols.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document shape statistics: token/char counts, type-token ratio
+    ingredients, mean token length — the base features for quality filters."""
+    toks = tokens(text_col)
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(distinct_tokens(text_col)).alias("n_distinct_tokens"),
+        (total_tok_chars.cast("double") / F.size(toks)).alias("avg_token_len"),
+        (F.size(distinct_tokens(text_col)).cast("double") / F.size(toks))
+        .alias("type_token_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", *, min_tokens: int = 20,
+                  max_tokens: int = 10_000) -> DataFrame:
+    """Heuristic quality gate à la Gopher/C4 rules: length window, mean word
+    length window, stopword presence. Emits the signals plus a boolean —
+    filters should be explainable, so signals stay in the output."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    mean_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                           F.lit(0), lambda a, x: a + x).cast("double") / n_tokens
+    stop_ratio = stopword_count(text_col).cast("double") / n_tokens
+    keep = (
+        (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+        & (mean_len >= 2.0) & (mean_len <= 12.0)
+        & (stop_ratio > 0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", *, threshold: float = 0.02) -> DataFrame:
+    """Stopword-ratio language ID (n-gram/wordlist heuristic): ratio of
+    English function words among tokens; 'en' when above threshold, 'und'
+    otherwise. Deliberately simple — the operator shape (wordlist scoring →
+    argmax) is what scales; richer models drop into the same slot."""
+    n = F.size(tokens(text_col))
+    ratio = stopword_count(text_col, EN_STOPWORDS).cast("double") / n
+    return docs.select(
+        F.col(id_col),
+        ratio.alias("en_stopword_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("und"))
+        .alias("predicted_lang"),
+    )
+
+
+def token_counts_by_group(docs: DataFrame, group_cols: list[str],
+                          text_col: str = "text") -> DataFrame:
+    """Corpus accounting per group (source, language, shard): documents,
+    whitespace tokens, BPE-ish regex tokens, characters. The whole-corpus
+    token budget query every training-data pipeline runs first."""
+    toks = tokens(text_col)
+    bpe = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.sum(F.size(bpe)).alias("total_bpe_tokens"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Stable md5 content fingerprint per document (whitespace-normalized) —
+    the join key for cross-shard exact dedup and provenance tracking."""
+    return docs.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))

@@ -1,0 +1,239 @@
+"""Oracle-checked query registry: the LLM-data-pipeline extension surface
+(SURVEY.md §7 Phase 3 / BASELINE.json) — dedup, similarity search, text
+analysis, multimodal metadata — over the driver's synthetic ``documents`` /
+``embeddings`` tables.
+
+Hash-comparability notes:
+- jaccard / cosine / ratios are single IEEE divisions of exactly-computed
+  integers or doubles — bit-identical across engines (verified: Spark
+  ``aggregate(zip_with(...))`` ≡ DuckDB ``list_dot_product`` on DOUBLE[]);
+- sketch-based ops (MinHash, SimHash, LSH) hash differently per engine by
+  nature → registered rows-only; their recall is self-tested against the
+  exact operators in tests/ (SURVEY.md §7 risk 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .queries_reference import register
+from .sources import catalog
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# E1 — deduplication
+# --------------------------------------------------------------------------
+
+@register("dedup_exact_text", """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+""")
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir), ["text"], ["doc_id"])
+
+
+@register("dedup_first_per_group", """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+""")
+def dedup_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first semantics where groups genuinely collapse (each
+    (lang, source) cell holds many docs)."""
+    return dedup.dedup_exact(_docs(spark, sf_dir), ["lang", "source"], ["doc_id"])
+
+
+@register("neardup_jaccard_pairs", """
+    WITH sh AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s
+                FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+    FROM common
+    JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.95
+""")
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard join (n=1 unigram shingles; the synthetic
+    corpus has heavy vocabulary overlap, so 0.95 is the near-dup band)."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                     n=1, threshold=0.95)
+
+
+@register("neardup_minhash_pairs", None)  # xxhash sketches: engine-specific → rows-only
+def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verification at the same 0.95 band as
+    neardup_jaccard_pairs; recall vs the exact join is asserted in
+    tests/test_dedup.py."""
+    return dedup.minhash_near_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=1, num_hashes=48, bands=16, threshold=0.95)
+
+
+@register("neardup_simhash_pairs", None)  # md5-bit sketches → rows-only
+def neardup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                        max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# E2 — similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_ANN_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+                 AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
+@register("ann_cosine_topk", _ANN_SQL)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+@register("ann_cosine_topk_lsh", None)  # numpy-seeded hyperplanes → rows-only
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (equi-join candidates, exact re-rank); recall vs
+    brute force asserted in tests/test_similarity.py.
+
+    Plane count sizes the bucket grid to the corpus: 2^n_planes buckets
+    should be ~|corpus|/bucket-size-target. 6 planes ⇒ 64 buckets for the
+    500-vector test corpus; a 100 TB corpus raises planes, not tables,
+    and multi-probe recovers recall."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk_lsh(emb, queries, k=10, dim=64,
+                                      n_planes=6, multi_probe_hamming=1)
+
+
+# --------------------------------------------------------------------------
+# E3 — text analysis
+# --------------------------------------------------------------------------
+
+@register("text_stats", """
+    SELECT doc_id,
+           length(text)                                         AS n_chars,
+           len(string_split(text, ' '))                         AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))          AS n_distinct_tokens,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                t -> length(t)), 'sum') AS DOUBLE)
+               / len(string_split(text, ' '))                   AS avg_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' '))                   AS type_token_ratio
+    FROM documents
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+@register("text_quality", """
+    SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+           (n_tokens >= 20 AND n_tokens <= 10000
+            AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+            AND stopword_ratio > 0.0)                           AS keep
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(list_aggregate(list_transform(string_split(text, ' '),
+                  t -> length(t)), 'sum') AS DOUBLE)
+                 / len(string_split(text, ' '))                 AS mean_token_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the','a','an','and','or','of','to','in',
+                                      'is','it','that','for','on','with','as',
+                                      'at','by','this'], t))) AS DOUBLE)
+                 / len(string_split(text, ' '))                 AS stopword_ratio
+      FROM documents
+    )
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+@register("lang_id", """
+    SELECT doc_id, en_stopword_ratio,
+           CASE WHEN en_stopword_ratio >= 0.02 THEN 'en' ELSE 'und' END
+               AS predicted_lang
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the','a','an','and','or','of','to','in',
+                                      'is','it','that','for','on','with','as',
+                                      'at','by','this'], t))) AS DOUBLE)
+                 / len(string_split(text, ' '))                 AS en_stopword_ratio
+      FROM documents
+    )
+""")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+@register("token_counts_by_source", """
+    SELECT source, lang,
+           count(*)                                                  AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)         AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)             AS total_bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT)                         AS total_chars
+    FROM documents GROUP BY 1, 2
+""")
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts_by_group(_docs(spark, sf_dir), ["source", "lang"])
+
+
+@register("doc_fingerprints", r"""
+    SELECT doc_id,
+           md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' '))
+               AS fingerprint
+    FROM documents
+""")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprints(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# E4 — multimodal metadata (payload-opaque byte accounting; decode is a
+# stubbed mapInPandas pipeline, exercised in tests/test_multimodal.py)
+# --------------------------------------------------------------------------
+
+@register("media_byte_stats", """
+    SELECT 'text'                                        AS kind,
+           count(*)                                      AS n_items,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+""")
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.media_byte_stats(media)

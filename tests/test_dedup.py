@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import dedup
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_dedup_exact_deterministic_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "x"), (9, "y")], "doc_id long, text string")
+    out = dedup.dedup_exact(df, ["text"], ["doc_id"]).collect()
+    assert {(r["doc_id"], r["text"]) for r in out} == {(1, "x"), (9, "y")}
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+        "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_shingles_shorter_than_n(spark):
+    # a 2-token doc has no trigrams; must not blow up on sequence(0, -1)
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c")], "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    assert out == []  # doc 1 contributes no shingles; no common shingle pairs
+
+
+def test_minhash_recall_vs_exact(spark):
+    """MinHash-LSH with exact verification must recover (almost) all true
+    pairs at the target band — SURVEY.md §7 risk 5 self-test."""
+    docs = _docs(spark)
+    exact = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.95).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_near_dup_pairs(
+        docs, "doc_id", "text", n=1, num_hashes=48, bands=16, threshold=0.95).collect()}
+    assert exact, "fixture must contain near-dup pairs at this band"
+    # exact verification ⇒ no false positives
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_minhash_signature_estimate_mode(spark):
+    docs = _docs(spark).limit(100)
+    est = dedup.minhash_near_dup_pairs(docs, "doc_id", "text", n=1,
+                                       num_hashes=48, bands=16,
+                                       threshold=0.9, verify_exact=False)
+    for r in est.collect():
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "spark fast table scan join"),
+         (2, "spark fast table scan join"),          # identical -> hamming 0
+         (3, "spark fast table scan merge"),         # one token swapped -> small
+         (4, "zzz qqq www eee rrr")],                # unrelated -> large
+        "doc_id long, text string")
+    sig = {r["_id"]: r["_sig"] for r in df.select(
+        F.col("doc_id").alias("_id"),
+        dedup.simhash64(F.col("text")).alias("_sig")).collect()}
+    assert sig[1] == sig[2]
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
+
+    pairs = dedup.simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+    hams = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert hams[(1, 2)] == 0
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.99)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}  # colinear vectors; orthogonal excluded

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import similarity
+
+from .conftest import SF_SMOKE
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_cosine_expr_matches_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+                               "a array<float>, b array<float>")
+    got = df.select(similarity.cosine_expr("a", "b").alias("c")).collect()[0]["c"]
+    expect = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(got - expect) < 1e-12
+
+
+def test_bruteforce_topk_shape_and_order(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk(emb, q, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def _clustered_embeddings(spark, n_clusters=10, per_cluster=50, dim=64, seed=3):
+    """Embeddings with real neighborhood structure — the regime LSH is for.
+    (The driver's synthetic embeddings are near-uniform random: there, ANY
+    sublinear method's recall ≈ fraction of corpus scanned, by geometry.)"""
+    import numpy as np
+    rs = np.random.RandomState(seed)
+    centers = rs.randn(n_clusters, dim) * 5
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            v = centers[c] + rs.randn(dim) * 0.1
+            rows.append((c * per_cluster + i, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_lsh_recall_on_clustered_data(spark):
+    """On clustered data LSH must recover nearly all true neighbours while
+    scanning a fraction of the corpus — the documented recall self-test
+    (SURVEY.md §7 risk 5)."""
+    emb = _clustered_embeddings(spark)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.cosine_topk_lsh(
+                  emb, q, k=10, dim=64, n_planes=8, multi_probe_hamming=1).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_lsh_on_uniform_data_returns_valid_exact_scores(spark):
+    """On the driver's (near-uniform) embeddings: candidates are a subset,
+    re-ranked with EXACT cosine — every returned score must equal the
+    brute-force score for that pair."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in similarity.cosine_topk(emb, q, k=500).collect()}
+    for r in similarity.cosine_topk_lsh(emb, q, k=10, dim=64, n_planes=6).collect():
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_lsh_bucket_determinism(spark):
+    emb = _emb(spark).limit(50)
+    b1 = similarity.with_lsh_bucket(emb, "embedding", dim=64, n_planes=8, seed=7)
+    b2 = similarity.with_lsh_bucket(emb, "embedding", dim=64, n_planes=8, seed=7)
+    assert {(r["vec_id"], r["_bucket"]) for r in b1.collect()} == \
+           {(r["vec_id"], r["_bucket"]) for r in b2.collect()}

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import multimodal, text
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "aa bb aa")], "doc_id long, text string")
+    r = text.text_stats(df).collect()[0]
+    assert r["n_tokens"] == 3 and r["n_distinct_tokens"] == 2
+    assert r["n_chars"] == 8
+    assert r["avg_token_len"] == 2.0
+    assert abs(r["type_token_ratio"] - 2 / 3) < 1e-15
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzz yyy xxx www")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.lang_id(df).collect()}
+    assert out == {1: "en", 2: "und"}
+
+
+def test_quality_score_gates(spark):
+    long_ok = " ".join(["the"] + ["word"] * 30)
+    too_short = "the cat"
+    df = spark.createDataFrame([(1, long_ok), (2, too_short)], "doc_id long, text string")
+    out = {r["doc_id"]: r["keep"] for r in text.quality_score(df).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world "), (3, "different doc")],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.doc_fingerprints(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_media_plumbing_fake_features(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_media_features(media, fake=True).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["byte_len"] == 5
+    assert by_id[1]["content_md5"] == hashlib.md5(b"hello").hexdigest()
+    assert len(by_id[1]["feature"]) == multimodal.FEATURE_DIM
+    assert by_id[1]["feature"][0] == pytest.approx(ord("h") / 255.0)
+    assert by_id[2]["byte_len"] == 0  # empty payload survives the batch path
+
+
+def test_media_real_decode_is_stubbed(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = multimodal.media_from_documents(docs)
+    with pytest.raises(Exception, match="no decoder"):
+        multimodal.extract_media_features(media, fake=False).collect()
+
+
+def test_media_byte_stats_no_payload_deserialization(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+    media = multimodal.media_from_documents(docs)
+    r = multimodal.media_byte_stats(media).collect()[0]
+    assert (r["n_items"], r["total_bytes"], r["min_bytes"], r["max_bytes"]) == (2, 7, 3, 4)
