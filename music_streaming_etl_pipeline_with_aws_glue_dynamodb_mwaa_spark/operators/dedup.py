@@ -64,22 +64,34 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
-                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+                        n: int = 3, threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold.
 
     Inverted-index join: explode distinct shingles, self-join on the shingle,
     count common shingles per pair, then |A∪B| = |A|+|B|-common. Documents
     sharing no shingle never meet — at scale, the shuffle is proportional to
-    the inverted-index postings, not |docs|². (Very hot shingles should be
-    dropped by a document-frequency cap upstream — standard trick; exposed
-    via ``max_shingle_df``.)
+    the inverted-index postings, not |docs|².
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap before the self-join — the standard hot-postings guard (a shingle in
+    d documents contributes d² candidate rows; stopword-like shingles add
+    cost but no discrimination). NOTE it prunes candidate *generation* only
+    at the price of exactness: pairs whose every common shingle is hot are
+    missed, and common-counts ignore hot shingles (conservative/lower
+    jaccard). None = exact semantics (the oracle-checked default).
 
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b. jaccard is one IEEE
     division of exact integers — deterministic, oracle-comparable.
     """
     sh = _shingled(df, id_col, text_col, n)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh
+    if max_shingle_df is not None:
+        docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
+        joinable = sh.join(docfreq.filter(F.col("_df") <= max_shingle_df)
+                           .select("_shingle"), "_shingle")
+    a, b = joinable.alias("a"), joinable.alias("b")
     common = (
         a.join(b, (F.col("a._shingle") == F.col("b._shingle"))
                & (F.col("a._id") < F.col("b._id")))

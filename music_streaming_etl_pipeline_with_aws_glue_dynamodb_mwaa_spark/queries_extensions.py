@@ -57,8 +57,13 @@ def dedup_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("neardup_jaccard_pairs", """
-    WITH sh AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s
-                FROM documents),
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS s
+      FROM documents),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -66,23 +71,27 @@ def dedup_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
     FROM common
     JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
-    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.95
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
 """)
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard join (n=1 unigram shingles; the synthetic
-    corpus has heavy vocabulary overlap, so 0.95 is the near-dup band)."""
+    """Exact trigram-shingle Jaccard join at the 0.8 near-dup band (the
+    corpus contains planted near-duplicate pairs at trigram level; unigram
+    token sets are degenerate here — a ~46-word shared vocabulary makes
+    most pairs 'similar', which is the hot-shingle worst case)."""
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                                     n=1, threshold=0.95)
+                                     n=3, threshold=0.8)
 
 
 @register("neardup_minhash_pairs", None)  # xxhash sketches: engine-specific → rows-only
 def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates + exact verification at the same 0.95 band as
+    """MinHash-LSH candidates + exact verification at the same 0.8 band as
     neardup_jaccard_pairs; recall vs the exact join is asserted in
-    tests/test_dedup.py."""
+    tests/test_dedup.py. Bands 12×4 put the S-curve crossover at ~0.54 —
+    ≥99.8% expected recall at j=0.8, with candidates pruned long before
+    verification."""
     return dedup.minhash_near_dup_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
-        n=1, num_hashes=48, bands=16, threshold=0.95)
+        n=3, num_hashes=48, bands=12, threshold=0.8)
 
 
 @register("neardup_simhash_pairs", None)  # md5-bit sketches → rows-only

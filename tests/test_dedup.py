@@ -38,9 +38,9 @@ def test_minhash_recall_vs_exact(spark):
     pairs at the target band — SURVEY.md §7 risk 5 self-test."""
     docs = _docs(spark)
     exact = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=1, threshold=0.95).collect()}
+        docs, "doc_id", "text", n=3, threshold=0.8).collect()}
     lsh = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_near_dup_pairs(
-        docs, "doc_id", "text", n=1, num_hashes=48, bands=16, threshold=0.95).collect()}
+        docs, "doc_id", "text", n=3, num_hashes=48, bands=12, threshold=0.8).collect()}
     assert exact, "fixture must contain near-dup pairs at this band"
     # exact verification ⇒ no false positives
     assert lsh <= exact
@@ -50,9 +50,9 @@ def test_minhash_recall_vs_exact(spark):
 
 def test_minhash_signature_estimate_mode(spark):
     docs = _docs(spark).limit(100)
-    est = dedup.minhash_near_dup_pairs(docs, "doc_id", "text", n=1,
-                                       num_hashes=48, bands=16,
-                                       threshold=0.9, verify_exact=False)
+    est = dedup.minhash_near_dup_pairs(docs, "doc_id", "text", n=3,
+                                       num_hashes=48, bands=12,
+                                       threshold=0.5, verify_exact=False)
     for r in est.collect():
         assert 0.0 <= r["jaccard"] <= 1.0
 

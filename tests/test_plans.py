@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale posture (SURVEY.md §4) must be
+visible in the executed plan, not just intended.
+
+These read ``explain()`` output — brittle across Spark majors by nature, but
+that's the point: if an upgrade or refactor silently turns a broadcast join
+into a sort-merge join or un-pushes a filter, correctness tests stay green
+while the 100 TB plan rots. These fail instead.
+"""
+
+from __future__ import annotations
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import queries_reference as qr
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import queries_extensions as qe  # noqa: F401
+
+from .conftest import SF_SMOKE
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def q(name):
+    return qr.REGISTRY[name][0]
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = _executed(q("scan_project_filter")(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(p_size), LessThan(p_size,15)]" in plan
+    # ReadSchema carries only the projected columns — no full-row scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_partkey" in read_schema and "p_brand" not in read_schema
+
+
+def test_flagship_join_is_broadcast_with_partial_agg(spark):
+    plan = _executed(q("daily_genre_kpis")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan          # fact side must not shuffle for the join
+    assert plan.count("HashAggregate") >= 2     # partial + final (map-side combine)
+
+
+def test_approx_variant_avoids_distinct_expand(spark):
+    exact = _executed(q("daily_genre_kpis")(spark, SF_SMOKE))
+    approx = _executed(q("daily_genre_kpis_approx")(spark, SF_SMOKE))
+    # exact countDistinct needs an extra shuffle round vs HLL++
+    assert exact.count("Exchange") > approx.count("Exchange")
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _executed(q("top_songs_per_genre")(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_validation_split_is_two_filters_no_join(spark):
+    good = _optimized(q("validate_split_good")(spark, SF_SMOKE))
+    bad = _optimized(q("validate_split_bad")(spark, SF_SMOKE))
+    for plan in (good, bad):
+        assert "Join" not in plan               # never an except/anti-join
+        assert "Exchange" not in plan           # map-side only: no shuffle at all
+
+
+def test_ann_query_set_is_broadcast(spark):
+    # extension queries register into the shared registry in queries_reference
+    plan = _executed(q("ann_cosine_topk")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
