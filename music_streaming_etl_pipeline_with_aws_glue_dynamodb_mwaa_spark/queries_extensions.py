@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, sessions, similarity, text
 from .queries_reference import register
 from .sources import catalog
 
@@ -98,6 +98,28 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), "doc_id", "text",
                                         max_hamming=3)
+
+
+@register("neardup_embedding_pairs", """
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.4
+""")
+def neardup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (exact, oracle-checked). The synthetic
+    embeddings are near-orthogonal (max pairwise cosine ≈0.51 at sf0.01), so
+    the band sits at 0.4 where the corpus has mass; a production corpus of
+    true duplicates uses ~0.95. Scale path: LSH-bucket first (similarity
+    .with_lsh_bucket) and verify inside buckets."""
+    return dedup.embedding_near_dup_pairs(_emb(spark, sf_dir), "vec_id",
+                                          "embedding", threshold=0.4)
 
 
 # --------------------------------------------------------------------------
@@ -246,3 +268,50 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     return multimodal.media_byte_stats(media)
+
+
+# --------------------------------------------------------------------------
+# E5 — gap-based sessionization over the events table (operators.sessions).
+# Second-granularity epoch math on both engines: Spark cast(ts as long) ≡
+# DuckDB epoch(date_trunc('second', ts)) — integer-exact gap comparisons.
+# --------------------------------------------------------------------------
+
+_SESSIONIZED_SQL = """
+    SELECT event_id, ts, user_id, event_type, value, props,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT)             AS session_idx
+    FROM (
+      SELECT *, CASE WHEN ep - lag(ep) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) > 28800
+                THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT *, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+            FROM events)
+    )
+"""
+
+
+@register("sessionize_events", f"""
+    SELECT event_id, ts, user_id, event_type, value, props, session_idx,
+           CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR)
+               AS session_id
+    FROM ({_SESSIONIZED_SQL})
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return sessions.sessionize(ev, gap_seconds=8 * 3600)
+
+
+@register("session_stats", f"""
+    SELECT user_id, session_idx,
+           count(*)                                             AS n_events,
+           min(ts)                                              AS session_start,
+           max(ts)                                              AS session_end,
+           CAST(max(ep2) - min(ep2) AS BIGINT)                  AS duration_secs
+    FROM (SELECT *, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep2
+          FROM ({_SESSIONIZED_SQL}))
+    GROUP BY 1, 2
+""")
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return sessions.session_stats(ev, gap_seconds=8 * 3600)

@@ -23,13 +23,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as long ns (see
-        # session factory conf) and truncate to Spark's µs timestamps.
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark has no type for:
+        # a plain session fails the scan with PARQUET_TYPE_ILLEGAL. Read it as
+        # raw long ns (runtime-settable conf, so this works even under a
+        # session not built by our factory) and truncate to µs timestamps.
         # Integer `div` — double division loses precision at ~1.7e18 ns.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,58 @@
+"""Gap-based sessionization (operators.sessions).
+
+Invariants: a session breaks exactly where the inter-event silence exceeds
+the gap; indices are per-user monotone from 0; stats bound each session.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import sessions
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(eid, u, T0 + datetime.timedelta(seconds=s)) for eid, u, s in rows],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+def test_session_breaks_at_gap(spark):
+    # user 1: events at 0s, 100s, 4000s (gap 3900 > 3600 -> new session),
+    # 4100s; user 2: single event.
+    ev = _events(spark, [(1, 1, 0), (2, 1, 100), (3, 1, 4000), (4, 1, 4100),
+                         (5, 2, 0)])
+    out = sessions.sessionize(ev, gap_seconds=3600)
+    got = {r["event_id"]: (r["session_idx"], r["session_id"])
+           for r in out.collect()}
+    assert got[1] == (0, "1#0")
+    assert got[2] == (0, "1#0")
+    assert got[3] == (1, "1#1")
+    assert got[4] == (1, "1#1")
+    assert got[5] == (0, "2#0")
+
+
+def test_gap_exactly_at_threshold_does_not_break(spark):
+    ev = _events(spark, [(1, 1, 0), (2, 1, 3600)])
+    out = sessions.sessionize(ev, gap_seconds=3600)
+    assert {r["session_idx"] for r in out.collect()} == {0}
+
+
+def test_session_stats(spark):
+    ev = _events(spark, [(1, 1, 0), (2, 1, 100), (3, 1, 4000), (4, 1, 4100),
+                         (5, 2, 7)])
+    out = sessions.session_stats(ev, gap_seconds=3600)
+    got = {(r["user_id"], r["session_idx"]): (r["n_events"], r["duration_secs"])
+           for r in out.collect()}
+    assert got == {(1, 0): (2, 100), (1, 1): (2, 100), (2, 0): (1, 0)}
+
+
+def test_ties_break_on_event_id(spark):
+    # two events at the identical timestamp: ordering must be stable by id
+    ev = _events(spark, [(2, 1, 0), (1, 1, 0), (3, 1, 5000)])
+    out = sessions.sessionize(ev, gap_seconds=3600)
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1}
