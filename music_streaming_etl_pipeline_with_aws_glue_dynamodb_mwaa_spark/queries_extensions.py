@@ -168,6 +168,21 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n_planes=6, multi_probe_hamming=1)
 
 
+@register("ann_cosine_topk_ivf", None)  # sample-trained codebook → rows-only
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed ANN: spherical-k-means codebook trained on a bounded
+    sample, corpus assigned to its nearest cell, queries probe 2 cells,
+    exact cosine re-rank inside. Recall vs brute force asserted in
+    tests/test_similarity.py. At 100 TB the codebook stays KB-sized and the
+    per-query scan is ~nprobe/C of the corpus."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=16, seed=42)
+    return similarity.cosine_topk_ivf(emb, queries, k=10, centroids=cents,
+                                      nprobe=4)
+
+
 # --------------------------------------------------------------------------
 # E3 — text analysis
 # --------------------------------------------------------------------------

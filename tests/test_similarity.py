@@ -87,3 +87,35 @@ def test_lsh_bucket_determinism(spark):
     b2 = similarity.with_lsh_bucket(emb, "embedding", dim=64, n_planes=8, seed=7)
     assert {(r["vec_id"], r["_bucket"]) for r in b1.collect()} == \
            {(r["vec_id"], r["_bucket"]) for r in b2.collect()}
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF with a learned codebook: probing 2 of 10 cells on well-clustered
+    data must recover ~all true neighbours (neighbours share the query's
+    cell by construction)."""
+    emb = _clustered_embeddings(spark)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=10, seed=5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.cosine_topk_ivf(
+                  emb, q, k=10, centroids=cents, nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_ivf_scores_are_exact(spark):
+    """IVF candidates re-rank with exact cosine — returned scores must equal
+    brute-force scores for the same pair."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, seed=5)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in similarity.cosine_topk(emb, q, k=500).collect()}
+    out = similarity.cosine_topk_ivf(emb, q, k=10, centroids=cents, nprobe=2).collect()
+    assert len(out) == 30
+    for r in out:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
