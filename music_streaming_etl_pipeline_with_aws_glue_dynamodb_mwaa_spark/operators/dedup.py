@@ -208,22 +208,36 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
 # SimHash (vectorized sketch; hamming-banded pairs)
 # --------------------------------------------------------------------------
 
+_SIMHASH_ROWS: dict[str, np.ndarray] = {}   # token → (64,) ±1 row, worker-lifetime
+
+
+def _simhash_row(tok: str) -> np.ndarray:
+    row = _SIMHASH_ROWS.get(tok)
+    if row is None:
+        h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        row = np.where(bits == 1, 1, -1).astype(np.int64)
+        _SIMHASH_ROWS[tok] = row
+    return row
+
+
 @F.pandas_udf(LongType())  # type object: a DDL string would need a live SparkContext at import
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-based (stable across
-    processes — Python's builtin hash() is salted). Arrow-batched: one
-    Python call per ~10k rows, numpy bit math inside."""
+    processes — Python's builtin hash() is salted). Arrow-batched, and the
+    md5→±1-bit-row map is cached per UNIQUE token for the worker's lifetime:
+    cost is one md5 per vocabulary word, then one small matmul per doc."""
     out = np.empty(len(texts), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for i, t in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok, cnt in Counter((t or "").split()).items():
-            h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, cnt, -cnt)
-        sig = 0
-        for b in np.nonzero(acc > 0)[0]:
-            sig |= 1 << int(b)
-        out[i] = np.int64(np.uint64(sig).astype(np.int64))
+        cnt = Counter((t or "").split())
+        if not cnt:
+            out[i] = 0
+            continue
+        rows = np.stack([_simhash_row(tok) for tok in cnt])
+        acc = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt)) @ rows
+        sig = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        out[i] = np.int64(sig.astype(np.int64))
     return pd.Series(out)
 
 
@@ -267,15 +281,101 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
 # --------------------------------------------------------------------------
 
 def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str, *,
-                             threshold: float = 0.95) -> DataFrame:
-    """Exact cosine near-dup pairs (doc_a < doc_b). Brute-force O(n²/2)
-    comparisons — correct baseline; the LSH-bucketed variant in
-    operators.similarity is the scale path."""
-    from .similarity import cosine_expr
-    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+                             threshold: float = 0.95,
+                             prefilter_blocks: int | None = 8) -> DataFrame:
+    """Exact cosine near-dup pairs (doc_a < doc_b), oracle-comparable.
+
+    Default path: blocked-matmul candidate generation at ``threshold - 1e-9``
+    (BLAS flops — see ``embedding_near_dup_pairs_blocked``), then the exact
+    sequential-fold cosine recomputed for the surviving candidates only and
+    filtered at the true threshold. Matmul and fold agree to ~1 ulp (~1e-16),
+    so the 1e-9 margin cannot drop a qualifying pair — output bits are
+    identical to the brute-force expression path at a tiny fraction of its
+    cost (the same prefilter-then-verify shape as the MinHash pipeline).
+
+    ``prefilter_blocks=None``: pure expression path, O(n²/2) pair loop with
+    norms projected once per vector — the self-test baseline.
+    """
+    from .similarity import dot_expr, norm_expr
+    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"),
+                   norm_expr(vec_col).alias("_na"))
+    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"),
+                   norm_expr(vec_col).alias("_nb"))
+    if prefilter_blocks:
+        cand = embedding_near_dup_pairs_blocked(
+            emb, id_col, vec_col, threshold=threshold - 1e-9,
+            n_blocks=prefilter_blocks).select("doc_a", "doc_b")
+        pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    else:
+        pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", cosine_expr("_va", "_vb").alias("cosine"))
+        pairs
+        .select("doc_a", "doc_b",
+                (dot_expr("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+                .alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_blocked(emb: DataFrame, id_col: str, vec_col: str,
+                                     *, threshold: float = 0.95,
+                                     n_blocks: int = 8) -> DataFrame:
+    """Exact cosine near-dup pairs via blocked matrix multiplication — the
+    100 TB-shaped all-pairs path.
+
+    Vectors are hashed into ``n_blocks`` blocks; every block PAIR (bi ≤ bj)
+    becomes one task whose rows meet in a single shuffle (each row is
+    replicated to the ~n_blocks/2 tasks it participates in), and the task
+    scores its pair with one numpy matmul inside ``applyInPandas``. Choose
+    n_blocks so two blocks fit executor memory: work is O(n²·d) either way,
+    but flops run at BLAS speed instead of per-element expression
+    interpretation, and no single task ever holds the corpus.
+
+    Scores are float64 matmul — equal to the expression path within ~1 ulp
+    (pairwise vs sequential summation), so this variant registers rows-only;
+    exactness vs the expression path is asserted in tests/test_dedup.py.
+    """
+    tasks = [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                      F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+                      .cast("int").alias("_blk"))
+    task_df = spark.createDataFrame(tasks, "bi int, bj int")
+    # each row joins every task that references its block, tagged with the
+    # side it plays there (a row in block b is side-a of tasks (b, *) and
+    # side-b of tasks (*, b); the diagonal task gets it once as side-a)
+    replicated = (
+        base.join(task_df, (F.col("_blk") == F.col("bi"))
+                  | (F.col("_blk") == F.col("bj")))
+        .select("bi", "bj", "_id", "_v",
+                (F.col("_blk") == F.col("bi")).alias("_is_a"))
+    )
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        a = pdf[pdf["_is_a"]]
+        b = a if diag else pdf[~pdf["_is_a"]]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+        ma = np.stack(a["_v"].to_numpy()).astype(np.float64)
+        ma_n = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        if diag:
+            mb_n = ma_n
+        else:
+            mb = np.stack(b["_v"].to_numpy()).astype(np.float64)
+            mb_n = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma_n @ mb_n.T
+        ia, ib = np.nonzero(sims >= threshold)
+        ids_a, ids_b = a["_id"].to_numpy()[ia], b["_id"].to_numpy()[ib]
+        lo, hi = np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)
+        keep = lo < hi                      # drop self-pairs + diagonal dupes
+        out = pd.DataFrame({"doc_a": lo[keep], "doc_b": hi[keep],
+                            "cosine": sims[ia, ib][keep]})
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    id_type = dict(emb.dtypes)[id_col]
+    return (
+        replicated.groupBy("bi", "bj")
+        .applyInPandas(score_block,
+                       f"doc_a {id_type}, doc_b {id_type}, cosine double")
     )

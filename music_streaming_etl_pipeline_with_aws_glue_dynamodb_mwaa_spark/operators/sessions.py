@@ -57,3 +57,34 @@ def session_stats(events: DataFrame, *, user_col: str = "user_id",
         (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long")))
         .alias("duration_secs"),
     )
+
+
+def session_window_stats(events: DataFrame, *, user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         gap_seconds: int = 8 * 3600) -> DataFrame:
+    """Per-session stats via ``F.session_window`` — the formulation that runs
+    UNCHANGED on batch and streaming input (Spark's native merging session
+    windows; in streaming it is stateful with watermark-driven eviction —
+    wire it via streaming.filestream / withWatermark, see
+    tests/test_streaming.py).
+
+    Boundary semantics vs ``sessionize``: a follow-up event exactly
+    ``gap_seconds`` after the previous one MERGES there (diff > gap breaks)
+    but starts a NEW session here (windows are half-open ``[start,
+    last+gap)``). Identical for all non-boundary gaps.
+    """
+    return (
+        events.groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min(ts_col).alias("session_start"),
+             F.max(ts_col).alias("session_end"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("window_start"),
+            "n_events", "session_start", "session_end",
+            (F.col("session_end").cast("long")
+             - F.col("session_start").cast("long")).alias("duration_secs"),
+        )
+    )

@@ -59,15 +59,22 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     streams through map-side scoring with no shuffle until the final
     per-query top-k (which WindowGroupLimit keeps partial).
     Ties broken by neighbour id for determinism.
+
+    Norms are projected once per row on each side BEFORE the join (same
+    sequential-fold bits as computing them per pair, 3× fewer flops).
     """
-    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    q = queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(vec_col).alias("_qv"),
+                       norm_expr(vec_col).alias("_qn"))
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.withColumn("_n", norm_expr(vec_col))
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("_qid"))
         .select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col).alias("neighbor_id"),
-            cosine_expr(vec_col, "_qv").alias("cosine"),
+            (dot_expr(vec_col, "_qv") / (F.col("_n") * F.col("_qn")))
+            .alias("cosine"),
         )
     )
     return top_k_per_group(scored, [query_id_col], "cosine", k,
@@ -112,9 +119,12 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     hamming distance of its own (probing 1+n_planes buckets at distance ≤1) —
     the standard recall knob that avoids adding independent hash tables.
     """
-    corpus = with_lsh_bucket(emb, vec_col, dim=dim, n_planes=n_planes, seed=seed)
+    corpus = with_lsh_bucket(emb.withColumn("_n", norm_expr(vec_col)),
+                             vec_col, dim=dim, n_planes=n_planes, seed=seed)
     q = with_lsh_bucket(
-        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
+        queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(vec_col).alias("_qv"),
+                       norm_expr(vec_col).alias("_qn")),
         "_qv", dim=dim, n_planes=n_planes, seed=seed)
 
     if multi_probe_hamming >= 1:
@@ -124,7 +134,7 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10, *,
             masks += [(1 << i) | (1 << j)
                       for i in range(n_planes) for j in range(i + 1, n_planes)]
         probes = F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in masks])
-        q = q.select("_qid", "_qv", F.explode(probes).alias("_bucket"))
+        q = q.select("_qid", "_qv", "_qn", F.explode(probes).alias("_bucket"))
 
     scored = (
         corpus.join(q, "_bucket")
@@ -132,7 +142,8 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         .select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col).alias("neighbor_id"),
-            cosine_expr(vec_col, "_qv").alias("cosine"),
+            (dot_expr(vec_col, "_qv") / (F.col("_n") * F.col("_qn")))
+            .alias("cosine"),
         )
         .groupBy(query_id_col, "neighbor_id")     # multi-probe may duplicate
         .agg(F.first("cosine").alias("cosine"))
@@ -201,10 +212,11 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     query. The codebook is driver-held numpy broadcast inside the UDF closure
     (KBs — not data-sized).
     """
-    corpus = emb.withColumn(
+    corpus = emb.withColumn("_n", norm_expr(vec_col)).withColumn(
         "_cell", _cell_udf(centroids, 1)(F.col(vec_col)).getItem(0))
     q = queries.select(F.col(query_id_col).alias("_qid"),
-                       F.col(vec_col).alias("_qv"))
+                       F.col(vec_col).alias("_qv"),
+                       norm_expr(vec_col).alias("_qn"))
     q = q.withColumn("_cell", F.explode(_cell_udf(centroids, nprobe)(F.col("_qv"))))
 
     scored = (
@@ -213,7 +225,8 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10, *,
         .select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col).alias("neighbor_id"),
-            cosine_expr(vec_col, "_qv").alias("cosine"),
+            (dot_expr(vec_col, "_qv") / (F.col("_n") * F.col("_qn")))
+            .alias("cosine"),
         )
     )
     return top_k_per_group(scored, [query_id_col], "cosine", k,

@@ -122,6 +122,15 @@ def neardup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           "embedding", threshold=0.4)
 
 
+@register("neardup_embedding_pairs_blocked", None)  # matmul ulp ≠ fold ulp → rows-only
+def neardup_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as neardup_embedding_pairs via blocked numpy matmul —
+    the all-pairs scale path (BLAS flops, bounded per-task memory).
+    Pair-set equality vs the expression path asserted in tests/test_dedup.py."""
+    return dedup.embedding_near_dup_pairs_blocked(
+        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4, n_blocks=8)
+
+
 # --------------------------------------------------------------------------
 # E2 — similarity search over embeddings
 # --------------------------------------------------------------------------

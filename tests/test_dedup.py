@@ -84,3 +84,39 @@ def test_embedding_near_dup_pairs(spark):
     pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.99)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert got == {(1, 2)}  # colinear vectors; orthogonal excluded
+
+
+def test_embedding_blocked_matches_expression_path(spark):
+    """Blocked-matmul all-pairs must find exactly the same pair set as the
+    expression path, with scores equal to ~1 ulp (pairwise vs sequential
+    float summation), on the real synthetic embeddings."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in dedup.embedding_near_dup_pairs(
+                 emb, "vec_id", "embedding", threshold=0.4,
+                 prefilter_blocks=None).collect()}
+    blocked = {(r["doc_a"], r["doc_b"]): r["cosine"]
+               for r in dedup.embedding_near_dup_pairs_blocked(
+                   emb, "vec_id", "embedding", threshold=0.4,
+                   n_blocks=4).collect()}
+    assert set(exact) == set(blocked)
+    for k in exact:
+        assert abs(exact[k] - blocked[k]) < 1e-12
+    # default (prefilter + exact verify) must be BIT-identical to the pure
+    # expression path — same pair set, same cosine bits
+    fused = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in dedup.embedding_near_dup_pairs(
+                 emb, "vec_id", "embedding", threshold=0.4).collect()}
+    assert fused == exact
+
+
+def test_embedding_blocked_single_block_and_diagonal(spark):
+    """n_blocks=1 (everything in the diagonal task) must still emit each
+    unordered pair exactly once, no self-pairs."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [-1.0, 0.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    got = [(r["doc_a"], r["doc_b"]) for r in
+           dedup.embedding_near_dup_pairs_blocked(
+               df, "vec_id", "embedding", threshold=0.99, n_blocks=1).collect()]
+    assert sorted(got) == [(1, 2)]

@@ -56,3 +56,15 @@ def test_ties_break_on_event_id(spark):
     out = sessions.sessionize(ev, gap_seconds=3600)
     got = {r["event_id"]: r["session_idx"] for r in out.collect()}
     assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_session_window_stats_matches_sessionize(spark):
+    """Away from the exact-gap boundary, session_window produces the same
+    sessions as the lag/cumsum formulation."""
+    ev = _events(spark, [(1, 1, 0), (2, 1, 100), (3, 1, 4000), (4, 1, 4100),
+                         (5, 2, 7)])
+    a = {(r["user_id"], str(r["session_start"])): (r["n_events"], r["duration_secs"])
+         for r in sessions.session_stats(ev, gap_seconds=3600).collect()}
+    b = {(r["user_id"], str(r["session_start"])): (r["n_events"], r["duration_secs"])
+         for r in sessions.session_window_stats(ev, gap_seconds=3600).collect()}
+    assert a == b

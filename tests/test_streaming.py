@@ -86,3 +86,41 @@ def test_streaming_kpis_match_batch(spark, tmp_path):
     filestream.run_available_now(stream, process, str(tmp_path / "ckpt")).awaitTermination(120)
     assert len(out) == 1
     assert out[0]["unique_listeners"] == 2 and out[0]["listen_count"] == 2
+
+
+def test_streaming_session_window_stateful(spark, tmp_path):
+    """session_window as a genuine stateful streaming aggregation (not
+    foreachBatch): two micro-batches, complete-mode memory sink; the final
+    table must equal the batch answer. (Session windows reject update mode;
+    in production append mode + watermark emits sessions as they close.)"""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import sessions
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(str(src), "a.csv",
+           "user_id,ts\nu1,2024-01-01T10:00:00\nu1,2024-01-01T10:10:00\n", 1000)
+    _write(str(src), "b.csv", "user_id,ts\nu1,2024-01-01T20:00:00\n", 2000)
+
+    stream = (spark.readStream.schema("user_id string, ts timestamp")
+              .option("header", True).option("maxFilesPerTrigger", 1)
+              .option("latestFirst", False).csv(str(src)))
+    agg = sessions.session_window_stats(
+        stream.withWatermark("ts", "0 seconds"), gap_seconds=3600)
+    q = (agg.writeStream.format("memory").queryName("sess_updates")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    latest = {(r["user_id"], str(r["window_start"])): r["n_events"]
+              for r in spark.sql("SELECT * FROM sess_updates").collect()}
+    batch = sessions.session_window_stats(
+        spark.createDataFrame(
+            [("u1", "2024-01-01T10:00:00"), ("u1", "2024-01-01T10:10:00"),
+             ("u1", "2024-01-01T20:00:00")], "user_id string, ts string")
+        .withColumn("ts", F.to_timestamp("ts")), gap_seconds=3600)
+    expect = {(r["user_id"], str(r["window_start"])): r["n_events"]
+              for r in batch.collect()}
+    assert latest == expect and len(expect) == 2
