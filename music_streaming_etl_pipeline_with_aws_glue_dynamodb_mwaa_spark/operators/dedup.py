@@ -63,39 +63,19 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
-                        n: int = 3, threshold: float = 0.8,
-                        max_shingle_df: int | None = None) -> DataFrame:
-    """All document pairs with n-gram-shingle Jaccard ≥ threshold.
-
-    Inverted-index join: explode distinct shingles, self-join on the shingle,
-    count common shingles per pair, then |A∪B| = |A|+|B|-common. Documents
-    sharing no shingle never meet — at scale, the shuffle is proportional to
-    the inverted-index postings, not |docs|².
-
-    ``max_shingle_df`` drops shingles whose document frequency exceeds the
-    cap before the self-join — the standard hot-postings guard (a shingle in
-    d documents contributes d² candidate rows; stopword-like shingles add
-    cost but no discrimination). NOTE it prunes candidate *generation* only
-    at the price of exactness: pairs whose every common shingle is hot are
-    missed, and common-counts ignore hot shingles (conservative/lower
-    jaccard). None = exact semantics (the oracle-checked default).
-
-    Returns (doc_a, doc_b, jaccard), doc_a < doc_b. jaccard is one IEEE
-    division of exact integers — deterministic, oracle-comparable.
-    """
-    sh = _shingled(df, id_col, text_col, n)
+def _exact_jaccard_for_pairs(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for an explicit (doc_a, doc_b) candidate
+    set: common-shingle counts via a candidate-restricted join, then
+    |A∪B| = |A|+|B|-common. Verification cost is O(candidate postings), not
+    O(all pairs) — shared by the prefix-filter and MinHash paths."""
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    joinable = sh
-    if max_shingle_df is not None:
-        docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
-        joinable = sh.join(docfreq.filter(F.col("_df") <= max_shingle_df)
-                           .select("_shingle"), "_shingle")
-    a, b = joinable.alias("a"), joinable.alias("b")
+    a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a._shingle") == F.col("b._shingle"))
-               & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        candidates
+        .join(a, F.col("doc_a") == F.col("a._id"))
+        .join(b, (F.col("doc_b") == F.col("b._id"))
+              & (F.col("a._shingle") == F.col("b._shingle")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
     na, nb = sizes.alias("na"), sizes.alias("nb")
@@ -103,13 +83,67 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
         common
         .join(na, F.col("doc_a") == F.col("na._id"))
         .join(nb, F.col("doc_b") == F.col("nb._id"))
-        .select(
-            "doc_a", "doc_b",
-            (F.col("_common").cast("double")
-             / (F.col("na._n") + F.col("nb._n") - F.col("_common"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b",
+                (F.col("_common").cast("double")
+                 / (F.col("na._n") + F.col("nb._n") - F.col("_common")))
+                .alias("jaccard"))
     )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                        n: int = 3, threshold: float = 0.8,
+                        max_shingle_df: int | None = None,
+                        prefix_filter: bool = True) -> DataFrame:
+    """All document pairs with n-gram-shingle Jaccard ≥ threshold — EXACT.
+
+    Default path is the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08): order each document's shingles by global rarity
+    (docfreq asc, shingle asc — a deterministic total order) and index only
+    its first ``sz - floor(t·sz) + 1`` shingles. If J(A,B) ≥ t, the first
+    common shingle in that order provably falls inside BOTH prefixes, so the
+    prefix-prefix equi-join loses no pair; candidates are then verified with
+    exact common-counts over the FULL shingle sets. Hot (stopword-like)
+    shingles have maximal docfreq, land last in the order, and drop out of
+    prefixes — exactly the postings whose self-join is quadratic.
+    (``floor`` rather than ``ceil(t·sz)-1`` keeps the prefix on the safe
+    side of float rounding.)
+
+    ``prefix_filter=False``: plain inverted-index join over all postings —
+    the self-test baseline. ``max_shingle_df`` additionally drops hotter-than
+    -cap shingles from candidate GENERATION (both paths): still exact
+    verification, but pairs whose every common shingle is hot are missed —
+    a documented recall trade for adversarially hot corpora.
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b. jaccard is one IEEE
+    division of exact integers — deterministic, oracle-comparable.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    joinable = sh
+    docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
+    if max_shingle_df is not None:
+        joinable = sh.join(docfreq.filter(F.col("_df") <= max_shingle_df)
+                           .select("_shingle"), "_shingle")
+    if prefix_filter:
+        w = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
+                                              F.col("_shingle").asc())
+        wsz = Window.partitionBy("_id")
+        joinable = (
+            joinable.join(docfreq, "_shingle")
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_sz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("_rn")
+                    <= F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz")) + 1)
+            .select("_id", "_shingle")
+        )
+    a, b = joinable.alias("a"), joinable.alias("b")
+    candidates = (
+        a.join(b, (F.col("a._shingle") == F.col("b._shingle"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+    )
+    return (_exact_jaccard_for_pairs(candidates, sh)
+            .filter(F.col("jaccard") >= threshold))
 
 
 # --------------------------------------------------------------------------
@@ -166,28 +200,10 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     )
 
     if verify_exact:
-        sh = _shingled(df, id_col, text_col, n)
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-        a, b = sh.alias("a"), sh.alias("b")
         # verification restricted to candidate pairs (broadcast-able at sane
         # candidate counts; at scale use a shuffle join on doc_a)
-        common = (
-            candidates
-            .join(a, F.col("doc_a") == F.col("a._id"))
-            .join(b, (F.col("doc_b") == F.col("b._id"))
-                  & (F.col("a._shingle") == F.col("b._shingle")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("_common"))
-        )
-        na, nb = sizes.alias("na"), sizes.alias("nb")
-        verified = (
-            common
-            .join(na, F.col("doc_a") == F.col("na._id"))
-            .join(nb, F.col("doc_b") == F.col("nb._id"))
-            .select("doc_a", "doc_b",
-                    (F.col("_common").cast("double")
-                     / (F.col("na._n") + F.col("nb._n") - F.col("_common"))).alias("jaccard"))
-        )
+        verified = _exact_jaccard_for_pairs(
+            candidates, _shingled(df, id_col, text_col, n))
     else:
         sa, sb = sig.alias("sa"), sig.alias("sb")
         agree = sum(

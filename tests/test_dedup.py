@@ -120,3 +120,19 @@ def test_embedding_blocked_single_block_and_diagonal(spark):
            dedup.embedding_near_dup_pairs_blocked(
                df, "vec_id", "embedding", threshold=0.99, n_blocks=1).collect()]
     assert sorted(got) == [(1, 2)]
+
+
+def test_prefix_filter_matches_full_join(spark):
+    """The AllPairs prefix filter must lose no pair and change no jaccard
+    value vs the full inverted-index join — on the real corpus, at a loose
+    band (more pairs → stronger check)."""
+    docs = _docs(spark)
+    for t in (0.8, 0.5):
+        full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, "doc_id", "text", n=3, threshold=t,
+                    prefix_filter=False).collect()}
+        pref = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, "doc_id", "text", n=3, threshold=t).collect()}
+        assert full == pref and len(full) > 0
