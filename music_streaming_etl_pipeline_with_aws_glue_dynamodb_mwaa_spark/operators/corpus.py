@@ -1,0 +1,47 @@
+"""End-to-end training-corpus build: the composition every LLM data pipeline
+runs — quality gate → exact dedup → near-dup pruning — as ONE declarative
+DataFrame graph (BASELINE.json north star; no reference analogue — the
+reference's validate→transform chain at ``REF/glue_jobs/validate.py:40-45`` /
+``transform.py:19-36`` is the same shape for tabular rows).
+
+Because each stage is a pure DataFrame→DataFrame operator, Catalyst fuses
+the whole build into one plan: the quality gate's predicate reaches the scan,
+dedup is one hash-shuffle, and near-dup pruning reuses the prefix-filtered
+Jaccard join (operators.dedup) whose candidate set is already sublinear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_exact, ngram_jaccard_pairs
+from .text import quality_score
+
+
+def build_corpus(docs: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", min_tokens: int = 20,
+                 max_tokens: int = 10_000, n: int = 3,
+                 jaccard_threshold: float = 0.8) -> DataFrame:
+    """Surviving documents after the standard triage chain.
+
+    1. quality gate (Gopher/C4-style signal window — operators.text),
+    2. exact text dedup, keep-first by id (deterministic),
+    3. near-dup pruning at the Jaccard band: for every surviving pair
+       (doc_a < doc_b) the HIGHER id is dropped — greedy, deterministic,
+       one anti-join; the canonical keep-lowest-id rule (a union-find over
+       components would also drop transitive dups — documented trade: this
+       greedy rule is single-pass and SQL-mirrorable).
+
+    Returns the surviving rows with their full original columns.
+    """
+    good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
+                         max_tokens=max_tokens).filter("keep").select(id_col)
+    kept = docs.join(good, id_col)
+    uniq = dedup_exact(kept, [text_col], [id_col])
+    losers = (
+        ngram_jaccard_pairs(uniq, id_col, text_col, n=n,
+                            threshold=jaccard_threshold)
+        .select(F.col("doc_b").alias(id_col)).distinct()
+    )
+    return uniq.join(losers, id_col, "left_anti")

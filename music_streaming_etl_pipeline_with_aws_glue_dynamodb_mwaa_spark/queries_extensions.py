@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, sessions, similarity, text
+from .operators import corpus, dedup, multimodal, sessions, similarity, text
 from .queries_reference import register
 from .sources import catalog
 
@@ -292,6 +292,56 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     return multimodal.media_byte_stats(media)
+
+
+# --------------------------------------------------------------------------
+# E1+E3 composition — the end-to-end corpus build (quality gate → exact
+# dedup → near-dup pruning), one declarative plan.
+# --------------------------------------------------------------------------
+
+@register("corpus_build", """
+    WITH quality AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                    t -> length(t)), 'sum') AS DOUBLE)
+                   / len(string_split(text, ' '))                 AS mean_token_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','an','and','or','of','to','in',
+                                        'is','it','that','for','on','with','as',
+                                        'at','by','this'], t))) AS DOUBLE)
+                   / len(string_split(text, ' '))                 AS stopword_ratio
+        FROM documents)
+      WHERE n_tokens >= 20 AND n_tokens <= 10000
+        AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+        AND stopword_ratio > 0.0
+    ),
+    uniq AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents d JOIN quality USING (doc_id))
+      WHERE rn = 1
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS s
+      FROM uniq),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    losers AS (
+      SELECT DISTINCT doc_b FROM common
+      JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8)
+    SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+""")
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.build_corpus(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
