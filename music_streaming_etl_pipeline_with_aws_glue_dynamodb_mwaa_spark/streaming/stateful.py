@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: per-user closed-session emission via
+``applyInPandasWithState`` (SURVEY.md §2.9 extension surface).
+
+``session_window`` covers windowed session AGGREGATES, but cannot express
+cross-batch custom state like "monotone per-user session indices, emit a
+session the moment a later event proves it closed". This operator keeps
+(session_idx, n_events, start, last) per user in the state store; each
+micro-batch folds its events in event-time order, emitting every session that
+the arriving events close. The still-open tail session stays in state across
+micro-batches (and restarts, via the checkpoint).
+
+Batch equivalence: emitted rows are exactly ``operators.sessions.
+session_stats`` rows for sessions whose successor event has arrived —
+asserted in tests/test_streaming.py.
+
+Scale: state is O(1) per active user (4 numbers), the shuffle is the same
+user-hash partition as the batch operator, and Arrow batches events per
+group — no per-row Python round trips.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def closed_sessions(events: DataFrame, *, gap_seconds: int,
+                    user_col: str = "user_id",
+                    ts_col: str = "ts") -> DataFrame:
+    """Append-mode stream of CLOSED sessions:
+    (user, session_idx, n_events, session_start, session_end, duration_secs).
+
+    Second-granularity epoch math, like the batch operator. The final session
+    of a user is never emitted (nothing can prove it closed) — callers
+    wanting eventual closure add an event-time timeout policy.
+    """
+    out_schema = (f"{user_col} string, session_idx long, n_events long, "
+                  "session_start timestamp, session_end timestamp, "
+                  "duration_secs long")
+    state_schema = "session_idx long, n_events long, start long, last long"
+
+    def fold(key, pdfs: Iterable[pd.DataFrame],
+             state: GroupState) -> Iterable[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            idx, n, start, last = state.get
+        else:
+            idx, n, start, last = 0, 0, None, None
+        stamps: list[int] = []
+        for pdf in pdfs:
+            stamps.extend(int(t.timestamp()) for t in pdf[ts_col])
+        stamps.sort()
+        closed: list[tuple] = []
+        for s in stamps:
+            if last is not None and s - last > gap_seconds:
+                closed.append((user, idx, n, start, last, last - start))
+                idx, n, start = idx + 1, 0, s
+            if start is None:
+                start = s
+            n, last = n + 1, s
+        state.update((idx, n, start, last))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[user_col, "session_idx", "n_events",
+                                 "_start", "_end", "duration_secs"]
+            ).assign(
+                session_start=lambda d: pd.to_datetime(d["_start"], unit="s"),
+                session_end=lambda d: pd.to_datetime(d["_end"], unit="s"),
+            )[[user_col, "session_idx", "n_events", "session_start",
+               "session_end", "duration_secs"]]
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

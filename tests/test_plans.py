@@ -66,3 +66,32 @@ def test_ann_query_set_is_broadcast(spark):
     # extension queries register into the shared registry in queries_reference
     plan = _executed(q("ann_cosine_topk")(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_jaccard_candidates_are_equi_joins_only(spark):
+    """Near-dup candidate generation must never degrade to a cross join."""
+    plan = _executed(q("neardup_jaccard_pairs")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_shuffle_two_windows(spark):
+    """lag + running-sum share one (user) partitioning: the exchange must be
+    planned once, both Window passes downstream of it."""
+    plan = _executed(q("sessionize_events")(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_corpus_build_no_cartesian(spark):
+    plan = _executed(q("corpus_build")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_embedding_runs_grouped_pandas(spark):
+    """The blocked all-pairs path must be a grouped-map pandas exec over an
+    equi-join replication, not a cross join of vectors."""
+    plan = _executed(q("neardup_embedding_pairs_blocked")(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan

@@ -68,3 +68,38 @@ def test_session_window_stats_matches_sessionize(spark):
     b = {(r["user_id"], str(r["session_start"])): (r["n_events"], r["duration_secs"])
          for r in sessions.session_window_stats(ev, gap_seconds=3600).collect()}
     assert a == b
+
+
+def _reference_sessionize(rows, gap):
+    """Pure-Python oracle: rows = [(event_id, user_id, secs)]."""
+    out = {}
+    by_user = {}
+    for eid, u, s in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        by_user.setdefault(u, []).append((eid, s))
+    for u, evs in by_user.items():
+        idx, prev = 0, None
+        for eid, s in evs:
+            if prev is not None and s - prev > gap:
+                idx += 1
+            out[eid] = (u, idx)
+            prev = s
+    return out
+
+
+def test_sessionize_property_random_gaps(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 4), st.integers(0, 10**5)),
+        min_size=1, max_size=40, unique_by=lambda r: r[0]),
+        gap=st.integers(1, 10**4))
+    def prop(rows, gap):
+        got = {r["event_id"]: (r["user_id"], r["session_idx"])
+               for r in sessions.sessionize(
+                   _events(spark, rows), gap_seconds=gap).collect()}
+        assert got == _reference_sessionize(rows, gap)
+
+    prop()

@@ -124,3 +124,36 @@ def test_streaming_session_window_stateful(spark, tmp_path):
     expect = {(r["user_id"], str(r["window_start"])): r["n_events"]
               for r in batch.collect()}
     assert latest == expect and len(expect) == 2
+
+
+def test_stateful_closed_sessions_across_batches(spark, tmp_path):
+    """applyInPandasWithState: session state must survive micro-batch
+    boundaries; a session is emitted exactly when a later event closes it."""
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.streaming import stateful
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 1: an open session for u1 (2 events), one for u2
+    _write(str(src), "a.csv",
+           "user_id,ts\nu1,2024-01-01T10:00:00\nu1,2024-01-01T10:10:00\n"
+           "u2,2024-01-01T09:00:00\n", 1000)
+    # batch 2: u1 event past the gap -> closes u1 session 0; u2 stays open
+    _write(str(src), "b.csv", "user_id,ts\nu1,2024-01-01T20:00:00\n", 2000)
+
+    stream = (spark.readStream.schema("user_id string, ts timestamp")
+              .option("header", True).option("maxFilesPerTrigger", 1)
+              .option("latestFirst", False).csv(str(src)))
+    q = (stateful.closed_sessions(stream, gap_seconds=3600)
+         .writeStream.format("memory").queryName("closed_sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM closed_sessions").collect()
+    assert len(rows) == 1  # only u1's first session is provably closed
+    r = rows[0]
+    assert (r["user_id"], r["session_idx"], r["n_events"],
+            r["duration_secs"]) == ("u1", 0, 2, 600)
+    assert str(r["session_start"]) == "2024-01-01 10:00:00"
+    assert str(r["session_end"]) == "2024-01-01 10:10:00"
