@@ -78,6 +78,68 @@ def extract_media_features(media: DataFrame, *, fake: bool = False,
     return media.mapInPandas(fn, _FEATURES_SCHEMA)
 
 
+def resize_images(media: DataFrame, *, width: int, height: int,
+                  fake: bool = False) -> DataFrame:
+    """Image resize via ``mapInPandas`` — 1:1 rows, new dims, re-encoded
+    payload. Real path plugs a decoder into ``decode``; the ``fake`` path
+    passes payload bytes through untouched and stamps the target dims, so
+    schema/batching/partitioning are testable without PIL."""
+    out_schema = ("media_id long, kind string, payload binary, mime string, "
+                  "width int, height int")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                    decode(bytes(payload or b""), kind)   # raises: no decoder here
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": pdf["payload"],
+                "mime": pdf["mime"],
+                "width": np.full(len(pdf), width, dtype=np.int32),
+                "height": np.full(len(pdf), height, dtype=np.int32),
+            })
+
+    return media.mapInPandas(fn, out_schema)
+
+
+def sample_frames(media: DataFrame, *, frame_interval_ms: int,
+                  fake: bool = False) -> DataFrame:
+    """Video/audio frame sampling via ``mapInPandas`` — the 1:N exploding
+    UDF shape (one payload row → one row per sampled timestamp, from
+    ``duration_ms`` metadata; rows without a duration yield one frame at 0).
+
+    The frame-extraction itself is stubbed like ``decode``; the ``fake``
+    path emits a deterministic md5-derived pseudo-frame per timestamp. The
+    Spark-relevant parts are real: metadata-driven fan-out inside the Arrow
+    iterator, bounded memory, payloads pruned after sampling.
+    """
+    import hashlib
+
+    out_schema = "media_id long, frame_idx int, ts_ms long, frame string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, payload, kind, dur in zip(pdf["media_id"], pdf["payload"],
+                                               pdf["kind"], pdf["duration_ms"]):
+                data = bytes(payload) if payload is not None else b""
+                if not fake:
+                    decode(data, kind)                    # raises: no decoder here
+                n = 1 if pd.isna(dur) else int(dur) // frame_interval_ms + 1
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * frame_interval_ms)
+                    frames.append(hashlib.md5(
+                        data + i.to_bytes(4, "big")).hexdigest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "ts_ms": tss, "frame": frames})
+
+    return media.mapInPandas(fn, out_schema)
+
+
 def media_byte_stats(media: DataFrame, group_col: str = "kind") -> DataFrame:
     """Pure-JVM metadata pass: byte accounting per media kind without
     deserializing any payload (octet_length + md5 are native expressions)."""

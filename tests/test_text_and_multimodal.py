@@ -64,3 +64,41 @@ def test_media_byte_stats_no_payload_deserialization(spark):
     media = multimodal.media_from_documents(docs)
     r = multimodal.media_byte_stats(media).collect()[0]
     assert (r["n_items"], r["total_bytes"], r["min_bytes"], r["max_bytes"]) == (2, 7, 3, 4)
+
+
+def test_resize_images_fake_path(spark):
+    docs = spark.createDataFrame([(1, "abcd"), (2, "xy")], "doc_id long, text string")
+    media = multimodal.media_from_documents(docs)
+    out = {r["media_id"]: r for r in
+           multimodal.resize_images(media, width=64, height=48, fake=True).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (64, 48)
+    assert bytes(out[1]["payload"]) == b"abcd"  # fake path passes bytes through
+    assert set(out) == {1, 2}
+
+
+def test_sample_frames_fanout_from_duration(spark):
+    """1:N fan-out driven by duration_ms metadata: 250ms at 100ms interval →
+    frames at 0/100/200; null duration → a single frame at 0."""
+    media = spark.createDataFrame(
+        [(1, "video", b"vv", "video/mp4", None, None, 250),
+         (2, "image", b"ii", "image/png", 8, 8, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long")
+    rows = multimodal.sample_frames(media, frame_interval_ms=100, fake=True).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert sorted(by_media[1]) == [(0, 0), (1, 100), (2, 200)]
+    assert by_media[2] == [(0, 0)]
+    # frames are deterministic content-derived stand-ins
+    frames = {(r["media_id"], r["frame_idx"]): r["frame"] for r in rows}
+    assert frames[(1, 0)] == hashlib.md5(b"vv" + (0).to_bytes(4, "big")).hexdigest()
+
+
+def test_sample_frames_real_decode_is_stubbed(spark):
+    media = spark.createDataFrame(
+        [(1, "video", b"vv", "video/mp4", None, None, 100)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long")
+    with pytest.raises(Exception, match="no decoder"):
+        multimodal.sample_frames(media, frame_interval_ms=50, fake=False).collect()
