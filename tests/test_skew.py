@@ -1,0 +1,60 @@
+"""Skew-mitigation operators: salted two-phase aggregation must be exactly
+equal to the direct plan; distinct rewrite must equal countDistinct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import skew
+
+from .conftest import SF_SMOKE
+
+
+def _lineitem(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+
+
+def test_salted_agg_equals_direct(spark):
+    li = _lineitem(spark)
+    direct = {r["l_returnflag"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in
+              li.groupBy("l_returnflag").agg(
+                  F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"),
+                  F.min("l_extendedprice").alias("mn"),
+                  F.max("l_extendedprice").alias("mx")).collect()}
+    salted = {r["l_returnflag"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in
+              skew.salted_agg(li, ["l_returnflag"], {
+                  "n": ("count", F.lit(1)), "s": ("sum", "l_quantity"),
+                  "mn": ("min", "l_extendedprice"),
+                  "mx": ("max", "l_extendedprice")}, buckets=8).collect()}
+    assert set(direct) == set(salted)
+    for k in direct:
+        dn, ds, dmn, dmx = direct[k]
+        sn, ss, smn, smx = salted[k]
+        assert (dn, dmn, dmx) == (sn, smn, smx)
+        assert ds == pytest.approx(ss, rel=1e-12)  # double sum: order may differ
+
+
+def test_salted_agg_rejects_non_reaggregable(spark):
+    li = _lineitem(spark)
+    with pytest.raises(ValueError, match="not re-aggregable"):
+        skew.salted_agg(li, ["l_returnflag"], {"a": ("avg", "l_quantity")})
+
+
+def test_two_phase_count_distinct_equals_builtin(spark):
+    li = _lineitem(spark)
+    direct = {r["l_returnflag"]: r["n"] for r in
+              li.groupBy("l_returnflag").agg(
+                  F.countDistinct("l_partkey").alias("n")).collect()}
+    rewritten = {r["l_returnflag"]: r["n_distinct"] for r in
+                 skew.two_phase_count_distinct(
+                     li, ["l_returnflag"], "l_partkey").collect()}
+    assert direct == rewritten
+
+
+def test_salted_agg_is_two_exchanges(spark):
+    li = _lineitem(spark)
+    out = skew.salted_agg(li, ["l_returnflag"],
+                          {"n": ("count", F.lit(1))}, buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2  # (keys,salt) then keys — no third pass
