@@ -63,30 +63,25 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
-def _exact_jaccard_for_pairs(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+def _exact_jaccard_for_pairs(candidates: DataFrame, df: DataFrame,
+                             id_col: str, text_col: str, n: int) -> DataFrame:
     """Exact shingle-set Jaccard for an explicit (doc_a, doc_b) candidate
-    set: common-shingle counts via a candidate-restricted join, then
-    |A∪B| = |A|+|B|-common. Verification cost is O(candidate postings), not
-    O(all pairs) — shared by the prefix-filter and MinHash paths."""
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        candidates
-        .join(a, F.col("doc_a") == F.col("a._id"))
-        .join(b, (F.col("doc_b") == F.col("b._id"))
-              & (F.col("a._shingle") == F.col("b._shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
-    )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
+    set. Each side's DISTINCT shingle array joins in whole (two hash joins
+    keyed by doc id), and the overlap is one JVM ``array_intersect`` per
+    candidate row — no explode, no re-shuffle of postings, cost strictly
+    O(|candidates| · doc length). Shared by the prefix-filter and MinHash
+    paths. Docs with no shingles never appear in candidates (they have no
+    postings), so the null division can't arise for real candidates."""
+    sets = df.select(F.col(id_col).alias("_id"),
+                     shingles(text_col, n).alias("_set"))
+    a = sets.select(F.col("_id").alias("doc_a"), F.col("_set").alias("_sa"))
+    b = sets.select(F.col("_id").alias("doc_b"), F.col("_set").alias("_sb"))
+    common = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        common
-        .join(na, F.col("doc_a") == F.col("na._id"))
-        .join(nb, F.col("doc_b") == F.col("nb._id"))
+        candidates.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b",
-                (F.col("_common").cast("double")
-                 / (F.col("na._n") + F.col("nb._n") - F.col("_common")))
-                .alias("jaccard"))
+                (common.cast("double")
+                 / (F.size("_sa") + F.size("_sb") - common)).alias("jaccard"))
     )
 
 
@@ -142,7 +137,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
     )
-    return (_exact_jaccard_for_pairs(candidates, sh)
+    return (_exact_jaccard_for_pairs(candidates, df, id_col, text_col, n)
             .filter(F.col("jaccard") >= threshold))
 
 
@@ -202,8 +197,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     if verify_exact:
         # verification restricted to candidate pairs (broadcast-able at sane
         # candidate counts; at scale use a shuffle join on doc_a)
-        verified = _exact_jaccard_for_pairs(
-            candidates, _shingled(df, id_col, text_col, n))
+        verified = _exact_jaccard_for_pairs(candidates, df, id_col,
+                                            text_col, n)
     else:
         sa, sb = sig.alias("sa"), sig.alias("sb")
         agree = sum(
