@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import kpi, kv_projection, topk, validate
+from .operators import kpi, kv_projection, skew, topk, validate
 from .sources import catalog
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -279,6 +279,45 @@ def events_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-robust aggregation variants (operators.skew; SURVEY.md §7 Phase 4).
+# Same answers as the direct plans — the point is the exchange layout.
+# --------------------------------------------------------------------------
+
+@register("lineitem_agg_salted", """
+    SELECT l_returnflag,
+           count(*)                                  AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           min(l_extendedprice)                      AS min_price,
+           max(l_extendedprice)                      AS max_price
+    FROM lineitem GROUP BY 1
+""")
+def lineitem_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (hot-key spreading); integral-cast sum
+    keeps the value associative-exact for the oracle hash."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return skew.salted_agg(li, ["l_returnflag"], {
+        "n_rows": ("count", F.lit(1)),
+        "total_qty": ("sum", F.col("l_quantity").cast("long")),
+        "min_price": ("min", "l_extendedprice"),
+        "max_price": ("max", "l_extendedprice"),
+    }, buckets=16)
+
+
+@register("events_unique_users_skew_robust", """
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY 1, 2
+""")
+def events_unique_users_skew_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via the (key, value) shuffle rewrite — no
+    distinct-expand, hot keys spread by value cardinality."""
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_date"), "event_type", "user_id")
+    return skew.two_phase_count_distinct(
+        ev, ["event_date", "event_type"], "user_id")
 
 
 # --------------------------------------------------------------------------
