@@ -118,6 +118,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
     if max_shingle_df is not None:
         joinable = sh.join(docfreq.filter(F.col("_df") <= max_shingle_df)
                            .select("_shingle"), "_shingle")
+    size_pred = F.lit(True)
     if prefix_filter:
         w = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
                                               F.col("_shingle").asc())
@@ -128,12 +129,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
             .withColumn("_sz", F.count(F.lit(1)).over(wsz))
             .filter(F.col("_rn")
                     <= F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz")) + 1)
-            .select("_id", "_shingle")
+            .select("_id", "_shingle", "_sz")
+        )
+        # length-ratio filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| (|∩|≤|A|, |∪|≥|B|),
+        # symmetric — pairs with incompatible set sizes never become
+        # candidates. 1e-9 slack keeps the float product on the safe side.
+        size_pred = (
+            (F.col("a._sz").cast("double")
+             >= F.lit(threshold) * F.col("b._sz") - 1e-9)
+            & (F.col("b._sz").cast("double")
+               >= F.lit(threshold) * F.col("a._sz") - 1e-9)
         )
     a, b = joinable.alias("a"), joinable.alias("b")
     candidates = (
         a.join(b, (F.col("a._shingle") == F.col("b._shingle"))
-               & (F.col("a._id") < F.col("b._id")))
+               & (F.col("a._id") < F.col("b._id")) & size_pred)
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
     )
