@@ -276,6 +276,27 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprints(_docs(spark, sf_dir))
 
 
+@register("winnow_fingerprints", """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(hashes) - 4 + 2),
+               j -> list_aggregate(list_slice(hashes, j, j + 3), 'min'))))
+               AS fingerprint
+    FROM (
+      SELECT doc_id, list_transform(
+                 range(1, length(text) - 8 + 2),
+                 i -> list_reduce(
+                     list_transform(list_slice(string_split(text, ''), i, i + 7),
+                                    c -> CAST(ascii(c) AS BIGINT)),
+                     (acc, x) -> (acc * 257 + x) % 2147483647)) AS hashes
+      FROM documents)
+""")
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (k=8, w=4) with a portable polynomial rolling hash — value-
+    exact across engines because it is pure integer arithmetic (DuckDB's
+    list_reduce seeds with the first element ≡ Spark's fold from 0)."""
+    return text.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
 # --------------------------------------------------------------------------
 # E4 — multimodal metadata (payload-opaque byte accounting; decode is a
 # stubbed mapInPandas pipeline, exercised in tests/test_multimodal.py)

@@ -102,3 +102,27 @@ def test_sample_frames_real_decode_is_stubbed(spark):
         "width int, height int, duration_ms long")
     with pytest.raises(Exception, match="no decoder"):
         multimodal.sample_frames(media, frame_interval_ms=50, fake=False).collect()
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    (= 11 at k=8,w=4) share at least one fingerprint; disjoint-alphabet
+    docs share none."""
+    shared = "commonrunoftext"           # 15 chars >= 11
+    df = spark.createDataFrame(
+        [(1, "aaaa " + shared + " bbbb"),
+         (2, "cccc " + shared + " dddd"),
+         (3, "zzzzyyyyxxxxwwwwvvvv")],
+        "doc_id long, text string")
+    fps = {}
+    for r in text.winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnowing_short_doc_yields_no_rows(spark):
+    df = spark.createDataFrame([(1, "tiny"), (2, "x" * 12)],
+                               "doc_id long, text string")
+    rows = text.winnow_fingerprints(df).collect()
+    assert {r["doc_id"] for r in rows} == {2}  # doc 1 shorter than k
