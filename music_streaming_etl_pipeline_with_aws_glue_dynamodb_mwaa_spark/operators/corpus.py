@@ -22,7 +22,8 @@ from .text import quality_score
 def build_corpus(docs: DataFrame, *, id_col: str = "doc_id",
                  text_col: str = "text", min_tokens: int = 20,
                  max_tokens: int = 10_000, n: int = 3,
-                 jaccard_threshold: float = 0.8) -> DataFrame:
+                 jaccard_threshold: float = 0.8,
+                 materialize_fanout: bool = True) -> DataFrame:
     """Surviving documents after the standard triage chain.
 
     1. quality gate (Gopher/C4-style signal window — operators.text),
@@ -34,11 +35,24 @@ def build_corpus(docs: DataFrame, *, id_col: str = "doc_id",
        greedy rule is single-pass and SQL-mirrorable).
 
     Returns the surviving rows with their full original columns.
+
+    ``materialize_fanout`` (default on): the deduped frame ``uniq`` fans out
+    to FIVE consumers — the Jaccard join's two postings sides + docfreq, the
+    exact verification re-shingling, and the final anti-join. Without a
+    materialization barrier Catalyst re-executes the gate→join→window-dedup
+    subtree (which contains a shuffle) once per consumer. ``localCheckpoint
+    (eager=False)`` computes it exactly once on first use and serves the
+    other consumers from executor-local blocks — the blocks are freed by the
+    ContextCleaner when the plan is GC'd, so callers need no unpersist hook.
+    At cluster scale prefer writing ``uniq`` to a lake checkpoint instead;
+    the flag exists so tests can pin result-equality of both paths.
     """
     good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
                          max_tokens=max_tokens).filter("keep").select(id_col)
     kept = docs.join(good, id_col)
     uniq = dedup_exact(kept, [text_col], [id_col])
+    if materialize_fanout:
+        uniq = uniq.localCheckpoint(eager=False)
     losers = (
         ngram_jaccard_pairs(uniq, id_col, text_col, n=n,
                             threshold=jaccard_threshold)

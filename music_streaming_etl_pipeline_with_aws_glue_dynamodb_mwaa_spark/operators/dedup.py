@@ -36,15 +36,32 @@ from ..functions.text_funcs import shingles, tokens
 # Exact dedup
 # --------------------------------------------------------------------------
 
-def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str], *,
+                fingerprint_strings: bool = True) -> DataFrame:
     """Keep exactly one row per key group, deterministically (first under
     ``order_by`` ascending). ``dropDuplicates`` keeps an *arbitrary* row —
     unacceptable for reproducible corpus builds.
 
     One hash-shuffle on ``keys``; Spark ≥3.5 turns the rank-filter into
     WindowGroupLimit (partial top-1 before the shuffle).
+
+    ``fingerprint_strings`` (default on): string-typed keys are replaced by
+    their ``md5`` fingerprint in the window's partition spec — the row
+    payload is untouched. Hash-partitioning and sort-comparing multi-KB
+    document text inflates exchange bytes and comparator cost for no
+    benefit; a 128-bit fingerprint is the only way this survives 100 TB
+    documents. NULL keys group as NULL either way (md5(NULL)=NULL), and an
+    md5 collision merging two distinct texts is the documented ~2^-64 trade.
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    dtypes = dict(df.dtypes)
+
+    def _wkey(c: str):
+        if fingerprint_strings and dtypes.get(c) == "string":
+            return F.md5(F.col(c))
+        return F.col(c)
+
+    w = Window.partitionBy(*[_wkey(c) for c in keys]).orderBy(
+        *[F.col(c).asc() for c in order_by])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

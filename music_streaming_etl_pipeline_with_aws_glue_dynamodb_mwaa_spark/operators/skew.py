@@ -72,8 +72,14 @@ def two_phase_count_distinct(df: DataFrame, keys: list[str], value_col: str,
     a hot group serializes on one reducer. Shuffling on (keys, value)
     instead spreads a hot KEY across as many reducers as it has distinct
     VALUES; the second shuffle only carries deduplicated rows.
+
+    Exact ``count(DISTINCT value_col)`` semantics for nullable values: the
+    second phase counts the VALUE column (``count(col)`` skips NULLs), not
+    ``count(*)`` — so a NULL never counts as a distinct value, while groups
+    whose values are all NULL still surface with a 0 (filtering NULL rows
+    out up front would drop those groups entirely).
     """
     return (
         df.select(*keys, value_col).distinct()
-        .groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
+        .groupBy(*keys).agg(F.count(F.col(value_col)).alias(out_col))
     )

@@ -234,10 +234,17 @@ def kv_top_genre_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE listen_date = (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem)
 """)
 def latest_day_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kpis = daily_genre_kpis(spark, sf_dir)
-    latest = kpis.agg(F.max("listen_date").alias("_latest"))
-    return kpis.join(F.broadcast(latest),
-                     kpis["listen_date"] == latest["_latest"]).drop("_latest")
+    """Max date comes from the RAW fact's date column (a column-pruned scan
+    + max — metadata-only on a date-partitioned lake), and it filters the
+    fact BEFORE the join/aggregate, so the KPI chain runs over one day's
+    rows instead of aggregating everything twice and joining the results."""
+    streams, songs = _streams_songs(spark, sf_dir)
+    dated = kpi.with_listen_date(streams)
+    latest = dated.agg(F.max("listen_date").alias("_latest"))
+    on_latest = dated.join(F.broadcast(latest),
+                           dated["listen_date"] == F.col("_latest")
+                           ).drop("_latest")
+    return kpi.daily_genre_kpis(kpi.join_streams_songs(on_latest, songs))
 
 
 # --------------------------------------------------------------------------

@@ -28,3 +28,11 @@ def test_corpus_build_invariants(spark):
     assert pairs.count() == 0
     # 4. schema is the full original row
     assert out.columns == docs.columns
+
+
+def test_corpus_build_fanout_materialization_is_result_neutral(spark):
+    docs = _docs(spark)
+    fast = corpus.build_corpus(docs)
+    plain = corpus.build_corpus(docs, materialize_fanout=False)
+    assert sorted(r["doc_id"] for r in fast.collect()) == \
+           sorted(r["doc_id"] for r in plain.collect())

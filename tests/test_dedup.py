@@ -136,3 +136,26 @@ def test_prefix_filter_matches_full_join(spark):
                 for r in dedup.ngram_jaccard_pairs(
                     docs, "doc_id", "text", n=3, threshold=t).collect()}
         assert full == pref and len(full) > 0
+
+
+def test_dedup_exact_fingerprint_key_matches_raw_key(spark):
+    docs = _docs(spark)
+    fp = dedup.dedup_exact(docs, ["text"], ["doc_id"])
+    raw = dedup.dedup_exact(docs, ["text"], ["doc_id"], fingerprint_strings=False)
+    assert {r["doc_id"] for r in fp.collect()} == {r["doc_id"] for r in raw.collect()}
+    # NULL keys group together under md5 too (md5(NULL) = NULL)
+    df = spark.createDataFrame([(2, None), (1, None), (5, "x")],
+                               "doc_id long, text string")
+    out = dedup.dedup_exact(df, ["text"], ["doc_id"]).collect()
+    assert {r["doc_id"] for r in out} == {1, 5}
+
+
+def test_dedup_exact_shuffles_on_fingerprint_not_text(spark):
+    plan = dedup.dedup_exact(_docs(spark), ["text"], ["doc_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # md5 is projected below the exchange (computed once, pre-shuffle) and
+    # the hash partitioning keys on that projection — not on raw text
+    assert "md5(cast(text" in plan
+    import re
+    part_keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert part_keys and all(k.startswith("_w") for k in part_keys)

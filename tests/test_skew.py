@@ -58,3 +58,16 @@ def test_salted_agg_is_two_exchanges(spark):
                           {"n": ("count", F.lit(1))}, buckets=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2  # (keys,salt) then keys — no third pass
+
+
+def test_two_phase_count_distinct_ignores_nulls(spark):
+    # count(DISTINCT v) never counts NULL; the rewrite must match.
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", "u1"), ("a", None), ("b", None), ("c", "u2")],
+        "k string, v string")
+    direct = {r["k"]: r["n"] for r in
+              df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    rewritten = {r["k"]: r["n_distinct"] for r in
+                 skew.two_phase_count_distinct(df, ["k"], "v").collect()}
+    assert direct == {"a": 1, "b": 0, "c": 1}
+    assert rewritten == direct  # including the all-NULL group at 0
