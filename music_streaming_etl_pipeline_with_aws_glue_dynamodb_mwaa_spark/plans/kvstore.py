@@ -81,6 +81,19 @@ class KVStore:
                 (table, hk, rk, json.dumps(item, default=str)),
             )
 
+    def put_item_if_absent(self, table: str, item: dict) -> bool:
+        """Conditional put — DynamoDB's ``attribute_not_exists(pk)`` guard.
+        One atomic statement (INSERT OR IGNORE + rowcount), so two racing
+        writers can never both win: exactly one sees True."""
+        hk_col, rk_col = self.table_keys(table)
+        hk, rk = str(item[hk_col]), str(item[rk_col]) if rk_col else ""
+        with _connect(self.path) as con:
+            cur = con.execute(
+                "INSERT OR IGNORE INTO kv_items(tbl, hk, rk, item) VALUES (?,?,?,?)",
+                (table, hk, rk, json.dumps(item, default=str)),
+            )
+            return cur.rowcount == 1
+
     def get_item(self, table: str, hash_value, range_value=None) -> dict | None:
         with _connect(self.path) as con:
             row = con.execute(
@@ -90,14 +103,23 @@ class KVStore:
         return json.loads(row[0]) if row else None
 
     def update_item(self, table: str, hash_value, updates: dict, range_value=None) -> None:
-        """Read-modify-write upsert (ledger status transitions,
-        REF/dags/music_etl_pipeline.py:47-56)."""
+        """Atomic merge-upsert (ledger status transitions,
+        REF/dags/music_etl_pipeline.py:47-56): one ``ON CONFLICT DO UPDATE``
+        with ``json_patch`` — concurrent updaters can interleave but never
+        lose each other's disjoint fields (a read-modify-write would)."""
         hk_col, rk_col = self.table_keys(table)
-        item = self.get_item(table, hash_value, range_value) or {hk_col: str(hash_value)}
+        hk = str(hash_value)
+        rk = str(range_value) if (rk_col and range_value is not None) else ""
+        patch = dict(updates)
+        patch[hk_col] = hk
         if rk_col and range_value is not None:
-            item[rk_col] = str(range_value)
-        item.update(updates)
-        self.put_item(table, item)
+            patch[rk_col] = rk
+        with _connect(self.path) as con:
+            con.execute(
+                "INSERT INTO kv_items(tbl, hk, rk, item) VALUES (?,?,?,json(?)) "
+                "ON CONFLICT(tbl, hk, rk) DO UPDATE SET item=json_patch(item, excluded.item)",
+                (table, hk, rk, json.dumps(patch, default=str)),
+            )
 
     def scan(self, table: str) -> list[dict]:
         with _connect(self.path) as con:

@@ -23,6 +23,7 @@ LEDGER_TABLE = "ProcessedStreams"
 
 STATUS_PROCESSING = "processing"
 STATUS_PROCESSED = "processed"
+STATUS_REJECTED = "rejected"    # validation routing said stop (plans.pipeline)
 
 
 class Ledger:
@@ -39,18 +40,24 @@ class Ledger:
 
     def try_claim(self, filename: str) -> bool:
         """The gate (REF/dags/music_etl_pipeline.py:34-45): False if the file
-        was ever seen (processing or processed), else claim it."""
-        if self.is_processed(filename):
-            return False
-        self.store.put_item(LEDGER_TABLE, {
+        was ever seen (processing or processed), else claim it. One atomic
+        conditional put — two concurrent drivers cannot both claim (the
+        reference's get-then-put has exactly that race)."""
+        return self.store.put_item_if_absent(LEDGER_TABLE, {
             "filename": filename, "status": STATUS_PROCESSING, "timestamp": self._now(),
         })
-        return True
 
     def mark_processed(self, filename: str) -> None:
         """Status transition on success (REF/dags/music_etl_pipeline.py:47-56)."""
         self.store.update_item(LEDGER_TABLE, filename, {
             "status": STATUS_PROCESSED, "timestamp": self._now(),
+        })
+
+    def mark_rejected(self, filename: str) -> None:
+        """Terminal state when validation routing stops the run — the file is
+        consumed (never re-claimed) but recorded as rejected, not processed."""
+        self.store.update_item(LEDGER_TABLE, filename, {
+            "status": STATUS_REJECTED, "timestamp": self._now(),
         })
 
     def entries(self) -> list[dict]:

@@ -20,19 +20,28 @@ Deliberate divergences from the reference (SURVEY.md §7 risk 4):
 - the joined frame is persisted across its 3-way fan-out — the reference
   recomputes scan+join per output (``transform.py:53-55``);
 - validation and KV load are distributed Spark jobs, not single-process
-  pandas/driver loops.
+  pandas/driver loops;
+- PER-FILE aggregation granularity, faithfully kept: transform/load_kv
+  aggregate only the newly validated file, while ``validated/streams``
+  accumulates. If two stream files share a listen_date, that date's
+  processed partition and KV rows reflect the LAST file's aggregates only
+  (the reference behaves identically — each Glue run reads one raw file,
+  ``transform.py:16``, and load_dynamo upserts by key). Cumulative
+  recomputation from the validated lake is one line
+  (``spark.read.parquet(validated/streams)`` as the transform input) but
+  would diverge from the reference's observable per-run outputs.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators import kpi, kv_projection, topk, validate
-from ..schemas import REQUIRED_COLUMNS, SONGS, STREAMS
+from ..schemas import REQUIRED_COLUMNS, SONGS, STREAMS, USERS
 from ..sources import io
 from .kvstore import KVStore, write_dataframe
 from .ledger import Ledger
@@ -41,6 +50,27 @@ KPI_TABLE = "DailyGenreKPIs"
 TOP_SONGS_TABLE = "TopSongsPerGenre"
 TOP_GENRES_TABLE = "TopGenresPerDay"
 
+# Validation-routing hook (the reference's ``branch_on_validation`` /
+# ``route_on_validation`` DAG task, REF/dags/music_etl_pipeline.py:65-67,
+# 105-110). The reference's callable is a stub that ALWAYS returns
+# "transform_data" (SURVEY.md flags it as a branch that can never branch);
+# here the decision point is real: the hook receives per-table
+# (good_rows, bad_rows) counts and returns True to continue into transform
+# or False to reject the batch (ledger → ``rejected``, raw file retained
+# as evidence, downstream stages skipped).
+ValidationRouter = Callable[[dict[str, tuple[int, int]]], bool]
+
+
+def route_always_continue(counts: dict[str, tuple[int, int]]) -> bool:
+    """Default router — the reference's observable behavior (its branch task
+    unconditionally returns "transform_data")."""
+    return True
+
+
+def route_reject_if_any_bad(counts: dict[str, tuple[int, int]]) -> bool:
+    """Strict router: any quarantined row anywhere stops the batch."""
+    return all(bad == 0 for _, bad in counts.values())
+
 
 @dataclass
 class PipelineConfig:
@@ -48,8 +78,13 @@ class PipelineConfig:
     kv_path: str | None = None         # sqlite KV store (default under base)
     top_songs_k: int = 3
     top_genres_k: int = 5
+    # Validation branch (REF DAG's branch_on_validation). Default mirrors the
+    # reference's always-continue stub; swap in route_reject_if_any_bad (or a
+    # custom policy) to make the branch actually route.
+    on_validation_result: ValidationRouter = field(default=route_always_continue)
     raw_streams: str = field(init=False)
     raw_songs: str = field(init=False)
+    raw_users: str = field(init=False)
     validated_dir: str = field(init=False)
     processed_dir: str = field(init=False)
     archive_dir: str = field(init=False)
@@ -58,6 +93,7 @@ class PipelineConfig:
         # Mirrors the reference's S3 layout (README.md:15-36).
         self.raw_streams = os.path.join(self.base_dir, "raw", "streams")
         self.raw_songs = os.path.join(self.base_dir, "raw", "songs")
+        self.raw_users = os.path.join(self.base_dir, "raw", "users")
         self.validated_dir = os.path.join(self.base_dir, "validated")
         self.processed_dir = os.path.join(self.base_dir, "processed")
         self.archive_dir = os.path.join(self.base_dir, "archive", "streams")
@@ -91,14 +127,46 @@ class Pipeline:
         return sorted(paths, key=lambda p: (os.path.getmtime(p), p))
 
     # -- stage 1: validate --------------------------------------------------
-    def validate_streams(self, path: str) -> DataFrame:
-        raw = io.read_csv(self.spark, path, STREAMS)
-        good, bad = validate.split_valid_invalid(raw, REQUIRED_COLUMNS["streams"])
+    def _validate_table(self, name: str, path: str, schema, *,
+                        mode: str) -> tuple[DataFrame, int]:
+        """Generic per-table validation (REF/glue_jobs/validate.py:34-47):
+        required-columns assertion, null/corrupt split, validated parquet +
+        quarantine sinks. ``mode="overwrite"`` for the dimension snapshots
+        (the reference rewrites ``clean_users.parquet``/``clean_songs.parquet``
+        each run, :65-66); ``"append"`` for the accumulating streams lake.
+        Returns (good_frame, bad_count) — bad_count feeds the routing hook."""
+        raw = io.read_csv(self.spark, path, schema)
+        good, bad = validate.split_valid_invalid(raw, REQUIRED_COLUMNS[name])
         io.write_parquet(good.drop(io.CORRUPT_COL),
-                         os.path.join(self.cfg.validated_dir, "streams"),
-                         mode="append")
-        io.write_quarantine(bad, self.cfg.base_dir, "streams")
-        return good.drop(io.CORRUPT_COL)
+                         os.path.join(self.cfg.validated_dir, name), mode=mode)
+        n_bad = bad.count()
+        if n_bad:  # the reference also writes bad-records only when non-empty (:43-45)
+            io.write_quarantine(bad, self.cfg.base_dir, name, mode=mode)
+        return good.drop(io.CORRUPT_COL), n_bad
+
+    def validate_streams(self, path: str) -> DataFrame:
+        good, _ = self._validate_table("streams", path, STREAMS, mode="append")
+        return good
+
+    def validate_batch(self, stream_path: str) -> tuple[dict[str, DataFrame],
+                                                        dict[str, tuple[int, int]]]:
+        """The reference's validate job validates ALL THREE tables per run
+        (REF/glue_jobs/validate.py:53-67), not just the new stream file.
+        Users are validated when the raw prefix exists (the testdata lake may
+        omit them); streams append, dimensions overwrite. Returns the good
+        frames plus per-table (good, bad) counts for the routing branch."""
+        frames: dict[str, DataFrame] = {}
+        counts: dict[str, tuple[int, int]] = {}
+        plan = [("streams", stream_path, STREAMS, "append"),
+                ("songs", self.cfg.raw_songs, SONGS, "overwrite")]
+        if os.path.isdir(self.cfg.raw_users) and os.listdir(self.cfg.raw_users):
+            plan.append(("users", self.cfg.raw_users, USERS, "overwrite"))
+        for name, path, schema, mode in plan:
+            good, n_bad = self._validate_table(name, path, schema, mode=mode)
+            good = good.persist()  # counted now, re-read by transform
+            frames[name] = good
+            counts[name] = (good.count(), n_bad)
+        return frames, counts
 
     # -- stage 2: transform ---------------------------------------------------
     def transform(self, streams: DataFrame, songs: DataFrame) -> dict[str, DataFrame]:
@@ -129,16 +197,24 @@ class Pipeline:
     # -- full run -------------------------------------------------------------
     def run_once(self) -> str | None:
         """Process the single oldest unprocessed file (the reference's
-        one-file-per-DAG-run granularity); None if nothing to do."""
+        one-file-per-DAG-run granularity); None if nothing to do.
+
+        A batch the router rejects is consumed (ledger → ``rejected``, never
+        re-claimed) but NOT archived — the raw file stays as evidence — and
+        the loop moves on to the next candidate."""
         for path in self.discover_new_files():
             fname = os.path.basename(path)
             if not self.ledger.try_claim(fname):
                 continue
-            streams = self.validate_streams(path)
-            songs = io.read_csv(self.spark, self.cfg.raw_songs, SONGS,
-                                keep_corrupt=False).filter(
-                F.col("track_id").isNotNull())
-            outputs = self.transform(streams, songs)
+            frames, counts = self.validate_batch(path)
+            try:
+                if not self.cfg.on_validation_result(counts):
+                    self.ledger.mark_rejected(fname)
+                    continue
+                outputs = self.transform(frames["streams"], frames["songs"])
+            finally:
+                for df in frames.values():
+                    df.unpersist()
             self.load_kv(outputs)
             self.ledger.mark_processed(fname)
             io.archive_files([path], self.cfg.archive_dir)

@@ -15,13 +15,16 @@ tools/oracle_check.py and .claude/skills/verify/SKILL.md):
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators import kpi, kv_projection, skew, topk, validate
-from .sources import catalog
+from .sources import catalog, io
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -245,6 +248,88 @@ def latest_day_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dated["listen_date"] == F.col("_latest")
                            ).drop("_latest")
     return kpi.daily_genre_kpis(kpi.join_streams_songs(on_latest, songs))
+
+
+# --------------------------------------------------------------------------
+# CSV scan (S1/S2 — REF/glue_jobs/validate.py:19-23, transform.py:16) +
+# corrupt-record routing (PERMISSIVE, sources.io.read_csv). The testdata is
+# parquet, so the queries materialize a deterministic CSV fixture from the
+# documents table once per sf (Spark CSV writer for the clean rows + two
+# hand-planted malformed lines), then drive the real scan path over it.
+# --------------------------------------------------------------------------
+
+_CSV_DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+# one fails long-coercion on doc_id, one is short a few columns — the two
+# malformed shapes PERMISSIVE must route to _corrupt_record (probed: both do)
+_CSV_BAD_LINES = ["not_a_number,en,web,12,hello world", "123,en"]
+
+_CSV_FIXTURE_VERSION = "v1"
+
+
+def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the CSV fixture for ``sf_dir`` (idempotent, marker-gated).
+
+    Layout: ``<fix>/good/part-*.csv`` (Spark-written, header per file) +
+    ``<fix>/bad/planted.csv`` (header + the malformed lines). Returned as a
+    glob so io.read_csv scans both in one pass. Integer/string columns only —
+    CSV round-trips them bit-exactly (no float/timestamp formatting trap).
+    """
+    fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
+                       f"csv_docs_{_CSV_FIXTURE_VERSION}",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    marker = os.path.join(fix, "_READY")
+    if not os.path.exists(marker):
+        docs = catalog.load_table(spark, sf_dir, "documents")
+        io.write_csv(docs.select(*[f.name for f in _CSV_DOCS_SCHEMA.fields]),
+                     os.path.join(fix, "good"))
+        os.makedirs(os.path.join(fix, "bad"), exist_ok=True)
+        with open(os.path.join(fix, "bad", "planted.csv"), "w") as fh:
+            fh.write("doc_id,lang,source,n_chars,text\n")
+            fh.writelines(ln + "\n" for ln in _CSV_BAD_LINES)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return os.path.join(fix, "*", "*.csv")
+
+
+@register("csv_scan_roundtrip", """
+    SELECT doc_id, lang, source, n_chars, text FROM documents
+""")
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 clean path: documents → CSV → PERMISSIVE scan → validation
+    split; the good side must equal the original projection bit-for-bit
+    (the planted malformed lines route to the bad side)."""
+    raw = io.read_csv(spark, _csv_fixture(spark, sf_dir), _CSV_DOCS_SCHEMA)
+    good, _ = validate.split_valid_invalid(raw, ["doc_id", "text"])
+    return good.drop(io.CORRUPT_COL)
+
+
+@register("csv_scan_corrupt_routing", """
+    SELECT * FROM (VALUES
+        ('not_a_number,en,web,12,hello world',
+         CAST(NULL AS BIGINT), 'en', 'web', CAST(12 AS BIGINT), 'hello world'),
+        ('123,en',
+         CAST(123 AS BIGINT), 'en', CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)))
+        AS t(_corrupt_record, doc_id, lang, source, n_chars, text)
+""")
+def csv_scan_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-side of the CSV scan: the planted malformed lines surface with
+    their raw text in ``_corrupt_record`` plus whatever fields PERMISSIVE
+    salvaged (failed long-coercion → null doc_id; short row → parsed
+    prefix). The FULL row is projected deliberately: CSV column pruning
+    only flags under-length rows when every schema column is parsed, and
+    Spark disallows corrupt-only projections from raw CSV anyway."""
+    raw = io.read_csv(spark, _csv_fixture(spark, sf_dir), _CSV_DOCS_SCHEMA)
+    _, bad = validate.split_valid_invalid(raw, ["doc_id", "text"])
+    return bad.select(io.CORRUPT_COL, "doc_id", "lang", "source",
+                      "n_chars", "text")
 
 
 # --------------------------------------------------------------------------

@@ -50,6 +50,14 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType, *,
     )
 
 
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite",
+              header: bool = True) -> None:
+    """Header CSV sink — the write side of S1/S2 (the reference only ever
+    CONSUMES CSV; emitting it closes the round-trip so the scan path is
+    oracle-checkable: queries_reference.csv_scan_roundtrip)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
@@ -66,13 +74,15 @@ def write_parquet(df: DataFrame, path: str, *, partition_by: list[str] | None = 
     w.parquet(path)
 
 
-def write_quarantine(bad: DataFrame, base_dir: str, name: str) -> str:
-    """Quarantine sink (S9): ``<base>/bad-records/<name>/``, append-mode —
-    each batch adds its bad rows; a clean batch must not erase prior
-    evidence (the reference writes one file per job run, so overwrite vs
-    append never surfaces there)."""
+def write_quarantine(bad: DataFrame, base_dir: str, name: str, *,
+                     mode: str = "append") -> str:
+    """Quarantine sink (S9): ``<base>/bad-records/<name>/``. Append for
+    accumulating facts — each batch adds its bad rows and a clean batch must
+    not erase prior evidence; overwrite for per-run dimension snapshots,
+    matching the reference's fixed-key ``bad_<name>.parquet`` rewrite
+    (``REF/glue_jobs/validate.py:45``)."""
     path = os.path.join(base_dir, "bad-records", name)
-    write_parquet(bad, path, mode="append")
+    write_parquet(bad, path, mode=mode)
     return path
 
 

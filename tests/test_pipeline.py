@@ -12,6 +12,7 @@ from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.plans.pipeli
     TOP_SONGS_TABLE,
     Pipeline,
     PipelineConfig,
+    route_reject_if_any_bad,
 )
 
 SONGS_CSV = (
@@ -19,6 +20,13 @@ SONGS_CSV = (
     "t1,Alpha,rock,200000\n"
     "t2,Beta,rock,100000\n"
     "t3,Gamma,jazz,300000\n"
+)
+
+USERS_CSV = (
+    "user_id,user_name,user_age,user_country,created_at\n"
+    "u1,Ada,30,DE,2023-01-01T00:00:00\n"
+    "u2,Ben,25,US,2023-02-01T00:00:00\n"
+    "u3,Cam,,FR,2023-03-01T00:00:00\n"   # null age -> quarantine
 )
 
 STREAMS_1 = (
@@ -42,6 +50,8 @@ def lake(tmp_path):
     (base / "raw" / "streams").mkdir(parents=True)
     (base / "raw" / "songs").mkdir(parents=True)
     (base / "raw" / "songs" / "songs.csv").write_text(SONGS_CSV)
+    (base / "raw" / "users").mkdir(parents=True)
+    (base / "raw" / "users" / "users.csv").write_text(USERS_CSV)
     f1 = base / "raw" / "streams" / "streams1.csv"
     f1.write_text(STREAMS_1)
     os.utime(f1, (1000, 1000))  # oldest
@@ -85,6 +95,15 @@ def test_pipeline_end_to_end(spark, lake):
     bad = spark.read.parquet(str(lake / "bad-records" / "streams"))
     assert bad.count() == 1
 
+    # three-table validation (REF/glue_jobs/validate.py:53-67): validated
+    # parquet per table, quarantine per table with bad rows
+    assert spark.read.parquet(str(lake / "validated" / "streams")).count() == 5
+    assert spark.read.parquet(str(lake / "validated" / "songs")).count() == 3
+    users_ok = spark.read.parquet(str(lake / "validated" / "users"))
+    assert {r["user_id"] for r in users_ok.collect()} == {"u1", "u2"}
+    bad_users = spark.read.parquet(str(lake / "bad-records" / "users"))
+    assert [r["user_id"] for r in bad_users.collect()] == ["u3"]
+
     # partitioned parquet layout as documented (README.md:193, SURVEY.md §1.4)
     avg_dir = lake / "processed" / "avg_metrics"
     assert any(d.startswith("listen_date=") for d in os.listdir(avg_dir))
@@ -113,3 +132,41 @@ def test_pipeline_second_run_overwrites_partition_only(spark, lake):
     d2 = set(os.listdir(lake / "processed" / "avg_metrics"))
     assert {d for d in d1 if d.startswith("listen_date=")} <= d2
     assert "listen_date=2024-01-03" in d2
+
+
+def test_pipeline_validation_routing_rejects(spark, lake):
+    """branch_on_validation made real (REF DAG :65-67,105-110 is an
+    always-continue stub): a strict router stops batches with quarantined
+    rows — ledger shows 'rejected', raw file retained, no transform output —
+    while clean batches still flow."""
+    cfg = PipelineConfig(base_dir=str(lake),
+                         on_validation_result=route_reject_if_any_bad)
+    pipe = Pipeline(spark, cfg)
+    done = pipe.run_all()
+    # streams1 has a bad row (and users.csv always has one) -> both rejected
+    # under the strict policy; nothing processes.
+    assert done == []
+    statuses = {e["filename"]: e["status"] for e in pipe.ledger.entries()}
+    assert statuses == {"streams1.csv": "rejected", "streams2.csv": "rejected"}
+    # rejected files stay in raw as evidence, nothing archived or processed
+    assert sorted(os.listdir(lake / "raw" / "streams")) == [
+        "streams1.csv", "streams2.csv"]
+    assert not os.path.isdir(lake / "processed" / "avg_metrics")
+    # rejected is terminal: a rerun never re-claims
+    assert pipe.run_all() == []
+
+
+def test_pipeline_routing_counts_surface(spark, lake):
+    """The router sees real per-table (good, bad) counts."""
+    seen = {}
+
+    def spy(counts):
+        seen.update(counts)
+        return True
+
+    pipe = Pipeline(spark, PipelineConfig(base_dir=str(lake),
+                                          on_validation_result=spy))
+    pipe.run_once()  # streams1
+    assert seen["streams"] == (4, 1)
+    assert seen["songs"] == (3, 0)
+    assert seen["users"] == (2, 1)
