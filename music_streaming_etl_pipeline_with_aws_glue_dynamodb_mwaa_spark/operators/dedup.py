@@ -118,7 +118,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
     shingles have maximal docfreq, land last in the order, and drop out of
     prefixes — exactly the postings whose self-join is quadratic.
     (``floor`` rather than ``ceil(t·sz)-1`` keeps the prefix on the safe
-    side of float rounding.)
+    side of float rounding.) Two further lossless prunes ride the join
+    predicate: the length-ratio filter (t·|B| ≤ |A| ≤ |B|/t) and PPJoin's
+    positional filter (overlap upper bound from the matched positions must
+    reach t/(1+t)·(|A|+|B|)) — both cut candidates before the distinct.
 
     ``prefix_filter=False``: plain inverted-index join over all postings —
     the self-test baseline. ``max_shingle_df`` additionally drops hotter-than
@@ -146,7 +149,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
             .withColumn("_sz", F.count(F.lit(1)).over(wsz))
             .filter(F.col("_rn")
                     <= F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz")) + 1)
-            .select("_id", "_shingle", "_sz")
+            .select("_id", "_shingle", "_sz", "_rn")
         )
         # length-ratio filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| (|∩|≤|A|, |∪|≥|B|),
         # symmetric — pairs with incompatible set sizes never become
@@ -156,6 +159,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
              >= F.lit(threshold) * F.col("b._sz") - 1e-9)
             & (F.col("b._sz").cast("double")
                >= F.lit(threshold) * F.col("a._sz") - 1e-9)
+        )
+        # PPJoin positional filter (Xiao et al., WWW'08 §3.2): when the
+        # matched shingle sits at 1-based positions (pa, pb) of the global
+        # rarity order, every OTHER common shingle of a qualifying pair's
+        # FIRST match lies strictly after both, so
+        # |A∩B| ≤ 1 + min(|A|−pa, |B|−pb); J ≥ t needs
+        # |A∩B| ≥ t/(1+t)·(|A|+|B|). Matches whose bound can't reach that
+        # are pruned pre-distinct. Lossless: for a true pair the bound holds
+        # with equality-or-better at the first common shingle, which the
+        # prefix theorem puts inside both prefixes. Later, looser matches
+        # of the same pair may die — the pair still surfaces via its first.
+        size_pred = size_pred & (
+            (F.least(F.col("a._sz") - F.col("a._rn"),
+                     F.col("b._sz") - F.col("b._rn")) + 1).cast("double")
+            >= F.lit(threshold / (1.0 + threshold))
+            * (F.col("a._sz") + F.col("b._sz")) - 1e-9
         )
     a, b = joinable.alias("a"), joinable.alias("b")
     candidates = (
