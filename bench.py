@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with the ``noop`` sink — a full evaluation of every
 output column with zero write cost (a bare ``count()`` would let Catalyst
 prune the computed columns and under-measure).
+
+Contention guard: round-1's recorded bench was distorted 5-50× by a
+concurrent Spark JVM (a pytest session) stealing the box. The JSON now
+carries an ``env`` block — 1-minute load average at start, and the number
+of OTHER live JVMs observed before this run's session starts — so any
+round-over-round comparison can reject a contaminated sample; a warning
+also goes to stderr when either signal is hot.
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -22,11 +30,33 @@ import __spark_entry__ as entrymod
 from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.session import get_spark
 
 
+def _env_snapshot() -> dict:
+    """Pre-session contention signals (taken BEFORE our own JVM exists)."""
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        load_1m = None
+    try:
+        out = subprocess.run(["pgrep", "-c", "java"], capture_output=True,
+                             text=True, timeout=5).stdout.strip()
+        other_jvms = int(out) if out else 0
+    except (OSError, ValueError, subprocess.TimeoutExpired):  # pragma: no cover
+        other_jvms = None
+    return {"load_avg_1m": load_1m, "other_jvms": other_jvms,
+            "cpu_count": os.cpu_count()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    env = _env_snapshot()
+    ncpu = env["cpu_count"] or 1
+    if (env["other_jvms"] or 0) > 0 or (env["load_avg_1m"] or 0) > 0.5 * ncpu:
+        print(f"[bench] WARNING contended box: {env} — timings suspect",
+              file=sys.stderr)
 
     spark = get_spark("bench", cpus=cpus)
     # Warm-up: JVM, codegen, parquet footers — not part of any measurement.
@@ -44,12 +74,14 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    env["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
     print(json.dumps({
         "metric": "query_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "env": env,
     }))
     spark.stop()
 
