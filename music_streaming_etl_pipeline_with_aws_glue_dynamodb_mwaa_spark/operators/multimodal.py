@@ -111,7 +111,11 @@ def sample_frames(media: DataFrame, *, frame_interval_ms: int,
     ``duration_ms`` metadata; rows without a duration yield one frame at 0).
 
     The frame-extraction itself is stubbed like ``decode``; the ``fake``
-    path emits a deterministic md5-derived pseudo-frame per timestamp. The
+    path emits a deterministic pseudo-frame per timestamp —
+    ``md5(HEX(payload) ":" idx)`` over the uppercase hex STRING, an
+    engine-portable derivation (DuckDB can reproduce it: hex + md5 are
+    varchar-native there, md5-over-blob is not), which is what makes the
+    registered ``media_frame_sample`` query oracle-checkable. The
     Spark-relevant parts are real: metadata-driven fan-out inside the Arrow
     iterator, bounded memory, payloads pruned after sampling.
     """
@@ -128,12 +132,13 @@ def sample_frames(media: DataFrame, *, frame_interval_ms: int,
                 if not fake:
                     decode(data, kind)                    # raises: no decoder here
                 n = 1 if pd.isna(dur) else int(dur) // frame_interval_ms + 1
+                hx = data.hex().upper()
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)
                     tss.append(i * frame_interval_ms)
                     frames.append(hashlib.md5(
-                        data + i.to_bytes(4, "big")).hexdigest())
+                        f"{hx}:{i}".encode()).hexdigest())
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
                                 "ts_ms": tss, "frame": frames})
 
@@ -148,6 +153,47 @@ def media_byte_stats(media: DataFrame, group_col: str = "kind") -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.min(F.octet_length("payload")).alias("min_bytes"),
         F.max(F.octet_length("payload")).alias("max_bytes"),
+    )
+
+
+def media_binary_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic MULTI-KIND MEDIA frame with genuinely binary payloads,
+    derived from ``documents`` by pure JVM expressions (no Python, no files).
+
+    - kind cycles image/audio/video on ``doc_id % 3``;
+    - payload is 1-4 concatenated ``unhex(md5(text ':' i))`` 16-byte chunks
+      (chunk count ``doc_id % 4 + 1``) — arbitrary bytes, NOT valid UTF-8,
+      so every consumer must treat it as a true blob;
+    - images carry width/height, audio/video carry duration_ms, each a
+      doc_id-derived modulus.
+
+    Every derivation is expressible in ANSI-ish SQL (DuckDB: %, md5, unhex,
+    list indexing), which is what lets the media queries be oracle-checked
+    over real binary columns rather than utf-8 text bytes.
+    """
+    did = F.col("doc_id")
+    hex_payload = F.concat(*[
+        F.when(F.pmod(did, F.lit(4)) >= i,
+               F.md5(F.concat(F.col("text"), F.lit(f":{i}"))))
+        .otherwise(F.lit(""))
+        for i in range(4)
+    ])
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                        (F.pmod(did, F.lit(3)) + 1).cast("int"))
+    is_img = kind == F.lit("image")
+    return docs.select(
+        did.alias("media_id"),
+        kind.alias("kind"),
+        F.unhex(hex_payload).alias("payload"),
+        F.when(kind == "image", F.lit("image/png"))
+         .when(kind == "audio", F.lit("audio/wav"))
+         .otherwise(F.lit("video/mp4")).alias("mime"),
+        F.when(is_img, ((F.pmod(did, F.lit(16)) + 1) * 64).cast("int"))
+         .otherwise(F.lit(None).cast("int")).alias("width"),
+        F.when(is_img, ((F.pmod(did, F.lit(9)) + 1) * 64).cast("int"))
+         .otherwise(F.lit(None).cast("int")).alias("height"),
+        F.when(~is_img, ((F.pmod(did, F.lit(7)) + 1) * 1000).cast("long"))
+         .otherwise(F.lit(None).cast("long")).alias("duration_ms"),
     )
 
 

@@ -315,6 +315,100 @@ def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_byte_stats(media)
 
 
+# DuckDB mirror of multimodal.media_binary_fixture — the same doc_id-derived
+# kinds, 16-64 byte md5-chunk blobs, and per-kind metadata, so every media
+# query below is checked over REAL binary values (the driver's value hash
+# covers blob cells byte-for-byte).
+_MEDIA_FIXTURE_SQL = """
+    media AS (
+      SELECT doc_id                                           AS media_id,
+             ['image','audio','video'][(doc_id % 3) + 1]      AS kind,
+             unhex(md5(text || ':0')
+               || CASE WHEN doc_id % 4 >= 1 THEN md5(text || ':1') ELSE '' END
+               || CASE WHEN doc_id % 4 >= 2 THEN md5(text || ':2') ELSE '' END
+               || CASE WHEN doc_id % 4 >= 3 THEN md5(text || ':3') ELSE '' END)
+                                                              AS payload,
+             CASE (doc_id % 3) WHEN 0 THEN 'image/png'
+                               WHEN 1 THEN 'audio/wav'
+                               ELSE 'video/mp4' END           AS mime,
+             CASE WHEN doc_id % 3 = 0
+                  THEN CAST((doc_id % 16 + 1) * 64 AS INTEGER) END AS width,
+             CASE WHEN doc_id % 3 = 0
+                  THEN CAST((doc_id % 9 + 1) * 64 AS INTEGER) END  AS height,
+             CASE WHEN doc_id % 3 <> 0
+                  THEN CAST((doc_id % 7 + 1) * 1000 AS BIGINT) END AS duration_ms
+      FROM documents)
+"""
+
+
+def _media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_binary_fixture(_docs(spark, sf_dir))
+
+
+@register("media_kind_stats", f"""
+    WITH {_MEDIA_FIXTURE_SQL}
+    SELECT kind, count(*) AS n_items,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(MIN(octet_length(payload)) AS BIGINT) AS min_bytes,
+           CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
+    FROM media GROUP BY kind
+""")
+def media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind byte accounting over genuinely binary payloads — pure JVM
+    octet_length aggregation, payload bytes never deserialized."""
+    return multimodal.media_byte_stats(_media_fixture(spark, sf_dir))
+
+
+@register("media_resize_stamped", """
+    WITH %s
+    SELECT media_id, kind, payload, mime,
+           CAST(224 AS INTEGER) AS width, CAST(224 AS INTEGER) AS height
+    FROM media WHERE kind = 'image'
+""" % _MEDIA_FIXTURE_SQL)
+def media_resize_stamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images fake path over the image slice: payload blob passes
+    through the Arrow iterator untouched (hash-checked byte-for-byte),
+    target dims stamped — the mapInPandas plumbing a real PIL resize rides."""
+    imgs = _media_fixture(spark, sf_dir).filter(F.col("kind") == "image")
+    return multimodal.resize_images(imgs, width=224, height=224, fake=True)
+
+
+@register("media_frame_sample", f"""
+    WITH {_MEDIA_FIXTURE_SQL}
+    SELECT media_id, CAST(t.i AS INTEGER) AS frame_idx,
+           CAST(t.i * 1000 AS BIGINT) AS ts_ms,
+           md5(hex(payload) || ':' || CAST(t.i AS VARCHAR)) AS frame
+    FROM media, LATERAL (SELECT unnest(generate_series(0, duration_ms // 1000)) AS i) t
+    WHERE kind IN ('audio', 'video')
+""")
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_frames fake path over audio/video: metadata-driven 1:N fan-out
+    (duration_ms // interval + 1 frames) inside the Arrow iterator, frame
+    stand-ins derived portably from the payload hex."""
+    av = _media_fixture(spark, sf_dir).filter(F.col("kind") != "image")
+    return multimodal.sample_frames(av, frame_interval_ms=1000, fake=True)
+
+
+@register("media_feature_extract", f"""
+    WITH {_MEDIA_FIXTURE_SQL}
+    SELECT media_id, kind,
+           CAST(octet_length(payload) AS BIGINT) AS byte_len,
+           list_transform(range(0, 8), i ->
+             CAST((strpos('0123456789ABCDEF', substr(hex(payload), 2*i + 1, 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF', substr(hex(payload), 2*i + 2, 1)) - 1)
+               AS DOUBLE) / 255.0) AS feature
+    FROM media
+""")
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_media_features fake path: bounded-memory Arrow batches emit a
+    deterministic byte-derived feature vector (first 8 payload bytes / 255).
+    The division is one IEEE op per element — bit-identical to the oracle's
+    hex-digit reconstruction."""
+    feats = multimodal.extract_media_features(_media_fixture(spark, sf_dir),
+                                              fake=True)
+    return feats.select("media_id", "kind", "byte_len", "feature")
+
+
 # --------------------------------------------------------------------------
 # E1+E3 composition — the end-to-end corpus build (quality gate → exact
 # dedup → near-dup pruning), one declarative plan.

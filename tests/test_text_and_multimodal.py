@@ -90,9 +90,11 @@ def test_sample_frames_fanout_from_duration(spark):
         by_media.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
     assert sorted(by_media[1]) == [(0, 0), (1, 100), (2, 200)]
     assert by_media[2] == [(0, 0)]
-    # frames are deterministic content-derived stand-ins
+    # frames are deterministic content-derived stand-ins: md5 over the
+    # uppercase payload hex + ":" + idx (engine-portable derivation)
     frames = {(r["media_id"], r["frame_idx"]): r["frame"] for r in rows}
-    assert frames[(1, 0)] == hashlib.md5(b"vv" + (0).to_bytes(4, "big")).hexdigest()
+    assert frames[(1, 0)] == hashlib.md5(b"7676:0").hexdigest()
+    assert frames[(1, 2)] == hashlib.md5(b"7676:2").hexdigest()
 
 
 def test_sample_frames_real_decode_is_stubbed(spark):
