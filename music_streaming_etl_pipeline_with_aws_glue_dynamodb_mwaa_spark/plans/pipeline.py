@@ -127,22 +127,27 @@ class Pipeline:
         return sorted(paths, key=lambda p: (os.path.getmtime(p), p))
 
     # -- stage 1: validate --------------------------------------------------
-    def _validate_table(self, name: str, path: str, schema, *,
+    def _validate_frame(self, name: str, raw: DataFrame, *,
                         mode: str) -> tuple[DataFrame, int]:
-        """Generic per-table validation (REF/glue_jobs/validate.py:34-47):
+        """Frame-level validation (REF/glue_jobs/validate.py:34-47):
         required-columns assertion, null/corrupt split, validated parquet +
         quarantine sinks. ``mode="overwrite"`` for the dimension snapshots
         (the reference rewrites ``clean_users.parquet``/``clean_songs.parquet``
         each run, :65-66); ``"append"`` for the accumulating streams lake.
         Returns (good_frame, bad_count) — bad_count feeds the routing hook."""
-        raw = io.read_csv(self.spark, path, schema)
         good, bad = validate.split_valid_invalid(raw, REQUIRED_COLUMNS[name])
-        io.write_parquet(good.drop(io.CORRUPT_COL),
+        good = good.drop(io.CORRUPT_COL)   # no-op when the column is absent
+        io.write_parquet(good,
                          os.path.join(self.cfg.validated_dir, name), mode=mode)
         n_bad = bad.count()
         if n_bad:  # the reference also writes bad-records only when non-empty (:43-45)
             io.write_quarantine(bad, self.cfg.base_dir, name, mode=mode)
-        return good.drop(io.CORRUPT_COL), n_bad
+        return good, n_bad
+
+    def _validate_table(self, name: str, path: str, schema, *,
+                        mode: str) -> tuple[DataFrame, int]:
+        return self._validate_frame(name, io.read_csv(self.spark, path, schema),
+                                    mode=mode)
 
     def validate_streams(self, path: str) -> DataFrame:
         good, _ = self._validate_table("streams", path, STREAMS, mode="append")
@@ -226,3 +231,36 @@ class Pipeline:
         while (f := self.run_once()) is not None:
             done.append(f)
         return done
+
+    # -- streaming driver -----------------------------------------------------
+    def process_stream_batch(self, streams_raw: DataFrame, epoch_id: int) -> None:
+        """``foreachBatch`` body: the SAME validate → transform → KV-load
+        stages on one streaming micro-batch (= one raw file under
+        ``maxFilesPerTrigger=1`` — the reference's one-file-per-DAG-run
+        granularity, preserved). Songs are re-validated per batch like the
+        batch driver; the sqlite ledger is NOT consulted — exactly-once
+        comes from the checkpoint's file-source offset log instead
+        (SURVEY.md §2.9: checkpoint-as-ledger)."""
+        streams, _ = self._validate_frame("streams", streams_raw, mode="append")
+        songs, _ = self._validate_table("songs", self.cfg.raw_songs, SONGS,
+                                        mode="overwrite")
+        outputs = self.transform(streams, songs)
+        self.load_kv(outputs)
+
+    def run_streaming(self, *, checkpoint_dir: str | None = None,
+                      archive: bool = False) -> None:
+        """Drain the raw streams directory with Trigger.AvailableNow through
+        the full pipeline (streaming.filestream glue). Restart-safe: a second
+        call with the same checkpoint reprocesses nothing; new files get one
+        micro-batch each. ``archive=True`` additionally moves consumed files
+        via ``cleanSource=archive`` (asynchronous — Spark archives a batch's
+        files as later batches commit, so raw may drain lazily)."""
+        from ..streaming import filestream
+
+        ckpt = checkpoint_dir or os.path.join(self.cfg.base_dir, "checkpoints",
+                                              "pipeline")
+        stream = filestream.csv_file_stream(
+            self.spark, self.cfg.raw_streams, STREAMS,
+            archive_dir=self.cfg.archive_dir if archive else None)
+        q = filestream.run_available_now(stream, self.process_stream_batch, ckpt)
+        q.awaitTermination()

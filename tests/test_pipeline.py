@@ -156,6 +156,38 @@ def test_pipeline_validation_routing_rejects(spark, lake):
     assert pipe.run_all() == []
 
 
+def test_pipeline_streaming_end_to_end_exactly_once(spark, lake):
+    """SURVEY §2.9 closed loop: csv_file_stream → run_available_now →
+    foreachBatch = validate+transform+KV load, checkpoint as the ledger.
+    Restarting over the same checkpoint reprocesses nothing (KV and the
+    validated lake are byte-stable); a late-arriving file gets exactly one
+    micro-batch."""
+    pipe = Pipeline(spark, PipelineConfig(base_dir=str(lake)))
+    pipe.run_streaming()
+
+    # both files drained through the full pipeline
+    assert spark.read.parquet(str(lake / "validated" / "streams")).count() == 5
+    item = pipe.store.get_item(KPI_TABLE, "2024-01-01", "rock")
+    assert item["listen_count"] == 3 and item["unique_listeners"] == 2
+    assert pipe.store.get_item(KPI_TABLE, "2024-01-03", "rock")["listen_count"] == 1
+    kv_before = {t: pipe.store.scan(t) for t in
+                 (KPI_TABLE, TOP_SONGS_TABLE, TOP_GENRES_TABLE)}
+
+    # restart over the same checkpoint: exactly-once -> nothing replays
+    pipe.run_streaming()
+    assert spark.read.parquet(str(lake / "validated" / "streams")).count() == 5
+    assert {t: pipe.store.scan(t) for t in kv_before} == kv_before
+
+    # a late file is processed exactly once, existing dates untouched
+    f3 = lake / "raw" / "streams" / "streams3.csv"
+    f3.write_text("user_id,track_id,listen_time\nu9,t3,2024-01-04T12:00:00\n")
+    os.utime(f3, (3000, 3000))
+    pipe.run_streaming()
+    assert spark.read.parquet(str(lake / "validated" / "streams")).count() == 6
+    assert pipe.store.get_item(KPI_TABLE, "2024-01-04", "jazz")["listen_count"] == 1
+    assert pipe.store.get_item(KPI_TABLE, "2024-01-01", "rock") == item
+
+
 def test_pipeline_routing_counts_surface(spark, lake):
     """The router sees real per-table (good, bad) counts."""
     seen = {}
