@@ -49,7 +49,8 @@ def join_streams_songs(streams: DataFrame, songs: DataFrame,
     return streams.join(F.broadcast(songs), on=key, how="inner")
 
 
-def daily_genre_kpis(joined: DataFrame, *, approx: bool = False) -> DataFrame:
+def daily_genre_kpis(joined: DataFrame, *, approx: bool = False,
+                     approx_rsd: float = 0.05) -> DataFrame:
     """A1 + A4: per (listen_date, track_genre) KPIs
     (REF/glue_jobs/transform.py:26-36).
 
@@ -58,9 +59,18 @@ def daily_genre_kpis(joined: DataFrame, *, approx: bool = False) -> DataFrame:
     division of exact inputs — deterministic across runs and engines (no
     rounding needed; ROUND semantics on doubles differ between engines at
     .5 boundaries).
+
+    ``approx=True`` swaps HLL++ (``approx_count_distinct``) for the exact
+    distinct. Error bound: ``approx_rsd`` is HLL++'s target relative
+    standard deviation (default 0.05) for LARGE cardinalities; Spark's
+    implementation is dense-only (no sparse-exact mode), so tiny groups
+    additionally carry O(1) absolute error (measured ≤2 counts at sf0.01).
+    Asserted against the exact operator in
+    tests/test_kpi.py::test_approx_kpis_within_rsd.
     """
     distinct_users = (
-        F.approx_count_distinct("user_id") if approx else F.countDistinct("user_id")
+        F.approx_count_distinct("user_id", approx_rsd) if approx
+        else F.countDistinct("user_id")
     ).alias("unique_listeners")
     kpis = joined.groupBy("listen_date", "track_genre").agg(
         distinct_users,
@@ -74,8 +84,9 @@ def daily_genre_kpis(joined: DataFrame, *, approx: bool = False) -> DataFrame:
 
 
 def genre_kpi_pipeline(streams: DataFrame, songs: DataFrame, *,
-                       approx: bool = False) -> DataFrame:
+                       approx: bool = False, approx_rsd: float = 0.05) -> DataFrame:
     """The flagship chain: F2 → F1 → J1 → A1 → A4."""
     return daily_genre_kpis(
-        join_streams_songs(with_listen_date(streams), songs), approx=approx
+        join_streams_songs(with_listen_date(streams), songs),
+        approx=approx, approx_rsd=approx_rsd,
     )
