@@ -6,10 +6,13 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark``;
-this module only wires operators to the driver contract. Computed doubles are
-rounded on BOTH sides (Spark and oracle SQL) so parallel-summation order
-can't flip the value hash; ranks get deterministic tie-breaks mirrored in the
-oracle (SURVEY.md §2.5).
+this module only wires operators to the driver contract. Hash-parity
+convention for computed doubles: NEVER ROUND them — Spark rounds decimal
+strings HALF_UP while DuckDB rounds binary doubles, and they disagree at .5
+boundaries. Instead every registered query computes exact integer measures
+and derives at most ONE IEEE division (bit-identical across engines); ranks
+get deterministic tie-breaks mirrored in the oracle (SURVEY.md §2.5,
+.claude/skills/verify/SKILL.md gotchas).
 """
 
 from __future__ import annotations

@@ -11,8 +11,15 @@ service without a JVM connector:
 - reads are partitioned (``rowid % N`` buckets over the sqlite item table —
   substitute segment/totalSegments for a real DynamoDB parallel scan);
 - writes are distributed upserts with the same 25-item batch shape as
-  ``kvstore.write_dataframe`` (boto3 batch_writer semantics), with
-  ``mode("overwrite")`` truncating the logical table first;
+  ``kvstore.write_dataframe`` (boto3 batch_writer semantics). Append-mode
+  task batches commit as they flush — safe because INSERT OR REPLACE by
+  primary key is idempotent under task retry/speculation (partial data on
+  JOB failure mirrors DynamoDB batch-writer semantics). ``mode
+  ("overwrite")`` is staged: tasks write to a hidden staging table and the
+  driver's ``commit()`` swaps it in atomically (single sqlite transaction:
+  delete target rows + re-label staging), so a failed or cancelled
+  overwrite job never leaves the target truncated — ``abort()`` just drops
+  the staging rows;
 - schema is caller-provided or inferred from a sample item (JSON-typed:
   long / double / string).
 
@@ -23,6 +30,7 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator, Sequence
+from uuid import uuid4
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -81,11 +89,7 @@ class KVStoreDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         path, table = _options(self.options)
-        if overwrite:
-            with _connect(path) as con:
-                con.execute("DELETE FROM kv_items WHERE tbl=?", (table,))
-                con.commit()
-        return _Writer(path, table, schema)
+        return _Writer(path, table, schema, overwrite=overwrite)
 
 
 class _Reader(DataSourceReader):
@@ -122,13 +126,25 @@ class _Reader(DataSourceReader):
 
 
 class _Writer(DataSourceWriter):
-    def __init__(self, path: str, table: str, schema: StructType,
-                 batch_size: int = 25):
+    """Task side writes 25-item idempotent upsert batches (INSERT OR
+    REPLACE by primary key — retried/speculated tasks converge). Overwrite
+    jobs stage under a hidden table label; the driver-side ``commit()``
+    performs the truncate-and-swap in ONE sqlite transaction, and
+    ``abort()`` discards the staging rows, so the target is never observed
+    truncated-but-unfilled."""
+
+    def __init__(self, path: str, table: str, schema: StructType, *,
+                 overwrite: bool = False, batch_size: int = 25):
         self.path, self.table = path, table
         self.columns = [f.name for f in schema.fields]
         self.batch_size = batch_size
+        # uuid fixed at plan time: all tasks of this job share the staging
+        # label; a concurrent overwrite job stages elsewhere.
+        self.staging = (f"__staging_{uuid4().hex}__{table}"
+                        if overwrite else None)
 
     def write(self, iterator: Iterator) -> WriterCommitMessage:
+        target = self.staging or self.table
         con = _connect(self.path)
         try:
             keys = con.execute(
@@ -141,7 +157,7 @@ class _Writer(DataSourceWriter):
             n = 0
             for row in iterator:
                 item = dict(zip(self.columns, row))
-                batch.append((self.table, str(item[hk_col]),
+                batch.append((target, str(item[hk_col]),
                               str(item[rk_col]) if rk_col else "",
                               json.dumps(item, default=str)))
                 if len(batch) >= self.batch_size:
@@ -152,6 +168,21 @@ class _Writer(DataSourceWriter):
         finally:
             con.close()
         return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        if self.staging is None:
+            return
+        with _connect(self.path) as con:
+            # one transaction: readers see either the old table or the new
+            con.execute("DELETE FROM kv_items WHERE tbl=?", (self.table,))
+            con.execute("UPDATE kv_items SET tbl=? WHERE tbl=?",
+                        (self.table, self.staging))
+
+    def abort(self, messages) -> None:
+        if self.staging is None:
+            return   # append-mode partials persist; upserts are idempotent
+        with _connect(self.path) as con:
+            con.execute("DELETE FROM kv_items WHERE tbl=?", (self.staging,))
 
     @staticmethod
     def _flush(con, batch: list[tuple]) -> int:

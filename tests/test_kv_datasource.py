@@ -66,6 +66,31 @@ def test_overwrite_truncates_table(spark, store):
     assert [i["date"] for i in store.scan("Items")] == ["d9"]
 
 
+def test_overwrite_is_staged_not_planner_time(spark, store):
+    """A failing overwrite JOB must not leave the target truncated: the
+    truncate-and-swap happens only in the driver commit(), so an aborted
+    write leaves the old rows intact (and no staging debris)."""
+    _register(spark)
+    ok = spark.createDataFrame([("d1", "g1", 1)], "date string, genre string, n long")
+    (ok.write.format("kvstore").option("path", store.path)
+       .option("table", "Items").mode("append").save())
+
+    from pyspark.sql import functions as F
+    boom = spark.createDataFrame([("d9", "g9", 9)], "date string, genre string, n long") \
+        .withColumn("n", F.expr("CAST(raise_error('task boom') AS LONG)"))
+    with pytest.raises(Exception, match="task boom"):
+        (boom.write.format("kvstore").option("path", store.path)
+             .option("table", "Items").mode("overwrite").save())
+
+    # old data survives the failed overwrite; no hidden staging rows remain
+    assert [i["date"] for i in store.scan("Items")] == ["d1"]
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.plans.kvstore import _connect
+    with _connect(store.path) as con:
+        leftovers = con.execute(
+            "SELECT count(*) FROM kv_items WHERE tbl LIKE '__staging_%'").fetchone()[0]
+    assert leftovers == 0
+
+
 def test_schema_inference_from_items(spark, store):
     _register(spark)
     store.put_item("Items", {"date": "d1", "genre": "g", "n": 5, "x": 1.5})
