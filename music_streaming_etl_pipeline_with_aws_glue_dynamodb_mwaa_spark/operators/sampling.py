@@ -1,0 +1,65 @@
+"""Deterministic sampling & split operators (training-data extension).
+
+Train/val/test assignment and stratified downsampling for corpus
+construction. Everything keys on a CONTENT hash, never ``rand()``:
+
+- reproducible across runs, engines, partitionings, and cluster sizes
+  (``df.sample``/``sampleBy`` are none of these — seeds bind to partition
+  layout);
+- stable under re-sharding: a document keeps its split forever, so
+  incremental corpus rebuilds never leak val docs into train;
+- oracle-checkable (md5 is engine-portable; the bucket is the first 8 hex
+  digits as an integer — DuckDB: ``('0x' || substr(md5(k),1,8))::BIGINT``).
+
+All pure JVM expressions: the split/sample is a map-side filter — no
+shuffle, no driver participation, scales to any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, *, buckets: int = 100,
+                salt: str = "") -> Column:
+    """Uniform bucket in [0, buckets) from md5 of the key (+ optional salt —
+    change it to draw an independent assignment)."""
+    c = F.col(key) if isinstance(key, str) else key
+    if salt:
+        c = F.concat(c.cast("string"), F.lit(salt))
+    return F.pmod(F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+                  .cast("long"), F.lit(buckets))
+
+
+def hash_split(df: DataFrame, key_col: str, *, train_pct: int = 90,
+               val_pct: int = 5, salt: str = "") -> DataFrame:
+    """Deterministic train/val/test assignment: bucket(key) ∈ [0,100) →
+    ``train`` below ``train_pct``, ``val`` in the next ``val_pct``, ``test``
+    above. Appends a ``split`` column; filter or partition-write by it."""
+    if not 0 < train_pct + val_pct <= 100:
+        raise ValueError("train_pct + val_pct must be in (0, 100]")
+    b = hash_bucket(key_col, buckets=100, salt=salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+         .when(b < train_pct + val_pct, F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
+                           fractions: dict[str, float], *,
+                           default_fraction: float = 0.0,
+                           buckets: int = 10_000,
+                           salt: str = "") -> DataFrame:
+    """Per-stratum deterministic downsampling — ``sampleBy`` semantics with
+    content-hash reproducibility. ``fractions`` maps stratum value → keep
+    fraction; unlisted strata keep ``default_fraction``. The per-stratum
+    threshold is folded into ONE case expression (strata maps are small by
+    definition), so the whole operator is a map-side filter."""
+    b = hash_bucket(key_col, buckets=buckets, salt=salt)
+    thresh = F.lit(int(default_fraction * buckets))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(int(frac * buckets))).otherwise(thresh)
+    return df.filter(b < thresh)

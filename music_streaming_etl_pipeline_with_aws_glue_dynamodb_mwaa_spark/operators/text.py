@@ -109,6 +109,44 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
 
 
+_NORM_STRIP_PATTERN = r"[^a-z0-9\s]"       # drop non-alnum (ASCII corpus)
+_WS_COLLAPSE_PATTERN = r"\s+"
+
+# Redaction patterns (C4/Dolma-style PII scrub). Kept to the regex subset
+# with IDENTICAL semantics in Java (Spark) and RE2 (DuckDB): char classes,
+# bounded repeats, alternation, \s/\b. No lookarounds, no backrefs.
+REDACTION_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def normalize_text(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Canonical text cleanup: lowercase → strip non-alphanumerics →
+    collapse whitespace → trim. The normalization every dedup/tokenizer
+    stage wants in front of it; pure JVM regexp (one codegen'd projection),
+    and the conservative ASCII char class keeps Java-vs-RE2 semantics
+    identical for oracle checking."""
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), _NORM_STRIP_PATTERN, ""),
+        _WS_COLLAPSE_PATTERN, " "))
+    return docs.select(F.col(id_col), cleaned.alias("norm_text"))
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               patterns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """PII scrub: email / URL / IPv4 → typed placeholder tokens, applied in
+    order (C4-style pre-training hygiene). Map-side regexp_replace chain —
+    no shuffle, scales with the scan."""
+    out = F.col(text_col)
+    for pat, repl in (patterns or REDACTION_PATTERNS):
+        out = F.regexp_replace(out, pat, repl)
+    return docs.select(F.col(id_col), out.alias("redacted_text"))
+
+
 def _winnow_udf(k: int, w: int, base: int, mod: int):
     @F.pandas_udf("array<long>")
     def winnow(texts: pd.Series) -> pd.Series:

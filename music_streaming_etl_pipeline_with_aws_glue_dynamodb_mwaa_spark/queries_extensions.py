@@ -17,7 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import corpus, dedup, multimodal, sessions, similarity, text
+from .operators import (
+    corpus,
+    decontam,
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    sessions,
+    similarity,
+    text,
+)
 from .queries_reference import register
 from .sources import catalog
 
@@ -407,6 +417,209 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.extract_media_features(_media_fixture(spark, sf_dir),
                                               fake=True)
     return feats.select("media_id", "kind", "byte_len", "feature")
+
+
+# --------------------------------------------------------------------------
+# E5 — benchmark decontamination (GPT-3/Dolma n-gram contamination check).
+# Benchmark set = the deterministic doc_id % 50 == 0 slice; corpus = rest.
+# --------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS g
+      FROM documents)
+"""
+
+
+@register("decontam_pairs", f"""
+    WITH {_SHINGLE_SQL}
+    SELECT d.doc_id AS doc_id, b.doc_id AS bench_id,
+           count(*) AS n_shared_ngrams
+    FROM sh d JOIN sh b ON d.g = b.g
+    WHERE d.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+""")
+def decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated (train_doc, benchmark_doc) pairs with their distinct
+    shared-trigram count: inverted-index equi-join, benchmark side
+    broadcast — the corpus never shuffles."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    return decontam.contamination_pairs(train, bench, n=3, min_overlap=2)
+
+
+@register("decontam_doc_flags", f"""
+    WITH {_SHINGLE_SQL},
+    pairs AS (
+      SELECT d.doc_id AS doc_id, b.doc_id AS bench_id,
+             count(*) AS n_shared_ngrams
+      FROM sh d JOIN sh b ON d.g = b.g
+      WHERE d.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT doc_id, count(*) AS n_benchmarks_hit,
+           max(n_shared_ngrams) AS max_shared_ngrams
+    FROM pairs GROUP BY doc_id
+""")
+def decontam_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level contamination verdict — the anti-join input for
+    decontam.decontaminate."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    return decontam.contaminated_docs(train, bench, n=3, min_overlap=2)
+
+
+# --------------------------------------------------------------------------
+# E6 — deterministic splits & sampling (content-hash, never rand()).
+# --------------------------------------------------------------------------
+
+_BUCKET_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {b})"
+
+
+@register("hash_split_assign", f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN {_BUCKET_SQL.format(b=100)} < 90 THEN 'train'
+                WHEN {_BUCKET_SQL.format(b=100)} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+""")
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test on md5(doc_id) — reproducible across runs,
+    engines, and re-sharding (a doc keeps its split forever); map-side
+    only."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return sampling.hash_split(docs, "doc_id", train_pct=90, val_pct=5)
+
+
+@register("stratified_sample_docs", f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_BUCKET_SQL.format(b=10000)}
+          < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 1000 END
+""")
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (sampleBy semantics without
+    rand()): en 25%, zh 50%, everything else 10%."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "zh": 0.50},
+        default_fraction=0.10)
+
+
+# --------------------------------------------------------------------------
+# E7 — sequence packing (concat-and-chunk into context windows).
+# --------------------------------------------------------------------------
+
+@register("pack_documents_512", """
+    SELECT doc_id, source, n_tokens, token_offset,
+           token_offset // 512 AS bin_idx,
+           token_offset % 512 AS bin_offset
+    FROM (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                          OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS token_offset
+          FROM documents)
+""")
+def pack_documents_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's 512-token context-window bin and offset within its
+    source stream — one window cumsum (single shuffle on source)."""
+    return packing.pack_documents(_docs(spark, sf_dir), budget_tokens=512)
+
+
+@register("packing_stats_512", """
+    WITH packed AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                      OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS token_offset
+      FROM documents)
+    SELECT source, max(token_offset // 512) + 1 AS n_bins,
+           count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS DOUBLE)
+             / ((max(token_offset // 512) + 1) * 512) AS fill_ratio
+    FROM packed GROUP BY source
+""")
+def packing_stats_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency per source: windows used, tokens packed, fill
+    ratio (one IEEE division of exact integers)."""
+    packed = packing.pack_documents(_docs(spark, sf_dir), budget_tokens=512)
+    return packing.packing_stats(packed, budget_tokens=512)
+
+
+# --------------------------------------------------------------------------
+# E8 — text normalization / PII redaction (C4-style cleanup). The corpus
+# text is already clean lowercase, so both queries INJECT deterministic
+# mess (case, punctuation, emails/URLs/IPs) expression-side before
+# cleaning — the regexes are exercised for real on both engines.
+# --------------------------------------------------------------------------
+
+@register("normalize_text_docs", r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+                lower(upper(text) || '  **' || source || '!! (' || lang || ')'),
+                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+""")
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    messy = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.upper("text"), F.lit("  **"), F.col("source"),
+                 F.lit("!! ("), F.col("lang"), F.lit(")")).alias("text"))
+    return text.normalize_text(messy)
+
+
+@register("redact_pii_docs", r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text || ' contact ' || source || '@example.com or https://'
+                    || lang || '.example.org/' || CAST(doc_id AS VARCHAR)
+                    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1',
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+           AS redacted_text
+    FROM documents
+""")
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    messy = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact "), F.col("source"),
+                 F.lit("@example.com or https://"), F.col("lang"),
+                 F.lit(".example.org/"), F.col("doc_id").cast("string"),
+                 F.lit(" at 10.0."),
+                 F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                 F.lit(".1")).alias("text"))
+    return text.redact_pii(messy)
+
+
+# --------------------------------------------------------------------------
+# E9 — embedding quantization (int8 storage path for 100 TB vector stores).
+# --------------------------------------------------------------------------
+
+@register("embedding_quantize_int8", """
+    SELECT vec_id, scale,
+           list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
+               ELSE CAST(floor(CAST(x AS DOUBLE) / scale * 127) AS INTEGER)
+               END) AS qvec
+    FROM (SELECT vec_id, embedding,
+                 list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+          FROM embeddings)
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|,
+    q = floor(x/scale*127) — floor (not round) keeps it engine-exact."""
+    return similarity.quantize_embeddings(_emb(spark, sf_dir), bits=8)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Round-2 training-data operators: decontamination, deterministic
+splits/sampling, sequence packing, normalization/redaction, quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import (
+    decontam,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- decontamination ---------------------------------------------------------
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),      # == bench 100
+        (2, "one two three four five six seven"),        # clean
+        (3, "alpha beta gamma delta nine ten"),          # partial overlap
+    ])
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+
+    pairs = {(r["doc_id"], r["bench_id"]): r["n_shared_ngrams"]
+             for r in decontam.contamination_pairs(
+                 train, bench, n=3, min_overlap=2).collect()}
+    assert pairs[(1, 100)] == 4          # all 4 trigrams of the 6-token doc
+    assert pairs[(3, 100)] == 2          # shared 'alpha beta gamma delta'
+    assert (2, 100) not in pairs
+
+    clean = decontam.decontaminate(train, bench, n=3, min_overlap=2)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+    # raising the bar keeps the partial-overlap doc
+    loose = decontam.decontaminate(train, bench, n=3, min_overlap=3)
+    assert {r["doc_id"] for r in loose.collect()} == {2, 3}
+
+
+# -- deterministic splits / sampling -----------------------------------------
+
+def test_hash_split_partitions_and_is_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = sampling.hash_split(df, "k", train_pct=80, val_pct=10)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000                 # partition: no loss
+    assert 0.75 < counts["train"] / 2000 < 0.85         # ~uniform buckets
+    assert 0.06 < counts["val"] / 2000 < 0.14
+    # determinism: identical assignment on re-run
+    again = sampling.hash_split(df, "k", train_pct=80, val_pct=10)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # a different salt draws an independent assignment (some docs move)
+    salted = (sampling.hash_split(df, "k", train_pct=80, val_pct=10, salt="s1")
+              .withColumnRenamed("split", "split2"))
+    moved = out.join(salted, "k").filter(F.col("split") != F.col("split2")).count()
+    assert 0 < moved < 2000
+
+
+def test_stratified_hash_sample_rates(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b")
+        .otherwise("c").alias("stratum"))
+    out = sampling.stratified_hash_sample(
+        df, "k", "stratum", {"a": 0.5, "b": 0.1}, default_fraction=0.0)
+    counts = {r["stratum"]: r["count"]
+              for r in out.groupBy("stratum").count().collect()}
+    assert 0.4 < counts["a"] / 1000 < 0.6
+    assert 0.05 < counts["b"] / 1000 < 0.15
+    assert "c" not in counts                            # default 0 -> dropped
+    # subset of input, deterministic
+    assert out.join(df, ["k", "stratum"]).count() == out.count()
+
+
+# -- sequence packing --------------------------------------------------------
+
+def test_pack_documents_offsets_and_bins(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e f g"), (3, "s", "h i"),
+         (10, "t", "x y z")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in
+           packing.pack_documents(docs, budget_tokens=5).collect()}
+    assert (out[1]["token_offset"], out[1]["bin_idx"], out[1]["bin_offset"]) == (0, 0, 0)
+    assert (out[2]["token_offset"], out[2]["bin_idx"], out[2]["bin_offset"]) == (3, 0, 3)
+    assert (out[3]["token_offset"], out[3]["bin_idx"], out[3]["bin_offset"]) == (7, 1, 2)
+    assert (out[10]["token_offset"], out[10]["bin_idx"]) == (0, 0)   # new group
+
+    stats = {r["source"]: r for r in packing.packing_stats(
+        packing.pack_documents(docs, budget_tokens=5),
+        budget_tokens=5).collect()}
+    assert stats["s"]["n_bins"] == 2 and stats["s"]["total_tokens"] == 9
+    assert stats["s"]["fill_ratio"] == 9 / 10
+    assert stats["t"]["n_bins"] == 1 and stats["t"]["fill_ratio"] == 3 / 5
+
+
+# -- normalization / redaction ----------------------------------------------
+
+def test_normalize_text(spark):
+    docs = _docs(spark, [(1, "  Hello,   WORLD!! (x=1) "), (2, "already clean")])
+    out = {r["doc_id"]: r["norm_text"]
+           for r in text.normalize_text(docs).collect()}
+    assert out[1] == "hello world x1"
+    assert out[2] == "already clean"
+
+
+def test_redact_pii(spark):
+    docs = _docs(spark, [
+        (1, "mail a.b+c@ex-ample.org now"),
+        (2, "see https://x.io/p?q=1 and http://y.z/"),
+        (3, "host 10.0.255.1 up"),
+        (4, "nothing to hide"),
+    ])
+    out = {r["doc_id"]: r["redacted_text"] for r in text.redact_pii(docs).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "see <URL> and <URL>"
+    assert out[3] == "host <IP> up"
+    assert out[4] == "nothing to hide"
+
+
+# -- quantization ------------------------------------------------------------
+
+def test_quantize_dequantize_error_bound(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.9, 0.0, 0.9]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    q = similarity.quantize_embeddings(emb, bits=8)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert abs(rows[1]["scale"] - 0.9) < 1e-6
+    assert rows[1]["qvec"][3] == 127                    # x == +scale -> +L exactly
+    assert rows[2]["scale"] == 0.0 and rows[2]["qvec"] == [0, 0, 0, 0]
+
+    joined = emb.join(q, "vec_id").select(
+        "vec_id", "scale",
+        F.zip_with(F.col("embedding"),
+                   similarity.dequantize_expr("qvec", "scale"),
+                   lambda x, d: F.abs(x.cast("double") - d)).alias("err"))
+    for r in joined.collect():
+        bound = r["scale"] / 127 + 1e-12
+        assert all(e <= bound for e in r["err"]), (r["vec_id"], r["err"])
