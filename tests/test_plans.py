@@ -95,3 +95,43 @@ def test_blocked_embedding_runs_grouped_pandas(spark):
     plan = _executed(q("neardup_embedding_pairs_blocked")(spark, SF_SMOKE))
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_split_and_sample_are_map_side_only(spark):
+    """Deterministic split/sample must be pure projection/filter over the
+    scan — zero shuffles, zero joins (the whole point vs sampleBy)."""
+    for name in ("hash_split_assign", "stratified_sample_docs"):
+        plan = _executed(q(name)(spark, SF_SMOKE))
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_packing_is_single_shuffle_window(spark):
+    """Concat-and-chunk packing = one hash exchange on the group column
+    feeding the cumsum window; no joins."""
+    plan = _executed(q("pack_documents_512")(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_decontam_benchmark_side_is_broadcast(spark):
+    """The corpus side must meet the (small) benchmark via a broadcast hash
+    join on the shingle — the corpus never shuffles for candidate
+    generation."""
+    plan = _executed(q("decontam_pairs")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_is_projection_only(spark):
+    plan = _executed(q("embedding_quantize_int8")(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_redact_and_normalize_are_projection_only(spark):
+    for name in ("normalize_text_docs", "redact_pii_docs"):
+        plan = _executed(q(name)(spark, SF_SMOKE))
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
