@@ -268,3 +268,64 @@ def dequantize_expr(qvec: Column | str, scale: Column | str, *,
     qc = F.col(qvec) if isinstance(qvec, str) else qvec
     sc = F.col(scale) if isinstance(scale, str) else scale
     return F.transform(qc, lambda x: x.cast("double") * sc / levels)
+
+
+def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+                    overfetch: int = 4, bits: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Quantized-prefilter top-k (the FAISS SQ8-then-rerank pattern): score
+    every pair on the int8 sketches, keep ``k·overfetch`` candidates per
+    query, then re-rank the survivors with the exact float cosine.
+
+    Cosine is scale-invariant, so the prefilter needs NO dequantization:
+    cos≈ = Σqa·qb / (√Σqa² · √Σqb²) over the integer codes — the per-vector
+    scales cancel. At 100 TB this is the bandwidth lever: the hot scan
+    touches the 4×-smaller int8 column; full float vectors are fetched only
+    for the k·overfetch survivors (here: a join back on the id).
+
+    Approximate stage ⇒ registered rows-only; recall vs the exact operator
+    is asserted in tests/test_similarity.py (int8 on unit-ish vectors
+    perturbs cosines by ~1e-2, so modest overfetch recovers exact top-k).
+    """
+    cq = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col, bits=bits)
+    qq = quantize_embeddings(
+        queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(vec_col).alias(vec_col)),
+        id_col="_qid", vec_col=vec_col, bits=bits)
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b),
+                       lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    c = cq.select(F.col(id_col), F.col("qvec").alias("_qc"),
+                  F.sqrt(int_dot("qvec", "qvec").cast("double")).alias("_nc"))
+    qside = qq.select("_qid", F.col("qvec").alias("_qq"),
+                      F.sqrt(int_dot("qvec", "qvec").cast("double")).alias("_nq"))
+    approx = (
+        c.crossJoin(F.broadcast(qside))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(F.col("_qid"), F.col(id_col).alias("neighbor_id"),
+                (int_dot("_qc", "_qq").cast("double")
+                 / (F.col("_nc") * F.col("_nq"))).alias("_approx"))
+    )
+    cand = top_k_per_group(approx, ["_qid"], "_approx", k * overfetch,
+                           tie_break=["neighbor_id"]).select("_qid", "neighbor_id")
+
+    # exact re-rank: fetch full vectors for survivors only
+    full_c = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("_v"),
+                        norm_expr(vec_col).alias("_n"))
+    full_q = queries.select(F.col(query_id_col).alias("_qid"),
+                            F.col(vec_col).alias("_qv"),
+                            norm_expr(vec_col).alias("_qn"))
+    exact = (
+        cand.join(full_c, "neighbor_id").join(F.broadcast(full_q), "_qid")
+        .select(F.col("_qid").alias(query_id_col), "neighbor_id",
+                (dot_expr("_v", "_qv") / (F.col("_n") * F.col("_qn")))
+                .alias("cosine"))
+    )
+    return top_k_per_group(exact, [query_id_col], "cosine", k,
+                           tie_break=["neighbor_id"])

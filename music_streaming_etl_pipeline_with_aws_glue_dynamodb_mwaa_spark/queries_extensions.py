@@ -202,6 +202,20 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       nprobe=4)
 
 
+@register("ann_cosine_topk_sq8", None)  # int8 prefilter is approximate → rows-only
+def ann_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-prefilter ANN: score all pairs on int8 sketches (scale cancels
+    out of cosine — no dequantization), keep k·overfetch per query, exact
+    re-rank on the full floats. The bandwidth lever at 100 TB: the hot scan
+    reads the 4×-smaller codes column; full vectors are fetched for
+    survivors only. Recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk_sq8(emb, queries, k=10, overfetch=4)
+
+
 # --------------------------------------------------------------------------
 # E3 — text analysis
 # --------------------------------------------------------------------------

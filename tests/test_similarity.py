@@ -119,3 +119,20 @@ def test_ivf_scores_are_exact(spark):
     assert len(out) == 30
     for r in out:
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_sq8_recall_and_exact_scores(spark):
+    """SQ8 prefilter + exact re-rank: high recall vs brute force, and the
+    surviving rows carry EXACT cosines (bit-identical to the brute-force
+    scores — the re-rank reads the original floats)."""
+    emb = _clustered_embeddings(spark)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact_rows = similarity.cosine_topk(emb, q, k=10).collect()
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_rows}
+    sq8_rows = similarity.cosine_topk_sq8(emb, q, k=10, overfetch=4).collect()
+    sq8 = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in sq8_rows}
+    recall = len(exact.keys() & sq8.keys()) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    for pair in exact.keys() & sq8.keys():
+        assert exact[pair] == sq8[pair], pair   # re-rank is exact, not approx
