@@ -21,15 +21,17 @@ Deliberate divergences from the reference (SURVEY.md §7 risk 4):
   recomputes scan+join per output (``transform.py:53-55``);
 - validation and KV load are distributed Spark jobs, not single-process
   pandas/driver loops;
-- PER-FILE aggregation granularity, faithfully kept: transform/load_kv
-  aggregate only the newly validated file, while ``validated/streams``
-  accumulates. If two stream files share a listen_date, that date's
-  processed partition and KV rows reflect the LAST file's aggregates only
-  (the reference behaves identically — each Glue run reads one raw file,
-  ``transform.py:16``, and load_dynamo upserts by key). Cumulative
-  recomputation from the validated lake is one line
-  (``spark.read.parquet(validated/streams)`` as the transform input) but
-  would diverge from the reference's observable per-run outputs.
+- PER-FILE aggregation granularity, faithfully kept BY DEFAULT:
+  transform/load_kv aggregate only the newly validated file, while
+  ``validated/streams`` accumulates. If two stream files share a
+  listen_date, that date's processed partition and KV rows reflect the
+  LAST file's aggregates only (the reference behaves identically — each
+  Glue run reads one raw file, ``transform.py:16``, and load_dynamo
+  upserts by key). ``PipelineConfig(cumulative=True)`` opts into
+  consistent shared-date aggregates instead: the affected dates are
+  re-read from the (listen_date-partitioned, hence partition-pruned)
+  validated lake — per-batch cost bounded by touched dates, not lake
+  size.
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import kpi, kv_projection, topk, validate
 from ..schemas import REQUIRED_COLUMNS, SONGS, STREAMS, USERS
@@ -82,6 +85,11 @@ class PipelineConfig:
     # reference's always-continue stub; swap in route_reject_if_any_bad (or a
     # custom policy) to make the branch actually route.
     on_validation_result: ValidationRouter = field(default=route_always_continue)
+    # False (default) = the reference's per-file aggregation granularity
+    # (last file wins on a shared listen_date). True = recompute each
+    # affected date from the accumulated validated lake (partition-pruned)
+    # so shared-date KPIs stay consistent — see Pipeline._transform_input.
+    cumulative: bool = False
     raw_streams: str = field(init=False)
     raw_songs: str = field(init=False)
     raw_users: str = field(init=False)
@@ -134,15 +142,38 @@ class Pipeline:
         quarantine sinks. ``mode="overwrite"`` for the dimension snapshots
         (the reference rewrites ``clean_users.parquet``/``clean_songs.parquet``
         each run, :65-66); ``"append"`` for the accumulating streams lake.
+        The streams lake is hive-partitioned by ``listen_date`` so the
+        cumulative transform's affected-date re-read is partition-pruned.
         Returns (good_frame, bad_count) — bad_count feeds the routing hook."""
+        partition_by = None
+        if name == "streams":
+            raw = kpi.with_listen_date(raw)
+            partition_by = ["listen_date"]
         good, bad = validate.split_valid_invalid(raw, REQUIRED_COLUMNS[name])
         good = good.drop(io.CORRUPT_COL)   # no-op when the column is absent
         io.write_parquet(good,
-                         os.path.join(self.cfg.validated_dir, name), mode=mode)
+                         os.path.join(self.cfg.validated_dir, name), mode=mode,
+                         partition_by=partition_by)
         n_bad = bad.count()
         if n_bad:  # the reference also writes bad-records only when non-empty (:43-45)
             io.write_quarantine(bad, self.cfg.base_dir, name, mode=mode)
         return good, n_bad
+
+    def _transform_input(self, new_streams: DataFrame) -> DataFrame:
+        """What the transform aggregates over. Default: just the newly
+        validated file (the reference's per-run granularity — last file
+        wins on a shared listen_date). ``cumulative=True``: every validated
+        row for the dates the new file touches, re-read from the lake — a
+        partition-pruned scan (the affected-dates set is per-file small),
+        so per-batch work is bounded by the touched dates, not lake size;
+        shared-date aggregates then stay consistent with the whole lake."""
+        if not self.cfg.cumulative:
+            return new_streams
+        dates = [r["listen_date"]
+                 for r in new_streams.select("listen_date").distinct().collect()]
+        lake = io.read_parquet(
+            self.spark, os.path.join(self.cfg.validated_dir, "streams"))
+        return lake.filter(F.col("listen_date").isin(dates))
 
     def _validate_table(self, name: str, path: str, schema, *,
                         mode: str) -> tuple[DataFrame, int]:
@@ -216,7 +247,8 @@ class Pipeline:
                 if not self.cfg.on_validation_result(counts):
                     self.ledger.mark_rejected(fname)
                     continue
-                outputs = self.transform(frames["streams"], frames["songs"])
+                outputs = self.transform(self._transform_input(frames["streams"]),
+                                         frames["songs"])
             finally:
                 for df in frames.values():
                     df.unpersist()
@@ -244,7 +276,7 @@ class Pipeline:
         streams, _ = self._validate_frame("streams", streams_raw, mode="append")
         songs, _ = self._validate_table("songs", self.cfg.raw_songs, SONGS,
                                         mode="overwrite")
-        outputs = self.transform(streams, songs)
+        outputs = self.transform(self._transform_input(streams), songs)
         self.load_kv(outputs)
 
     def run_streaming(self, *, checkpoint_dir: str | None = None,

@@ -156,6 +156,43 @@ def test_pipeline_validation_routing_rejects(spark, lake):
     assert pipe.run_all() == []
 
 
+def test_pipeline_cumulative_mode_merges_shared_dates(spark, lake):
+    """Default granularity = the reference's last-file-wins on a shared
+    listen_date; cumulative=True recomputes the affected dates from the
+    (partition-pruned) validated lake so shared-date KPIs stay consistent."""
+    f3 = lake / "raw" / "streams" / "streams3.csv"
+    f3.write_text("user_id,track_id,listen_time\nu7,t1,2024-01-01T14:00:00\n")
+    os.utime(f3, (3000, 3000))
+
+    # default: streams3 (1 row for 2024-01-01) REPLACES that date's KPIs
+    pipe = Pipeline(spark, PipelineConfig(base_dir=str(lake)))
+    pipe.run_all()
+    item = pipe.store.get_item(KPI_TABLE, "2024-01-01", "rock")
+    assert (item["listen_count"], item["unique_listeners"]) == (1, 1)
+
+    # cumulative: the date reflects streams1 (3 rock rows) + streams3 (1)
+    import shutil
+    shutil.rmtree(lake)  # rebuild the lake fixture fresh
+    (lake / "raw" / "streams").mkdir(parents=True)
+    (lake / "raw" / "songs").mkdir(parents=True)
+    (lake / "raw" / "songs" / "songs.csv").write_text(SONGS_CSV)
+    for name, body, mtime in [("streams1.csv", STREAMS_1, 1000),
+                              ("streams2.csv", STREAMS_2, 2000)]:
+        p = lake / "raw" / "streams" / name
+        p.write_text(body)
+        os.utime(p, (mtime, mtime))
+    f3 = lake / "raw" / "streams" / "streams3.csv"
+    f3.write_text("user_id,track_id,listen_time\nu7,t1,2024-01-01T14:00:00\n")
+    os.utime(f3, (3000, 3000))
+
+    pipe = Pipeline(spark, PipelineConfig(base_dir=str(lake), cumulative=True))
+    pipe.run_all()
+    item = pipe.store.get_item(KPI_TABLE, "2024-01-01", "rock")
+    assert (item["listen_count"], item["unique_listeners"]) == (4, 3)
+    # untouched dates keep their aggregates
+    assert pipe.store.get_item(KPI_TABLE, "2024-01-03", "rock")["listen_count"] == 1
+
+
 def test_pipeline_streaming_end_to_end_exactly_once(spark, lake):
     """SURVEY §2.9 closed loop: csv_file_stream → run_available_now →
     foreachBatch = validate+transform+KV load, checkpoint as the ledger.
