@@ -1,0 +1,106 @@
+"""Connected-components clustering over near-duplicate pair lists.
+
+Pairwise near-dup detection (``dedup.ngram_jaccard_pairs`` /
+``minhash_near_dup_pairs`` / ``embedding_near_dup_pairs``) yields an edge
+list; a training-data pipeline then needs the *transitive* closure — if
+A~B and B~C, all three are one duplicate cluster and exactly one
+representative should survive. The reference has no record-level dedup at
+all (its ledger dedupes files — ``REF/dags/music_etl_pipeline.py:34-45``);
+this is part of the mandated LLM-data-pipeline extension surface.
+
+Algorithm: iterative min-label propagation with pointer jumping
+(path compression), expressed entirely as DataFrame joins/aggregations:
+
+- each node starts labeled with itself;
+- each round every node takes the min label over itself and its
+  neighbors (one equi-join edge⋈labels + one groupBy-min), then labels are
+  compressed one hop through the label table itself
+  (``comp ← label(comp)``, a second equi-join).
+
+Plain neighbor propagation needs O(diameter) rounds; the pointer-jumping
+step squares the reach per round, giving O(log diameter) — for near-dup
+graphs (cliques and short chains around a representative) this converges
+in 2-3 rounds regardless of corpus size. Each round is lineage-cut with an
+eager ``localCheckpoint`` so the plan doesn't grow exponentially, and
+convergence is detected by a zero-changed-labels count (one cheap join of
+two materialized label tables). This is the same shuffle pattern as
+large-star/small-star (Kiveris et al., MapReduce and Beyond '14) with the
+star-contractions fused into the label table.
+
+At 100 TB: per round = one shuffle of the (symmetric) edge list keyed by
+node + two label-table shuffles; the label table is one row per node
+(constant width), edges never grow (contrast hash-to-min, whose cluster
+sets can blow up mid-iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src: str, dst: str, *,
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in the edge list; ``component`` is
+    the minimum node id reachable from ``node`` (deterministic cluster
+    representative). Nodes not present in ``pairs`` don't appear — union
+    singletons downstream (see ``cluster_assignments``).
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+         .distinct()
+         .localCheckpoint(eager=False))     # materialize edges once, reuse per round
+
+    labels = (e.select("u").distinct()
+              .withColumn("comp", F.col("u"))
+              .localCheckpoint(eager=False))
+    for _ in range(max_iter):
+        # min label over the neighborhood of each node (edges are symmetric)
+        nmin = (e.join(labels, "u")
+                .groupBy("v").agg(F.min("comp").alias("_ncomp"))
+                .withColumnRenamed("v", "u"))
+        new = (labels.join(nmin, "u", "left")
+               .select("u", F.least(F.col("comp"),
+                                    F.coalesce("_ncomp", "comp")).alias("comp")))
+        # pointer jumping: follow the label one extra hop (comp ← comp's comp)
+        hop = new.select(F.col("u").alias("comp"), F.col("comp").alias("_c2"))
+        new = (new.join(hop, "comp", "left")
+               .select("u", F.coalesce("_c2", "comp").alias("comp"))
+               .localCheckpoint())          # eager: cut lineage, enable cheap diff
+        changed = (new.alias("n").join(labels.alias("o"), "u")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
+
+
+def cluster_assignments(df: DataFrame, pairs: DataFrame, id_col: str, *,
+                        src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Every row of ``df`` labeled with its duplicate-cluster id: the
+    connected component over ``pairs`` when the row participates in one,
+    else its own id (singleton cluster). Output: (id_col, component)."""
+    comp = connected_components(pairs, src, dst) \
+        .withColumnRenamed("node", id_col)
+    return (df.select(id_col)
+            .join(comp, id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("component")))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str, *,
+                   src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Keep exactly one representative row per duplicate cluster — the row
+    whose ``id_col`` equals the component's min id. Singletons survive
+    unchanged. Output: the full ``df`` row set minus non-representative
+    duplicates (columns of ``df``, unchanged).
+
+    Cost beyond the component computation: one join of the assignment table
+    back to ``df`` — no window needed, because the component id IS the min
+    member id, so the representative filter is a plain equality.
+    """
+    assign = cluster_assignments(df, pairs, id_col, src=src, dst=dst)
+    return (df.join(assign, id_col)
+            .filter(F.col(id_col) == F.col("component"))
+            .drop("component"))

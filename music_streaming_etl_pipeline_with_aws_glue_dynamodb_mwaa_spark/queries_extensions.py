@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import (
+    cluster,
     corpus,
     decontam,
     dedup,
@@ -108,6 +109,67 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), "doc_id", "text",
                                         max_hamming=3)
+
+
+# Duplicate-cluster closure over the exact jaccard pair list: the shared
+# CTE block re-derives the 0.8-band pairs (same text as the
+# neardup_jaccard_pairs oracle), then a recursive CTE computes min
+# reachable id per doc — the oracle for min-label-propagation components.
+_JACCARD_CLUSTER_CTES = """
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS s
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    jpairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    reach(u, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u),
+    comp AS (SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u)
+"""
+
+
+@register("dedup_clusters", f"""
+    WITH RECURSIVE {_JACCARD_CLUSTER_CTES}
+    SELECT doc_id, component FROM comp
+""")
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate-cluster id per document (singletons = own id):
+    connected components over the exact 0.8-band jaccard pairs via
+    min-label propagation + pointer jumping (operators/cluster.py)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.8)
+    return cluster.cluster_assignments(docs, pairs, "doc_id")
+
+
+@register("dedup_cluster_reps", f"""
+    WITH RECURSIVE {_JACCARD_CLUSTER_CTES}
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    WHERE d.doc_id = c.component
+""")
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after transitive near-dup removal: exactly one representative
+    (the min doc_id) per duplicate cluster — the A~B, B~C ⇒ {A,B,C}
+    closure that pairwise pruning alone can't express."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.8)
+    return cluster.dedup_clusters(docs, pairs, "doc_id")
 
 
 @register("neardup_embedding_pairs", """
