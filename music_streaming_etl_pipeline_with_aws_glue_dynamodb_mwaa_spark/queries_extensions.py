@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import (
+    asof,
     cluster,
     corpus,
     decontam,
@@ -793,3 +794,73 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     return sessions.session_stats(ev, gap_seconds=8 * 3600)
+
+
+# --------------------------------------------------------------------------
+# As-of (nearest-timestamp) join — operators/asof.py
+# --------------------------------------------------------------------------
+
+# Clicks deduped per (user_id, ts) keep-min-event_id on BOTH sides: "the"
+# nearest row is otherwise ambiguous at timestamp collisions.
+_ASOF_CTES = """
+    clicks AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1),
+    purchases AS (
+      SELECT event_id, ts, user_id, value
+      FROM events WHERE event_type = 'purchase')
+"""
+
+
+def _purchases_clicks(spark: SparkSession, sf_dir: str):
+    ev = catalog.load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "ts", "user_id", "value"))
+    clicks = dedup.dedup_exact(
+        ev.filter(F.col("event_type") == "click")
+          .select("user_id", "ts", "event_id"),
+        ["user_id", "ts"], ["event_id"])
+    return purchases, clicks
+
+
+@register("asof_purchase_click", f"""
+    WITH {_ASOF_CTES}
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           c.event_id AS asof_event_id, c.ts AS asof_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase ← the user's most recent
+    prior-or-same-instant click (NULL when none). Union+window plan — one
+    shuffle on user_id, no join operator at all; the oracle is DuckDB's
+    native ASOF LEFT JOIN. The elapsed gap is exact integer microseconds
+    (both engines truncate the nanos parquet ts to µs)."""
+    purchases, clicks = _purchases_clicks(spark, sf_dir)
+    out = asof.asof_join(purchases, clicks, ["user_id"],
+                         right_cols=["event_id", "ts"])
+    return out.withColumn(
+        "micros_since_click",
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")))
+
+
+@register("asof_purchase_next_click", f"""
+    WITH {_ASOF_CTES}
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           c.event_id AS asof_event_id, c.ts AS asof_ts,
+           epoch_us(c.ts) - epoch_us(p.ts) AS micros_to_click
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+""")
+def asof_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase ← the user's earliest following click —
+    same single-shuffle plan with the window order reversed."""
+    purchases, clicks = _purchases_clicks(spark, sf_dir)
+    out = asof.asof_join(purchases, clicks, ["user_id"],
+                         right_cols=["event_id", "ts"], direction="forward")
+    return out.withColumn(
+        "micros_to_click",
+        F.unix_micros(F.col("asof_ts")) - F.unix_micros(F.col("ts")))
