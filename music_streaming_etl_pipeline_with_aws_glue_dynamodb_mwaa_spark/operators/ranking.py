@@ -1,0 +1,100 @@
+"""Lexical relevance scoring: corpus term statistics, TF-IDF, BM25.
+
+A training-data pipeline uses these for quality weighting, topical
+filtering ("keep docs relevant to these seed terms"), and boosted
+sampling. The reference has no text-scoring surface; this is extension
+surface alongside operators/text.py.
+
+Everything is built from ONE postings aggregation (``doc_term_stats``):
+explode tokens → per-(doc,term) counts, then doc length and docfreq both
+derive from that table (no second pass over the raw text). All JVM
+expressions — no Python UDFs.
+
+Hash-portability note: the integer statistics (tf, dl, df, n_docs) are
+oracle-checked exactly. The ln-based scores are NOT — ``ln`` differs in
+the last ulp between Java's Math.log and DuckDB's libm (measured: 145 of
+1770 small-rational inputs differ bitwise), so score queries register
+rows-only and are self-tested against a pure-Python reference in
+tests/test_ranking.py.
+
+100 TB posture: tf is one shuffle on (doc, term); dl and df are
+re-aggregations of tf (doc-keyed / term-keyed shuffles of the already
+collapsed table); the scalar corpus aggregate (n_docs, avgdl) is a 1-row
+broadcast. BM25 filters postings to the query's terms BEFORE joining
+docfreq, so per-query cost is |matching postings|, not |corpus|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import tokens
+
+
+def doc_term_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, dl, df, n_docs): term frequency in the doc, doc
+    length in tokens, document frequency of the term, corpus size —
+    exact integers, the shared substrate for any lexical score."""
+    tf = (docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (tf.join(dl, id_col).join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .select(id_col, "term", "tf", "dl", "df", "n_docs"))
+
+
+def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str, *,
+                    k: int = 3) -> DataFrame:
+    """Top-k most characteristic terms per document by smoothed TF-IDF
+    (ln((1+N)/(1+df)) + 1, sklearn-style — strictly positive so rare-term
+    ties can't zero out). Deterministic tie-break on term. Rows-only vs
+    the oracle (ln is not bit-portable); values self-tested in pytest."""
+    s = doc_term_stats(docs, id_col, text_col)
+    score = (F.col("tf")
+             * (F.log((F.lit(1.0) + F.col("n_docs"))
+                      / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)))
+    w = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(score.desc(), F.col("term").asc()))
+    return (s.withColumn("tfidf", score).withColumn("_rk", w)
+            .filter(F.col("_rk") <= k)
+            .select(id_col, "term", F.col("_rk").cast("int").alias("rank"),
+                    "tfidf"))
+
+
+def bm25_scores(docs: DataFrame, id_col: str, text_col: str,
+                query_terms: list[str], *,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every matching document to a bag of query
+    terms (docs matching none are absent — at corpus scale you want the
+    sparse result, not a dense zero column).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the non-negative variant.
+    avgdl rides the same 1-row broadcast as n_docs.
+    """
+    s = doc_term_stats(docs, id_col, text_col)
+    avg = s.groupBy(id_col).agg(F.first("dl").alias("dl")) \
+           .agg(F.avg("dl").alias("avgdl"))
+    matched = s.filter(F.col("term").isin(query_terms)) \
+               .crossJoin(F.broadcast(avg))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_part = (F.col("tf") * (k1 + 1.0)
+               / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                             + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+    return (matched.withColumn("_s", idf * tf_part)
+            .groupBy(id_col).agg(F.sum("_s").alias("bm25"),
+                                 F.count(F.lit(1)).alias("n_matched_terms")))
+
+
+def bm25_topk(docs: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], *, k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Global top-k docs for the query — TakeOrderedAndProject (per-partition
+    top-k then a k-row driver merge, no global sort shuffle). Deterministic
+    tie-break on id."""
+    return (bm25_scores(docs, id_col, text_col, query_terms, k1=k1, b=b)
+            .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -25,6 +25,7 @@ from .operators import (
     dedup,
     multimodal,
     packing,
+    ranking,
     sampling,
     sessions,
     similarity,
@@ -864,3 +865,43 @@ def asof_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "micros_to_click",
         F.unix_micros(F.col("asof_ts")) - F.unix_micros(F.col("ts")))
+
+
+# --------------------------------------------------------------------------
+# Lexical relevance: term stats / TF-IDF / BM25 — operators/ranking.py
+# --------------------------------------------------------------------------
+
+@register("doc_term_stats", """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, dl, df, n_docs
+    FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+""")
+def doc_term_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(doc, term) statistics — the integer substrate every
+    lexical score (TF-IDF, BM25) is derived from; this row IS the
+    oracle-checked part (ln-based scores are rows-only: Java Math.log and
+    DuckDB ln differ in the last ulp)."""
+    return ranking.doc_term_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("tfidf_top_terms", None)  # ln not bit-portable → rows-only
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF; score values
+    self-tested vs a pure-Python reference in tests/test_ranking.py."""
+    return ranking.tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+@register("bm25_topk", None)  # ln not bit-portable → rows-only
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 docs for a fixed seed-term query (corpus vocabulary
+    words), deterministic tie-break; TakeOrderedAndProject plan — no global
+    sort shuffle. Values self-tested in tests/test_ranking.py."""
+    return ranking.bm25_topk(_docs(spark, sf_dir), "doc_id", "text",
+                             ["join", "scan", "hash"], k=20)
