@@ -102,11 +102,37 @@ def _exact_jaccard_for_pairs(candidates: DataFrame, df: DataFrame,
     )
 
 
+def _jaccard_via_postings(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs computed FROM THE POSTINGS
+    themselves — no re-shingling of raw text. |A∩B| is a count over the
+    (pair ⋈ postings-of-A ⋈ postings-of-B) equi-join chain, |A| and |B|
+    come from a postings groupBy. Cost: one shuffle of sum(|A|) posting
+    rows over the candidate set plus a composite-key hash join — every
+    row is (ids, shingle), never a multi-KB array. With the postings
+    already checkpointed by the caller this re-reads them for free."""
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    pa = sh.select(F.col("_id").alias("doc_a"), "_shingle")
+    pb = sh.select(F.col("_id").alias("doc_b"), "_shingle")
+    common = (candidates.join(pa, "doc_a")
+              .join(pb, ["doc_b", "_shingle"])
+              .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("_c")))
+    return (common
+            .join(sizes.withColumnRenamed("_id", "doc_a")
+                       .withColumnRenamed("_n", "_na"), "doc_a")
+            .join(sizes.withColumnRenamed("_id", "doc_b")
+                       .withColumnRenamed("_n", "_nb"), "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("_c").cast("double")
+                     / (F.col("_na") + F.col("_nb") - F.col("_c")))
+                    .alias("jaccard")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
                         n: int = 3, threshold: float = 0.8,
                         max_shingle_df: int | None = None,
                         prefix_filter: bool = True,
-                        materialize_postings: bool = True) -> DataFrame:
+                        materialize_postings: bool = True,
+                        verify_via_postings: bool = True) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold — EXACT.
 
     Default path is the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07;
@@ -193,8 +219,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
     )
-    return (_exact_jaccard_for_pairs(candidates, df, id_col, text_col, n)
-            .filter(F.col("jaccard") >= threshold))
+    verified = (_jaccard_via_postings(candidates, sh) if verify_via_postings
+                else _exact_jaccard_for_pairs(candidates, df, id_col,
+                                              text_col, n))
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------

@@ -138,6 +138,21 @@ def test_prefix_filter_matches_full_join(spark):
         assert full == pref and len(full) > 0
 
 
+def test_postings_verify_matches_array_verify(spark):
+    """The postings-join verification (count common postings, no text
+    re-shingle) must be BIT-identical to the array_intersect path — same
+    pairs, same jaccard bits (same exact integers, same single division)."""
+    docs = _docs(spark)
+    post = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    arr = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               docs, "doc_id", "text", n=3, threshold=0.5,
+               verify_via_postings=False).collect()}
+    assert post == arr and len(post) > 0
+
+
 def test_dedup_exact_fingerprint_key_matches_raw_key(spark):
     docs = _docs(spark)
     fp = dedup.dedup_exact(docs, ["text"], ["doc_id"])
