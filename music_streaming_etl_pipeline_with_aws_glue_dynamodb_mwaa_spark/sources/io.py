@@ -74,6 +74,32 @@ def write_parquet(df: DataFrame, path: str, *, partition_by: list[str] | None = 
     w.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int, *, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed parquet table sink — the co-located-join layout for facts
+    that are joined/aggregated on the same key repeatedly (SURVEY.md scale
+    posture; no reference counterpart — its lake is plain prefixes).
+
+    ``bucketBy(num_buckets, keys)`` hash-partitions rows into a fixed
+    bucket count recorded in the catalog; a later join or aggregation on
+    the bucket key reads each bucket as a pre-shuffled partition, so the
+    exchange disappears from the plan entirely (asserted in
+    tests/test_plans.py). ``sortBy`` additionally pre-sorts within
+    buckets, removing the sort from sort-merge joins.
+
+    Bucketed tables must go through the session catalog (``saveAsTable``)
+    — path-based parquet has nowhere to record bucket metadata. Pick
+    ``num_buckets`` so one bucket ≈ 100-200 MB at the target scale; both
+    join sides must use the SAME count (or a multiple, with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_quarantine(bad: DataFrame, base_dir: str, name: str, *,
                      mode: str = "append") -> str:
     """Quarantine sink (S9): ``<base>/bad-records/<name>/``. Append for

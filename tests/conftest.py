@@ -14,7 +14,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+    wh = tempfile.mkdtemp(prefix="spark-wh-")
     s = get_spark("tests", cpus=8, shuffle_partitions=8,
-                  extra_conf={"spark.driver.memory": "8g"})
+                  extra_conf={"spark.driver.memory": "8g",
+                              "spark.sql.warehouse.dir": wh})
     yield s
     s.stop()
