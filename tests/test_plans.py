@@ -135,3 +135,34 @@ def test_redact_and_normalize_are_projection_only(spark):
         plan = _executed(q(name)(spark, SF_SMOKE))
         assert "Exchange" not in plan, name
         assert "Join" not in plan, name
+
+
+def test_asof_is_single_shuffle_no_join(spark):
+    """The as-of union+window plan: the ONLY exchanges are the user_id hash
+    partitionings (left+right union, and the clicks-dedup window shares
+    the same key), and no join operator exists anywhere — that's the
+    entire point vs a range-condition join (which Spark would plan as
+    BroadcastNestedLoop)."""
+    for name in ("asof_purchase_click", "asof_purchase_next_click"):
+        plan = _executed(q(name)(spark, SF_SMOKE))
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "user_id" in line, (name, line)
+
+
+def test_bm25_topk_no_global_sort(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition heap +
+    k-row driver merge), never a full Sort+Exchange(rangepartitioning)."""
+    plan = _executed(q("bm25_topk")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_doc_term_stats_reuses_postings(spark):
+    """dl and df re-aggregate the collapsed tf table — the raw text is
+    exploded exactly once in the plan."""
+    plan = _executed(q("doc_term_stats")(spark, SF_SMOKE))
+    assert plan.count("Generate explode") == 0      # behind the checkpoint
+    assert plan.count("Scan ExistingRDD") >= 1      # ...computed exactly once
