@@ -1,0 +1,129 @@
+"""Distribution statistics and anomaly flags over numeric measures —
+per-group moments, z-score outliers, exact interpolated percentiles.
+
+A pipeline uses these for data-quality monitoring (is today's value
+distribution drifting?), outlier quarantine, and threshold tuning. The
+reference computes only sum/avg KPIs (``REF/glue_jobs/transform.py``);
+this extends the aggregation surface.
+
+Hash-exactness design (the whole point of this module's shape):
+
+- the measure is converted to EXACT INTEGER cents first
+  (``floor(x*100 + 0.5)`` — floor is engine-portable; banker's-vs-half-up
+  ``round`` is not);
+- every aggregate is an integer sum/count (associative — partial
+  aggregation order can't perturb it);
+- every derived double is a FIXED, explicit op tree over those exact
+  integers: one cast, one subtraction, one division, one ``sqrt`` — each
+  individually deterministic under IEEE 754 (sqrt is correctly rounded by
+  spec, unlike ``ln``/``exp``, which differ across libm implementations),
+  so Spark and DuckDB produce identical bits when the oracle SQL writes
+  the SAME tree.
+- variance numerator ``n·Σx² − (Σx)²`` stays in exact int64: with cent
+  values ≤ ~2×10⁶ that overflows only past ~10⁹ rows per group — document
+  the bound, don't silently lose precision (at that scale switch the two
+  sums to DECIMAL(38,0)).
+
+Plans: z-scores ride ONE window shuffle (no join-back of a stats table);
+percentiles ride the same exchange with an ordered window; the moments
+table is a plain partial+final hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str, *, scale: int = 100) -> Column:
+    """Exact integer (value × scale) — floor(x·s + 0.5) is bit-portable
+    across engines; HALF_UP vs banker's ``round`` is not."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * scale + F.lit(0.5)).cast("long")
+
+
+def _var_stddev(n: Column, s: Column, ss: Column) -> tuple[Column, Column]:
+    """Sample variance/stddev from exact (n, Σx, Σx²): integer numerator,
+    one division, one sqrt — the portable tree."""
+    var = ((n * ss - s * s).cast("double")
+           / (n * (n - 1)).cast("double"))
+    return var, F.sqrt(var)
+
+
+def group_moments(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-group (n, sum_cents, sumsq_cents, mean, variance, stddev) —
+    integers exact, doubles derived via the portable tree (NULL variance
+    for single-row groups rather than a division by zero)."""
+    c = cents(value_col)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("sum_cents"),
+        F.sum(c * c).alias("sumsq_cents"),
+    )
+    var, sd = _var_stddev(F.col("n"), F.col("sum_cents"), F.col("sumsq_cents"))
+    guard = F.col("n") > 1
+    return agg.select(
+        *keys, "n", "sum_cents", "sumsq_cents",
+        (F.col("sum_cents").cast("double") / F.col("n").cast("double"))
+        .alias("mean_cents"),
+        F.when(guard, var).alias("var_cents"),
+        F.when(guard, sd).alias("stddev_cents"),
+    )
+
+
+def zscore_flags(df: DataFrame, keys: list[str], value_col: str, *,
+                 z_threshold: float = 3.0) -> DataFrame:
+    """Every row + its within-group z-score + an ``is_anomaly`` flag.
+
+    The group moments come from an UNORDERED window over the same hash
+    partitioning (one shuffle total) — no stats-table join-back. z is
+    computed over exact cents in the portable tree, so the column is
+    oracle-hashable; the flag is a comparison of identical doubles."""
+    w = Window.partitionBy(*keys)
+    c = cents(value_col)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(c).over(w)
+    ss = F.sum(c * c).over(w)
+    mean = s.cast("double") / n.cast("double")
+    _, sd = _var_stddev(n, s, ss)
+    z = (c.cast("double") - mean) / sd
+    return (df
+            .withColumn("z", F.when(n > 1, z))
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(F.col("z")) > z_threshold,
+                                   F.lit(False))))
+
+
+def group_percentiles(df: DataFrame, keys: list[str], value_col: str, *,
+                      ps: tuple[float, ...] = (0.5, 0.95)) -> DataFrame:
+    """Per-group linear-interpolated percentiles of the exact cent values
+    (the ``percentile_cont``/numpy 'linear' definition) — computed from an
+    EXPLICIT rank formula so the oracle can run the identical tree:
+
+        pos = (n-1)·p;  lo = floor(pos);  frac = pos − lo
+        pct = v[lo] + (v[lo+1 or lo] − v[lo]) · frac
+
+    One ordered window per group (rank + count ride the same sort);
+    interpolation arithmetic is double-exact on integer inputs ≤ 2⁵³.
+    Built-in ``percentile``/``quantile_cont`` are NOT used — their
+    internal summation order is engine-specific; this formula is not."""
+    c = cents(value_col)
+    wo = Window.partitionBy(*keys).orderBy(c.asc())
+    wn = Window.partitionBy(*keys)
+    base = df.select(*keys, c.alias("_c"),
+                     F.row_number().over(wo).alias("_rn"),
+                     F.count(F.lit(1)).over(wn).alias("_n"))
+    # vlo/vhi are conditional aggregates over the group; frac is per-row
+    # but group-constant (depends only on n) — fold all in one agg pass
+    pos_exprs = []
+    for p in ps:
+        pos = (F.col("_n") - 1).cast("double") * F.lit(float(p))
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        frac = pos - F.floor(pos)
+        vlo = F.max(F.when(F.col("_rn") == lo + 1, F.col("_c"))).cast("double")
+        vhi = F.max(F.when(F.col("_rn") == hi + 1, F.col("_c"))).cast("double")
+        name = f"p{int(p * 100)}_cents"
+        pos_exprs.append((vlo + (vhi - vlo) * F.max(frac)).alias(name))
+    return (base.groupBy(*keys)
+            .agg(F.max("_n").alias("n"), *pos_exprs))

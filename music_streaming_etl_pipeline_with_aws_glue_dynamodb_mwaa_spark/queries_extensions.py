@@ -28,6 +28,7 @@ from .operators import (
     ranking,
     sampling,
     sessions,
+    stats,
     similarity,
     text,
 )
@@ -905,3 +906,100 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort shuffle. Values self-tested in tests/test_ranking.py."""
     return ranking.bm25_topk(_docs(spark, sf_dir), "doc_id", "text",
                              ["join", "scan", "hash"], k=20)
+
+
+# --------------------------------------------------------------------------
+# Distribution stats / anomaly flags — operators/stats.py
+# --------------------------------------------------------------------------
+# The oracle SQL writes the IDENTICAL op tree over exact integer cents
+# (floor(x*100+0.5)); sqrt is correctly rounded by IEEE spec (unlike ln),
+# so even the stddev/z/percentile doubles hash-match bit-for-bit.
+
+_CENTS_SQL = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+@register("events_value_moments", f"""
+    WITH c AS (SELECT event_type, {_CENTS_SQL} AS cents FROM events),
+    agg AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(cents) AS BIGINT)         AS sum_cents,
+             CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+      FROM c GROUP BY 1)
+    SELECT event_type, n, sum_cents, sumsq_cents,
+           CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+           CASE WHEN n > 1 THEN
+             CAST(n * sumsq_cents - sum_cents * sum_cents AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) END AS var_cents,
+           CASE WHEN n > 1 THEN
+             sqrt(CAST(n * sumsq_cents - sum_cents * sum_cents AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) END AS stddev_cents
+    FROM agg
+""")
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return stats.group_moments(ev, ["event_type"], "value")
+
+
+@register("events_value_anomalies", f"""
+    WITH c AS (SELECT *, {_CENTS_SQL} AS cents FROM events),
+    w AS (
+      SELECT *, count(*) OVER win AS n,
+             CAST(sum(cents) OVER win AS BIGINT)         AS s,
+             CAST(sum(cents * cents) OVER win AS BIGINT) AS ss
+      FROM c WINDOW win AS (PARTITION BY event_type))
+    SELECT event_id, ts, user_id, event_type, value, props,
+           (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * ss - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) AS z
+    FROM w
+    WHERE abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt(CAST(n * ss - s * s AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE))) > 1.5
+""")
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-type z-score outliers (|z| > 1.5 — synthetic values are
+    near-uniform, so 3σ rows don't exist; the band exercises the math).
+    One window shuffle, no stats-table join-back; z itself hash-matches
+    the oracle bit-for-bit."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    flagged = stats.zscore_flags(ev, ["event_type"], "value", z_threshold=1.5)
+    return (flagged.filter(F.col("is_anomaly"))
+            .select("event_id", "ts", "user_id", "event_type", "value",
+                    "props", "z"))
+
+
+@register("events_value_percentiles", f"""
+    WITH c AS (SELECT event_type, {_CENTS_SQL} AS cents FROM events),
+    r AS (
+      SELECT event_type, cents,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cents) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+    SELECT event_type, max(n) AS n,
+           max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+                    THEN cents END)::DOUBLE
+           + (max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+                       THEN cents END)::DOUBLE
+              - max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+                         THEN cents END)::DOUBLE)
+             * max(CAST(n - 1 AS DOUBLE) * 0.5
+                   - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50_cents,
+           max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1
+                    THEN cents END)::DOUBLE
+           + (max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1
+                       THEN cents END)::DOUBLE
+              - max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1
+                         THEN cents END)::DOUBLE)
+             * max(CAST(n - 1 AS DOUBLE) * 0.95
+                   - floor(CAST(n - 1 AS DOUBLE) * 0.95)) AS p95_cents
+    FROM r GROUP BY event_type
+""")
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95 per event type from an explicit rank
+    formula (percentile_cont semantics) — both engines run the same tree,
+    so the interpolated doubles hash-match; built-in percentile/quantile
+    aggregates would not."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return stats.group_percentiles(ev, ["event_type"], "value",
+                                   ps=(0.5, 0.95))

@@ -1,0 +1,71 @@
+"""Distribution stats: parity with numpy references, edge cases (single-row
+groups), and the one-shuffle plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+
+ROWS = [("a", 1.00), ("a", 2.00), ("a", 3.00), ("a", 10.00),
+        ("b", 5.50), ("b", 5.50), ("b", 7.25),
+        ("c", 42.42)]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, "k string, value double")
+
+
+def test_group_moments_match_numpy(df):
+    out = {r["k"]: r for r in
+           stats.group_moments(df, ["k"], "value").collect()}
+    for k in ("a", "b"):
+        vals = np.array([int(v * 100 + 0.5) for g, v in ROWS if g == k])
+        assert out[k]["n"] == len(vals)
+        assert out[k]["sum_cents"] == vals.sum()
+        assert out[k]["sumsq_cents"] == (vals.astype(np.int64) ** 2).sum()
+        assert out[k]["mean_cents"] == pytest.approx(vals.mean(), abs=1e-9)
+        assert out[k]["var_cents"] == pytest.approx(vals.var(ddof=1), rel=1e-12)
+    # single-row group: variance/stddev NULL, not a crash or inf
+    assert out["c"]["var_cents"] is None and out["c"]["stddev_cents"] is None
+
+
+def test_zscore_flags_match_numpy(df):
+    out = [r for r in stats.zscore_flags(df, ["k"], "value",
+                                         z_threshold=1.0).collect()
+           if r["k"] == "a"]
+    vals = np.array([int(v * 100 + 0.5) for g, v in ROWS if g == "a"],
+                    dtype=np.float64)
+    mu, sd = vals.mean(), vals.std(ddof=1)
+    expect = {v: (v - mu) / sd for v in vals}
+    for r in out:
+        c = int(r["value"] * 100 + 0.5)
+        assert r["z"] == pytest.approx(expect[c], rel=1e-12)
+        assert r["is_anomaly"] == (abs(expect[c]) > 1.0)
+    # single-row group: z NULL, flag False
+    crow = [r for r in stats.zscore_flags(df, ["k"], "value").collect()
+            if r["k"] == "c"][0]
+    assert crow["z"] is None and crow["is_anomaly"] is False
+
+
+def test_percentiles_match_numpy(df):
+    out = {r["k"]: r for r in
+           stats.group_percentiles(df, ["k"], "value",
+                                   ps=(0.5, 0.95)).collect()}
+    for k in ("a", "b", "c"):
+        vals = np.array(sorted(int(v * 100 + 0.5) for g, v in ROWS if g == k),
+                        dtype=np.float64)
+        assert out[k]["p50_cents"] == pytest.approx(
+            np.percentile(vals, 50, method="linear"), rel=1e-12)
+        assert out[k]["p95_cents"] == pytest.approx(
+            np.percentile(vals, 95, method="linear"), rel=1e-12)
+
+
+def test_zscore_single_shuffle_no_join(df):
+    plan = (stats.zscore_flags(df, ["k"], "value")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
