@@ -26,6 +26,7 @@ from .operators import (
     multimodal,
     packing,
     ranking,
+    rangejoin,
     sampling,
     sessions,
     stats,
@@ -1003,3 +1004,40 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     return stats.group_percentiles(ev, ["event_type"], "value",
                                    ps=(0.5, 0.95))
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join — operators/rangejoin.py
+# --------------------------------------------------------------------------
+
+_BANDS = [
+    (0, 0, 1000), (1, 1000, 2500), (2, 2500, 5000), (3, 5000, 7500),
+    (4, 7500, 10000), (5, 10000, 15000), (6, 15000, 20000),
+    (7, 20000, 100000),
+    (8, 9000, 16000),   # overlapping audit band: multi-match is intended
+]
+
+_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@register("events_value_bands", f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_SQL}),
+    c AS (SELECT event_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+    SELECT c.event_id, c.event_type, c.cents,
+           CAST(b.band_id AS BIGINT) AS band_id,
+           CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi
+    FROM c JOIN bands b ON c.cents >= b.lo AND c.cents < b.hi
+""")
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join of event values (exact cents) into variable-width,
+    partially overlapping price bands — bin-bucketed equi-join plan (no
+    BroadcastNestedLoopJoin; asserted in tests/test_plans.py) vs DuckDB's
+    native IEJoin as oracle."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    points = ev.select("event_id", "event_type",
+                       stats.cents("value").alias("cents"))
+    bands = spark.createDataFrame(_BANDS, "band_id bigint, lo bigint, hi bigint")
+    return rangejoin.range_join(points, bands, "cents", "lo", "hi",
+                                closed="left")

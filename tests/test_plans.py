@@ -166,3 +166,11 @@ def test_doc_term_stats_reuses_postings(spark):
     plan = _executed(q("doc_term_stats")(spark, SF_SMOKE))
     assert plan.count("Generate explode") == 0      # behind the checkpoint
     assert plan.count("Scan ExistingRDD") >= 1      # ...computed exactly once
+
+
+def test_range_join_is_hash_join_not_bnlj(spark):
+    """The band interval join must plan as a binned equi-join — never
+    BroadcastNestedLoop/Cartesian (what a raw range predicate becomes)."""
+    plan = _executed(q("events_value_bands")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
