@@ -11,6 +11,18 @@ from pyspark.sql import functions as F
 from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import cluster
 
 
+def _both_paths(df):
+    """Run the driver union-find path AND the distributed
+    label-propagation path; assert they agree; return the result."""
+    a = {r["node"]: r["component"]
+         for r in cluster.connected_components(df, "doc_a", "doc_b").collect()}
+    b = {r["node"]: r["component"]
+         for r in cluster.connected_components(
+             df, "doc_a", "doc_b", driver_threshold=0).collect()}
+    assert a == b
+    return a
+
+
 def _uf_components(edges, nodes):
     """Reference union-find: node -> min id of its component."""
     parent = {n: n for n in nodes}
@@ -32,8 +44,7 @@ def test_components_basic(spark):
     # chain 1-2-3, pair 5-6, triangle 7-8-9 (8-9 redundant edge)
     edges = [(2, 1), (2, 3), (5, 6), (7, 8), (7, 9), (8, 9)]
     df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
-    got = {r["node"]: r["component"]
-           for r in cluster.connected_components(df, "doc_a", "doc_b").collect()}
+    got = _both_paths(df)
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
 
 
@@ -42,8 +53,7 @@ def test_components_long_chain_converges(spark):
     # pointer jumping; with compression it must converge inside 25 rounds
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
-    got = {r["node"]: r["component"]
-           for r in cluster.connected_components(df, "doc_a", "doc_b").collect()}
+    got = _both_paths(df)
     assert got == {i: 0 for i in range(41)}
 
 
@@ -53,8 +63,7 @@ def test_components_match_union_find_random(spark):
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
     edges = [(u, v) for u, v in edges if u != v]
     df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
-    got = {r["node"]: r["component"]
-           for r in cluster.connected_components(df, "doc_a", "doc_b").collect()}
+    got = _both_paths(df)
     touched = {n for e in edges for n in e}
     assert got == {n: c for n, c in _uf_components(edges, nodes).items()
                    if n in touched}
