@@ -108,3 +108,43 @@ def bm25_topk(docs: DataFrame, id_col: str, text_col: str,
     return (bm25_scores(docs, id_col, text_col, query_terms, k1=k1, b=b)
             .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def _ngrams(text_col: str, n: int):
+    """Non-distinct word n-grams (occurrence-preserving — LM counts need
+    multiplicity, unlike the dedup shingles which are set-semantics)."""
+    toks = tokens(text_col)
+    grams = F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def ngram_counts(docs: DataFrame, id_col: str, text_col: str, *,
+                 n: int = 2) -> DataFrame:
+    """(ngram, cnt, docfreq): total occurrences + document frequency of
+    every word n-gram — the count-table substrate for n-gram LM scoring
+    and perplexity-style quality filters (KenLM-shaped, exact integers).
+
+    One explode + one groupBy; ``docfreq`` is an exact count-distinct
+    (the expand+double-shuffle is acceptable for count tables — they're
+    built once per corpus; use operators/skew.py's two-phase rewrite when
+    the gram distribution is adversarial)."""
+    g = docs.select(F.col(id_col).alias("_id"),
+                    F.explode(_ngrams(text_col, n)).alias("ngram"))
+    return g.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("_id").alias("docfreq"))
+
+
+def continuation_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(token, n_left_contexts): how many DISTINCT predecessors each token
+    has — the Kneser-Ney continuation count (a token that appears often
+    but only ever after one context scores low). Distinct bigram pairs,
+    then a count per right token: two shuffles, all JVM."""
+    g = docs.select(F.explode(_ngrams(text_col, 2)).alias("bg"))
+    pair = g.select(
+        F.substring_index("bg", " ", 1).alias("left"),
+        F.substring_index("bg", " ", -1).alias("right")).distinct()
+    return pair.groupBy(F.col("right").alias("token")) \
+               .agg(F.count(F.lit(1)).alias("n_left_contexts"))

@@ -63,3 +63,17 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
         thresh = F.when(F.col(strata_col) == value,
                         F.lit(int(frac * buckets))).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def weighted_hash_sample(df: DataFrame, key_col: str, weight: Column, *,
+                         resolution: int = 1_000_000,
+                         salt: str = "") -> DataFrame:
+    """Per-row weighted Bernoulli keep WITHOUT rand(): row survives iff
+    ``hash_bucket(key) < floor(weight · resolution)``. Deterministic and
+    re-runnable (a row's fate depends only on its key + the weight
+    expression), importance-sampling semantics (keep probability ∝ weight,
+    clipped to [0, 1]), map-side only — and oracle-checkable, because both
+    the bucket and the threshold are exact integers as long as the oracle
+    writes the same weight expression tree."""
+    b = hash_bucket(key_col, buckets=resolution, salt=salt)
+    return df.filter(b < F.floor(weight * F.lit(float(resolution))))

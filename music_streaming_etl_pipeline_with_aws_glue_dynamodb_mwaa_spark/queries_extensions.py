@@ -24,6 +24,7 @@ from .operators import (
     decontam,
     dedup,
     multimodal,
+    kmeans,
     packing,
     ranking,
     rangejoin,
@@ -1041,3 +1042,75 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.createDataFrame(_BANDS, "band_id bigint, lo bigint, hi bigint")
     return rangejoin.range_join(points, bands, "cents", "lo", "hi",
                                 closed="left")
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling / n-gram LM counts / embedding k-means
+# --------------------------------------------------------------------------
+
+@register("weighted_sample_docs", """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000
+          < floor(least(n_chars, 600) / 600.0 * 1000000.0)
+""")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling without rand(): keep probability ∝ document
+    length (capped) — longer docs kept more often, deterministically by
+    content hash; map-side only, exact-integer oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    weight = F.least(F.col("n_chars"), F.lit(600)) / F.lit(600.0)
+    return sampling.weighted_hash_sample(docs, "doc_id", weight)
+
+
+@register("bigram_lm_counts", """
+    WITH g AS (
+      SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')), 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1])) AS ngram
+      FROM documents)
+    SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS docfreq
+    FROM g GROUP BY ngram
+""")
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-shaped bigram count table (occurrence-preserving, unlike the
+    set-semantics dedup shingles) — the substrate for n-gram LM quality
+    filtering. Exact integers."""
+    return ranking.ngram_counts(_docs(spark, sf_dir), "doc_id", "text", n=2)
+
+
+@register("kn_continuation_counts", """
+    WITH g AS (
+      SELECT unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')), 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1])) AS bg
+      FROM documents),
+    pair AS (SELECT DISTINCT string_split(bg, ' ')[1] AS l,
+                             string_split(bg, ' ')[2] AS r FROM g)
+    SELECT r AS token, count(*) AS n_left_contexts
+    FROM pair GROUP BY r
+""")
+def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts: distinct left contexts per token."""
+    return ranking.continuation_counts(_docs(spark, sf_dir), "text")
+
+
+@register("embedding_kmeans_assign", None)  # float centroid math → rows-only
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means cluster id + cohesion per vector: sample-trained
+    init, 3 distributed Lloyd rounds (one JVM shuffle each, k×d driver
+    collect), Arrow-batched assignment. Invariants (nearest-centroid
+    optimality, monotone objective, determinism) in tests/test_kmeans.py."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans.kmeans_fit(emb, k=8, max_iter=3, seed=42)
+    return kmeans.kmeans_assign(emb, cents)
+
+
+@register("embedding_kmeans_sizes", None)  # float centroid math → rows-only
+def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster histogram + mean cohesion over the k-means assignment."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans.kmeans_fit(emb, k=8, max_iter=3, seed=42)
+    return kmeans.kmeans_cluster_sizes(kmeans.kmeans_assign(emb, cents))

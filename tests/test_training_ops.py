@@ -144,3 +144,35 @@ def test_quantize_dequantize_error_bound(spark):
     for r in joined.collect():
         bound = r["scale"] / 127 + 1e-12
         assert all(e <= bound for e in r["err"]), (r["vec_id"], r["err"])
+
+
+def test_weighted_hash_sample_rates_and_determinism(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import sampling
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit(0.8)).otherwise(F.lit(0.2))
+        .alias("w"))
+    kept = sampling.weighted_hash_sample(df, "k", F.col("w")).collect()
+    even = sum(1 for r in kept if r["k"] % 2 == 0) / 10_000
+    odd = sum(1 for r in kept if r["k"] % 2 == 1) / 10_000
+    assert abs(even - 0.8) < 0.03 and abs(odd - 0.2) < 0.03
+    again = sampling.weighted_hash_sample(df, "k", F.col("w")).collect()
+    assert sorted(r["k"] for r in again) == sorted(r["k"] for r in kept)
+    # weight 0 keeps nothing; weight 1 keeps everything
+    assert sampling.weighted_hash_sample(
+        df, "k", F.lit(0.0)).count() == 0
+    assert sampling.weighted_hash_sample(
+        df, "k", F.lit(1.0)).count() == 20_000
+
+
+def test_ngram_counts_small(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import ranking
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id bigint, text string")
+    got = {r["ngram"]: (r["cnt"], r["docfreq"])
+           for r in ranking.ngram_counts(docs, "doc_id", "text", n=2).collect()}
+    assert got == {"a b": (3, 2), "b a": (1, 1), "b c": (1, 1)}
+    cont = {r["token"]: r["n_left_contexts"]
+            for r in ranking.continuation_counts(docs, "text").collect()}
+    assert cont == {"b": 1, "a": 1, "c": 1}
