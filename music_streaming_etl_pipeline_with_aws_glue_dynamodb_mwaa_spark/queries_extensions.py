@@ -35,6 +35,7 @@ from .operators import (
     text,
 )
 from .queries_reference import register
+from .streaming import windowed
 from .sources import catalog
 
 
@@ -1114,3 +1115,29 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = kmeans.kmeans_fit(emb, k=8, max_iter=3, seed=42)
     return kmeans.kmeans_cluster_sizes(kmeans.kmeans_assign(emb, cents))
+
+
+# --------------------------------------------------------------------------
+# Event-time windowed aggregation (streaming/windowed.py, batch mode)
+# --------------------------------------------------------------------------
+
+@register("events_windowed_counts", """
+    WITH c AS (SELECT event_type, ts,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    w AS (SELECT event_type, cents,
+                 make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+                     AS win_start
+          FROM c)
+    SELECT win_start, win_start + INTERVAL 6 HOUR AS win_end, event_type,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY 1, 2, 3
+""")
+def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event-time windows per event type — the SAME
+    function runs incrementally under Structured Streaming with a
+    watermark (batch ≡ stream + guaranteed late-drop asserted in
+    tests/test_streaming_windowed.py); exact cent sums keep it
+    hash-exact vs the epoch-aligned oracle."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return windowed.windowed_event_counts(ev)

@@ -1,0 +1,48 @@
+"""Event-time windowed aggregation with late-data watermarking — the
+Structured Streaming counterpart of the batch KPI group-bys.
+
+One function serves BOTH modes: the same ``F.window`` group-by runs as a
+plain batch aggregation or, over a streaming frame, as an incremental
+stateful aggregation whose state is bounded by the watermark (windows
+older than ``watermark`` behind the max observed event time are finalized
+and their state dropped; later-arriving rows for them are discarded).
+That batch≡stream contract is what tests/test_streaming_windowed.py
+asserts — plus the watermark actually dropping a too-late row.
+
+Scale: the aggregation state is one row per (window, key) — independent
+of input volume; tumbling windows assign each row to exactly one window
+(sliding windows replicate rows window/slide times, the documented
+trade). The measure is exact integer cents (operators/stats.py), so the
+batch variant is oracle-checkable hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.stats import cents
+
+
+def windowed_event_counts(events: DataFrame, *,
+                          window: str = "6 hours",
+                          slide: str | None = None,
+                          watermark: str = "12 hours",
+                          ts_col: str = "ts",
+                          keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Per (event-time window, keys): row count + exact cent sum.
+
+    Batch frames aggregate directly; streaming frames get
+    ``withWatermark`` first (required for append-mode window finalization
+    and state eviction). Output: win_start, win_end, *keys, n, sum_cents.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    w = F.window(F.col(ts_col), window, slide or window)
+    return (src.groupBy(w.alias("_w"), *keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents("value")).alias("sum_cents"))
+            .select(F.col("_w.start").alias("win_start"),
+                    F.col("_w.end").alias("win_end"),
+                    *keys, "n", "sum_cents"))

@@ -1,0 +1,91 @@
+"""Watermarked windowed aggregation: batch ≡ streaming equivalence, and
+the watermark genuinely dropping late data in append mode."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.streaming import windowed
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_batch_equals_streaming_complete_mode(spark, tmp_path):
+    ev = catalog.load_table(spark, SF, "events")
+    batch = {tuple(r) for r in
+             windowed.windowed_event_counts(ev).collect()}
+
+    src = str(tmp_path / "src")
+    ev.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1) \
+        .parquet(src)
+    out = windowed.windowed_event_counts(stream)
+    q = (out.writeStream.format("memory").queryName("win_complete")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from win_complete").collect()}
+    assert got == batch and len(batch) > 0
+
+
+def _write_file(spark, path, rows, mtime):
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    now = time.time()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (now + mtime, now + mtime))
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """Guaranteed watermark contract (empirically pinned): the watermark
+    used by batch N is computed from batch N-1's max event time, and a
+    window's state is emitted+evicted in the first batch whose watermark
+    passes its end; rows arriving for an ALREADY-EVICTED window are
+    dropped (surfaced via numRowsDroppedByWatermark). A late row landing
+    in the SAME batch as the eviction may still be merged — that's
+    Spark's documented best-effort boundary, so the sequence below puts
+    one watermark-advancing batch between the jump and the late row."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    src = str(tmp_path / "src")
+    # f1: window [00:00,06:00) rows; f2 jumps event time to 30:00 (so the
+    # NEXT batch runs with watermark 18:00 and finalizes window1); f3
+    # advances again (eviction batch); f4 delivers the late row.
+    _write_file(spark, f"{src}/f1", [(1, ts(1), 1, "click", 1.0),
+                                     (2, ts(2), 1, "click", 1.0)], 10)
+    _write_file(spark, f"{src}/f2", [(3, ts(30), 1, "click", 1.0)], 20)
+    _write_file(spark, f"{src}/f3", [(5, ts(31), 1, "click", 1.0)], 30)
+    _write_file(spark, f"{src}/f4", [(4, ts(3), 1, "click", 9.0)], 40)
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(f"{src}/f1").schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", False)
+              .parquet(f"{src}/*"))
+    out = windowed.windowed_event_counts(stream)
+    q = (out.writeStream.format("memory").queryName("win_append")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["win_start"], r["n"], r["sum_cents"])
+            for r in spark.sql("select * from win_append").collect()}
+    # window1 emitted with ONLY the two on-time rows; the late 9.00 row
+    # neither re-emits the window nor appears anywhere
+    assert rows == {(ts(0), 2, 200)}
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress if p["stateOperators"])
+    assert dropped == 1
