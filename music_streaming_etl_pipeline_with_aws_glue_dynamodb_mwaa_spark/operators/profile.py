@@ -1,0 +1,44 @@
+"""Table profiling — the ANALYZE-style data-quality summary a pipeline
+runs before trusting a new data drop: per-column row/non-null/distinct
+counts in ONE pass over the data.
+
+Shape: a single aggregation computes count + count(col) + count(DISTINCT
+col) for every column simultaneously (Spark plans multi-distinct with one
+Expand — one scan, not one job per column), then a literal-pivot unions
+the k column summaries into (column, n_rows, n_nonnull, n_distinct) rows.
+All exact integers → oracle hash-exact. (Min/max as strings are
+deliberately excluded: engine float→string formatting differs; use the
+typed stats operators for numeric columns.)
+
+At 100 TB: exact multi-column DISTINCT is the expensive honest answer
+(Expand multiplies rows by #distinct-columns); ``approx=True`` swaps in
+HLL++ sketches — one pass, no Expand, mergeable — which is what you
+actually run on the full lake (rows-only vs the oracle, same contract as
+daily_genre_kpis_approx).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None, *,
+                  approx: bool = False) -> DataFrame:
+    """(col_name, n_rows, n_nonnull, n_distinct) per profiled column —
+    long-format, ordered by column name for determinism."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append((F.approx_count_distinct(c) if approx
+                     else F.countDistinct(c)).alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    stack = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col("_n").alias("n_rows"),
+                 F.col(f"_nn_{c}").alias("n_nonnull"),
+                 F.col(f"_nd_{c}").alias("n_distinct"))
+        for c in sorted(cols)])
+    return (one.select(F.explode(stack).alias("p"))
+            .select("p.col_name", "p.n_rows", "p.n_nonnull", "p.n_distinct"))

@@ -190,3 +190,40 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(_winnow_udf(k, w, base, mod)(F.col(text_col)))
         .alias("fingerprint"))
+
+
+def chunk_documents(docs: DataFrame, id_col: str, text_col: str, *,
+                    chunk_tokens: int = 128,
+                    overlap_tokens: int = 16) -> DataFrame:
+    """Split long documents into overlapping token-window chunks (the
+    RAG/long-context preparation step; distinct from operators/packing.py,
+    which CONCATENATES short docs — this one SPLITS long ones).
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap_tokens; the final chunk may be short.
+    Starts stop at ``n − 1 − overlap`` so every chunk contributes at least
+    one PREVIOUSLY-UNSEEN token — a doc ending inside the overlap span
+    must not spawn a trailing chunk that is a pure suffix of the previous
+    one (de-overlap reconstruction is exact; asserted in tests). Pure JVM
+    expressions — sequence/transform/slice; one narrow explode, no
+    shuffle, no Python.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0),
+                        F.greatest(n - 1 - overlap_tokens, F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens")))
+    return (docs
+            .select(F.col(id_col), F.explode(chunks).alias("_c"))
+            .select(id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tokens")
+            .filter(F.col("n_tokens") > 0))

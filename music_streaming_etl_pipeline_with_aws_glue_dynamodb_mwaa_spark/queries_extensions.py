@@ -26,6 +26,7 @@ from .operators import (
     multimodal,
     kmeans,
     packing,
+    profile,
     ranking,
     rangejoin,
     sampling,
@@ -1141,3 +1142,53 @@ def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact vs the epoch-aligned oracle."""
     ev = catalog.load_table(spark, sf_dir, "events")
     return windowed.windowed_event_counts(ev)
+
+
+# --------------------------------------------------------------------------
+# Table profiling + document chunking
+# --------------------------------------------------------------------------
+
+_PROFILE_COL_SQL = """
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct
+    FROM events
+"""
+
+
+@register("events_profile", " UNION ALL ".join(
+    _PROFILE_COL_SQL.format(c=c)
+    for c in sorted(["event_id", "ts", "user_id", "event_type", "value",
+                     "props"])))
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of the events table: one scan computes every
+    column's row/non-null/exact-distinct counts simultaneously (single
+    Expand, not a job per column)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return profile.profile_table(ev)
+
+
+@register("events_profile_approx", None)  # HLL sketches → rows-only
+def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile: HLL++ distinct sketches — one pass, no Expand;
+    error vs the exact profile bounded in tests/test_profile_chunk.py."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return profile.profile_table(ev, approx=True)
+
+
+@register("chunk_documents_32", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - 8, 1), 24)) AS st
+          FROM t)
+    SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[st+1:st+32], ' ') AS chunk_text,
+           CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens
+    FROM s WHERE least(32, len(toks) - st) > 0
+""")
+def chunk_documents_32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) — the long-document RAG/context-prep splitter; map-side
+    expressions only."""
+    return text.chunk_documents(_docs(spark, sf_dir), "doc_id", "text",
+                                chunk_tokens=32, overlap_tokens=8)
