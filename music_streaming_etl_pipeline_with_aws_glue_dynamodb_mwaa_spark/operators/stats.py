@@ -127,3 +127,16 @@ def group_percentiles(df: DataFrame, keys: list[str], value_col: str, *,
         pos_exprs.append((vlo + (vhi - vlo) * F.max(frac)).alias(name))
     return (base.groupBy(*keys)
             .agg(F.max("_n").alias("n"), *pos_exprs))
+
+
+def group_percentiles_approx(df: DataFrame, keys: list[str], value_col: str,
+                             *, ps: tuple[float, ...] = (0.5, 0.95),
+                             accuracy: int = 10_000) -> DataFrame:
+    """The 100 TB percentile path: Greenwald-Khanna ``percentile_approx``
+    sketches — mergeable partial aggregates, no per-group sort, rank error
+    ≤ 1/accuracy. Engine-specific sketch → rows-only vs the oracle; error
+    against the exact operator is bounded in tests/test_stats.py."""
+    c = cents(value_col)
+    aggs = [F.percentile_approx(c, float(p), accuracy)
+            .cast("double").alias(f"p{int(p * 100)}_cents") for p in ps]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"), *aggs)

@@ -1192,3 +1192,43 @@ def chunk_documents_32(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions only."""
     return text.chunk_documents(_docs(spark, sf_dir), "doc_id", "text",
                                 chunk_tokens=32, overlap_tokens=8)
+
+
+@register("events_windowed_dense", """
+    WITH c AS (SELECT event_type, ts,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    w AS (SELECT event_type, cents,
+                 make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+                     AS win_start
+          FROM c),
+    agg AS (SELECT win_start, event_type, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM w GROUP BY 1, 2),
+    slots AS (SELECT unnest(generate_series((SELECT min(win_start) FROM agg),
+                                            (SELECT max(win_start) FROM agg),
+                                            INTERVAL 6 HOUR)) AS win_start),
+    grid AS (SELECT s.win_start, k.event_type
+             FROM slots s CROSS JOIN (SELECT DISTINCT event_type
+                                      FROM events) k)
+    SELECT g.win_start, g.win_start + INTERVAL 6 HOUR AS win_end,
+           g.event_type,
+           coalesce(a.n, 0) AS n, coalesce(a.sum_cents, 0) AS sum_cents
+    FROM grid g LEFT JOIN agg a
+      ON g.win_start = a.win_start AND g.event_type = a.event_type
+""")
+def events_windowed_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled time-series grid: every (6h slot × event_type) between
+    the first and last window — the gap-filling resample operator."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return windowed.dense_windowed_counts(ev)
+
+
+@register("events_value_percentiles_approx", None)  # GK sketch → rows-only
+def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna p50/p95 — the mergeable no-sort lake-scale path;
+    rank error vs the exact interpolated operator bounded in
+    tests/test_stats.py."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return stats.group_percentiles_approx(ev, ["event_type"], "value",
+                                          ps=(0.5, 0.95))

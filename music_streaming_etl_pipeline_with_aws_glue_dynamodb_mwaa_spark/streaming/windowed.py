@@ -46,3 +46,35 @@ def windowed_event_counts(events: DataFrame, *,
             .select(F.col("_w.start").alias("win_start"),
                     F.col("_w.end").alias("win_end"),
                     *keys, "n", "sum_cents"))
+
+
+def dense_windowed_counts(events: DataFrame, *,
+                          window: str = "6 hours",
+                          ts_col: str = "ts",
+                          keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Gap-filled (dense) windowed counts: every (window slot, key) combo
+    between the corpus' first and last window, zero-filled where no events
+    landed — downstream time-series consumers (drift monitors, charting,
+    forecasting) need the empty slots to exist.
+
+    Grid construction: the window span comes from a 1-row min/max
+    aggregate, slots from ``sequence(lo, hi, interval)`` (one row per
+    slot), keys from a distinct projection — the cross join is
+    (slots × keys), metadata-sized, then one left join against the sparse
+    aggregate. Batch-only by nature (a stream can't emit future empties).
+    """
+    agg = windowed_event_counts(events, window=window, ts_col=ts_col,
+                                keys=keys)
+    step = F.expr(f"INTERVAL {window}")
+    span = agg.agg(F.min("win_start").alias("_lo"),
+                   F.max("win_start").alias("_hi"))
+    slots = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step))
+        .alias("win_start"))
+    grid = slots.crossJoin(events.select(*keys).distinct())
+    return (grid.join(agg.drop("win_end"), ["win_start", *keys], "left")
+            .select("win_start",
+                    (F.col("win_start") + step).alias("win_end"),
+                    *keys,
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.coalesce("sum_cents", F.lit(0)).alias("sum_cents")))

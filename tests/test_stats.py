@@ -69,3 +69,28 @@ def test_zscore_single_shuffle_no_join(df):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_percentiles_approx_close_to_exact(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
+    ev = catalog.load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {r["event_type"]: r for r in
+             stats.group_percentiles(ev, ["event_type"], "value").collect()}
+    approx = {r["event_type"]: r for r in
+              stats.group_percentiles_approx(ev, ["event_type"],
+                                             "value").collect()}
+    # GK guarantees bounded RANK error (returns a real data value near the
+    # target rank), so assert in rank space, not value space: the approx
+    # value's rank within the group must sit within a few positions of
+    # target (1/accuracy rank error ≈ exact at this size; slack for the
+    # interpolated exact value falling between order statistics)
+    grp = {}
+    for r in ev.select("event_type", stats.cents("value").alias("c")).collect():
+        grp.setdefault(r["event_type"], []).append(r["c"])
+    for k, e in exact.items():
+        vals = sorted(grp[k])
+        n = len(vals)
+        for col, p in (("p50_cents", 0.5), ("p95_cents", 0.95)):
+            import bisect
+            rank = bisect.bisect_left(vals, approx[k][col])
+            assert abs(rank - p * (n - 1)) <= 3, (k, col, rank, p * n)

@@ -89,3 +89,28 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
                   for p in q.recentProgress if p["stateOperators"])
     assert dropped == 1
+
+
+def test_dense_windows_zero_fill_gaps(spark):
+    rows = [(1, dt.datetime(2024, 1, 1, 1), 1, "click", 1.0),
+            # 06-12 and 12-18 slots empty for click; purchase only in 12-18
+            (2, dt.datetime(2024, 1, 1, 19), 1, "click", 2.0),
+            (3, dt.datetime(2024, 1, 1, 13), 1, "purchase", 5.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    out = {(r["win_start"], r["event_type"]): (r["n"], r["sum_cents"])
+           for r in windowed.dense_windowed_counts(ev).collect()}
+    t0 = dt.datetime(2024, 1, 1, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    # full grid: 4 slots x 2 types
+    assert len(out) == 8
+    assert out[(ts(0), "click")] == (1, 100)
+    assert out[(ts(6), "click")] == (0, 0)          # zero-filled gap
+    assert out[(ts(12), "click")] == (0, 0)
+    assert out[(ts(18), "click")] == (1, 200)
+    assert out[(ts(12), "purchase")] == (1, 500)
+    assert out[(ts(0), "purchase")] == (0, 0)
