@@ -59,3 +59,28 @@ def build_corpus(docs: DataFrame, *, id_col: str = "doc_id",
         .select(F.col("doc_b").alias(id_col)).distinct()
     )
     return uniq.join(losers, id_col, "left_anti")
+
+
+def build_corpus_transitive(docs: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", min_tokens: int = 20,
+                            max_tokens: int = 10_000, n: int = 3,
+                            jaccard_threshold: float = 0.8) -> DataFrame:
+    """``build_corpus`` with the closure done right: instead of the greedy
+    drop-the-higher-id-of-each-pair rule, near-dup pairs feed
+    connected-components (operators/cluster.py) and exactly ONE
+    representative (min id) survives per duplicate CLUSTER — A~B, B~C
+    drops both B and C even when A~C was never scored. Same quality gate
+    and exact-dedup stages; the pair list is the same prefix-filtered
+    jaccard join; only the pruning rule differs (documented divergence in
+    build_corpus's docstring, resolved here)."""
+    from . import cluster as _cluster
+    from .dedup import dedup_exact, ngram_jaccard_pairs
+    from .text import quality_score
+
+    good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
+                         max_tokens=max_tokens).filter("keep").select(id_col)
+    uniq = dedup_exact(docs.join(good, id_col), [text_col], [id_col]) \
+        .localCheckpoint(eager=False)
+    pairs = ngram_jaccard_pairs(uniq, id_col, text_col, n=n,
+                                threshold=jaccard_threshold)
+    return _cluster.dedup_clusters(uniq, pairs, id_col)

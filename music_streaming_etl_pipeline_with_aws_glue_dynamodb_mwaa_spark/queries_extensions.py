@@ -36,7 +36,7 @@ from .operators import (
     text,
 )
 from .queries_reference import register
-from .streaming import windowed
+from .streaming import joins, windowed
 from .sources import catalog
 
 
@@ -1232,3 +1232,90 @@ def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     ev = catalog.load_table(spark, sf_dir, "events")
     return stats.group_percentiles_approx(ev, ["event_type"], "value",
                                           ps=(0.5, 0.95))
+
+
+# --------------------------------------------------------------------------
+# Time-interval join (streaming/joins.py) + transitive corpus build
+# --------------------------------------------------------------------------
+
+@register("purchase_click_interval", """
+    WITH p AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, ts, user_id FROM events
+          WHERE event_type = 'click')
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           c.event_id AS r_event_id, c.ts AS r_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+""")
+def purchase_click_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click within the hour BEFORE each purchase by the same user
+    (1:N attribution candidates, unlike the 1:1 as-of join). Batch mode
+    routes through the bin-bucketed range join — hash join, no BNLJ; the
+    identical function runs as a watermarked stream-stream join
+    (equivalence tested in tests/test_streaming_joins.py)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "ts", "user_id", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "ts", "user_id"))
+    return joins.time_interval_join(purchases, clicks, "user_id",
+                                    lower_seconds=3600, upper_seconds=0)
+
+
+@register("corpus_build_transitive", """
+    WITH RECURSIVE quality AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                    t -> length(t)), 'sum') AS DOUBLE)
+                   / len(string_split(text, ' '))                 AS mean_token_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','an','and','or','of','to','in',
+                                        'is','it','that','for','on','with','as',
+                                        'at','by','this'], t))) AS DOUBLE)
+                   / len(string_split(text, ' '))                 AS stopword_ratio
+        FROM documents)
+      WHERE n_tokens >= 20 AND n_tokens <= 10000
+        AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+        AND stopword_ratio > 0.0
+    ),
+    uniq AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents d JOIN quality USING (doc_id))
+      WHERE rn = 1
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS s
+      FROM uniq),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    jpairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    reach(u, lbl) AS (
+        SELECT doc_id, doc_id FROM uniq
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u),
+    comp AS (SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u)
+    SELECT q.* FROM uniq q JOIN comp c USING (doc_id)
+    WHERE q.doc_id = c.component
+""")
+def corpus_build_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus triage with the transitive closure pruning rule: one
+    representative per duplicate CLUSTER (components over the jaccard
+    pairs), not per pair — fixes build_corpus's documented greedy-rule
+    divergence."""
+    return corpus.build_corpus_transitive(_docs(spark, sf_dir))

@@ -1,0 +1,70 @@
+"""Time-interval equi-join, mode-adaptive: the same semantics get the
+plan each execution mode wants.
+
+Semantics: ``left ⋈ right ON key, right_ts ∈ [left_ts − lower,
+left_ts + upper]`` (inclusive bounds) — ad attribution, dwell-time
+pairing, feature lookback windows.
+
+- **Streaming × streaming**: the raw range predicate IS the right plan —
+  Structured Streaming's stream-stream join uses it plus BOTH watermarks
+  to bound join state (rows older than watermark + interval are evicted;
+  Spark derives the state retention from the time-bound condition).
+- **Batch**: that same raw predicate would plan as
+  BroadcastNestedLoopJoin, so batch mode routes through the bin-bucketed
+  range join (operators/rangejoin.py) on exact integer microseconds —
+  hash join, never BNLJ (plan-asserted), and oracle-checkable.
+
+Batch ≡ stream equivalence is asserted in tests/test_streaming_joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.rangejoin import range_join
+
+
+def time_interval_join(left: DataFrame, right: DataFrame, key: str, *,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       lower_seconds: int = 3600,
+                       upper_seconds: int = 0,
+                       right_prefix: str = "r_",
+                       watermark: str = "12 hours") -> DataFrame:
+    """Inner join: right rows within [left_ts − lower, left_ts + upper]
+    of a left row with the same key. Right columns come back prefixed.
+
+    Output columns: all left columns, then ``right_prefix + c`` for every
+    non-key right column.
+    """
+    lo_us = int(lower_seconds) * 1_000_000
+    hi_us = int(upper_seconds) * 1_000_000
+
+    if left.isStreaming or right.isStreaming:
+        l = left.withWatermark(left_ts, watermark)
+        r = right.withWatermark(right_ts, watermark)
+        rsel = r.select(F.col(key),
+                        *[F.col(c).alias(f"{right_prefix}{c}")
+                          for c in right.columns if c != key])
+        rts = f"{right_prefix}{right_ts}"
+        cond = (
+            (l[key] == rsel[key])
+            & (F.unix_micros(rsel[rts])
+               >= F.unix_micros(l[left_ts]) - F.lit(lo_us))
+            & (F.unix_micros(rsel[rts])
+               <= F.unix_micros(l[left_ts]) + F.lit(hi_us)))
+        return (l.join(rsel, cond)
+                .drop(rsel[key]))
+
+    # batch: bin-bucketed range join on exact integer microseconds
+    ivals = left.withColumn("_lo", F.unix_micros(F.col(left_ts)) - lo_us) \
+                .withColumn("_hi", F.unix_micros(F.col(left_ts)) + hi_us)
+    pts = right.select(
+        F.col(key),
+        F.unix_micros(F.col(right_ts)).alias("_p"),
+        *[F.col(c).alias(f"{right_prefix}{c}")
+          for c in right.columns if c != key])
+    out = range_join(pts, ivals, "_p", "_lo", "_hi",
+                     keys=[key], bin_width=lo_us + hi_us + 1,
+                     closed="both")
+    return out.drop("_p", "_lo", "_hi")
