@@ -23,6 +23,7 @@ from .operators import (
     corpus,
     decontam,
     dedup,
+    ids,
     multimodal,
     kmeans,
     packing,
@@ -1319,3 +1320,18 @@ def corpus_build_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), not per pair — fixes build_corpus's documented greedy-rule
     divergence."""
     return corpus.build_corpus_transitive(_docs(spark, sf_dir))
+
+
+@register("docs_global_row_numbers", """
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+               AS row_num
+    FROM documents
+""")
+def docs_global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..N-1 example ids in (source, doc_id) order via the
+    two-phase parallel assignment (operators/ids.py) — bit-identical to
+    the oracle's single-task global window, without ever collapsing to
+    one partition (labeling pass plan-asserted shuffle-free)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return ids.global_row_numbers(docs, ["source", "doc_id"])
