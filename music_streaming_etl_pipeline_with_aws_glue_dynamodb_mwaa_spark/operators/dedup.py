@@ -474,3 +474,40 @@ def embedding_near_dup_pairs_blocked(emb: DataFrame, id_col: str, vec_col: str,
         .applyInPandas(score_block,
                        f"doc_a {id_type}, doc_b {id_type}, cosine double")
     )
+
+
+def shared_ngram_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                       n: int = 4, min_shared: int = 2,
+                       max_docfreq: int | None = None) -> DataFrame:
+    """Exact-substring overlap detector (the Lee et al. 2022 "Deduplicating
+    Training Data" n-token-span family): every document pair sharing at
+    least ``min_shared`` DISTINCT exact n-token grams, with the shared-gram
+    count — the evidence table for cross-document boilerplate/quotation
+    pruning that set-level Jaccard misses (two long docs sharing one
+    verbatim paragraph have near-zero Jaccard but high span overlap).
+
+    Spark-first shape: distinct (doc, gram) postings → docfreq roll-up →
+    SINGLETON PRUNE (grams seen in one doc can't form a pair — at 100 TB
+    this drops the overwhelming majority of postings before the join) →
+    postings self-join on the gram → pair roll-up. All equi-joins; never
+    doc×doc.
+
+    ``max_docfreq`` additionally drops ubiquitous grams (headers, license
+    boilerplate) whose postings would explode quadratically — the same
+    stop-gram cut the suffix-array pipelines apply. None = keep all.
+    """
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(shingles(text_col, n)).alias("_g"))
+    freq = sh.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    cond = F.col("_df") > 1
+    if max_docfreq is not None:
+        cond = cond & (F.col("_df") <= max_docfreq)
+    keep = freq.filter(cond).select("_g")
+    pruned = sh.join(keep, "_g")
+    a = pruned.select(F.col("_id").alias("doc_a"), "_g")
+    b = pruned.select(F.col("_id").alias("doc_b"), "_g")
+    return (a.join(b, "_g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+            .filter(F.col("n_shared_grams") >= min_shared))

@@ -1,0 +1,106 @@
+"""Intra-document repetition filters (training-data extension, SURVEY.md §7
+E-class) — the Gopher/MassiveText quality-filter family: a document whose
+mass concentrates in a few repeated n-grams is boilerplate/spam, not prose,
+and gets pruned before training.
+
+The reference has no text-quality surface at all; this extends the
+``operators/text.py`` quality gate with the repetition signals from the
+published Gopher rules (top n-gram fraction, duplicate n-gram fraction),
+re-expressed over token n-grams (the corpus is a single-space token stream,
+so token-level fractions are the natural analogue of the paper's
+character-level ones).
+
+Spark-first shape: ONE occurrence-preserving explode per n, a two-level
+aggregation — (doc, gram) counts, then per-doc roll-up — and a join of the
+per-n frames on doc_id. All exact integers plus per-column single IEEE
+divisions, so every output column is oracle-hashable bit-for-bit.
+
+Scale posture (100 TB): the explode fans out ~L grams per document but the
+first groupBy collapses them map-side (partial aggregation on (doc, gram)
+before the exchange); the per-doc frames that meet in the join are one row
+per document. No window, no skew risk beyond pathological single documents
+(a 1 GB doc is a data bug, not a plan bug).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import tokens
+from .ranking import _ngrams
+
+
+def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Per-document repetition profile for each n in ``ns``:
+
+    - ``total_{n}g``    — n-gram occurrences (exact int)
+    - ``distinct_{n}g`` — distinct n-grams (exact int)
+    - ``top_{n}g``      — occurrences of the most frequent n-gram
+    - ``dup_{n}g``      — occurrences belonging to grams seen more than
+      once (the Gopher "duplicate n-gram" numerator)
+    - ``top_{n}g_frac`` / ``dup_{n}g_frac`` — each ONE IEEE division of
+      the exact integers above (bit-portable across engines).
+
+    Documents shorter than n tokens surface with zero counts and NULL
+    fractions rather than dropping out.
+    """
+    frames = []
+    for n in ns:
+        grams = docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(_ngrams(text_col, n)).alias("_g"))
+        per_gram = grams.groupBy("_id", "_g").agg(
+            F.count(F.lit(1)).alias("_cnt"))
+        # explode_outer emits a NULL gram for empty arrays — count real grams
+        real = F.when(F.col("_g").isNotNull(), F.col("_cnt")).otherwise(F.lit(0))
+        one = F.when(F.col("_g").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        per_doc = per_gram.groupBy("_id").agg(
+            F.sum(real).alias(f"total_{n}g"),
+            F.sum(one).alias(f"distinct_{n}g"),
+            F.max(real).alias(f"top_{n}g"),
+            F.sum(F.when(F.col("_cnt") > 1, real).otherwise(F.lit(0)))
+             .alias(f"dup_{n}g"),
+        )
+        total = F.col(f"total_{n}g")
+        per_doc = per_doc.select(
+            "_id", f"total_{n}g", f"distinct_{n}g", f"top_{n}g", f"dup_{n}g",
+            F.when(total > 0, F.col(f"top_{n}g").cast("double")
+                   / total.cast("double")).alias(f"top_{n}g_frac"),
+            F.when(total > 0, F.col(f"dup_{n}g").cast("double")
+                   / total.cast("double")).alias(f"dup_{n}g_frac"),
+        )
+        frames.append(per_doc)
+    out = reduce(lambda a, b: a.join(b, "_id"), frames)
+    base = docs.select(F.col(id_col).alias("_id"),
+                       F.size(tokens(text_col)).cast("long").alias("n_tokens"))
+    return base.join(out, "_id").withColumnRenamed("_id", id_col)
+
+
+def repetition_gate(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    max_top_2g_frac: float = 0.20,
+                    max_dup_3g_frac: float = 0.20) -> DataFrame:
+    """Doc-level keep/drop verdict on the Gopher-style thresholds: flag a
+    document when its most frequent bigram covers more than
+    ``max_top_2g_frac`` of all bigrams, or when more than
+    ``max_dup_3g_frac`` of its trigram occurrences are duplicates.
+
+    Returns (id, flags, keep) — the frame you ``left_anti`` against the
+    corpus (or feed ``operators.corpus.build_corpus`` as an extra gate).
+    Too-short docs (no bigrams) pass: repetition is unmeasurable, and
+    length gating is ``text.quality_gate``'s job, not this one's.
+    """
+    stats = repetition_stats(docs, id_col=id_col, text_col=text_col, ns=(2, 3))
+    top_bad = F.coalesce(F.col("top_2g_frac") > max_top_2g_frac, F.lit(False))
+    dup_bad = F.coalesce(F.col("dup_3g_frac") > max_dup_3g_frac, F.lit(False))
+    return stats.select(
+        id_col, "n_tokens", "top_2g_frac", "dup_3g_frac",
+        top_bad.alias("flag_top_bigram"),
+        dup_bad.alias("flag_dup_trigram"),
+        (~top_bad & ~dup_bad).alias("keep"),
+    )

@@ -23,13 +23,17 @@ from .operators import (
     corpus,
     decontam,
     dedup,
+    funnel,
     ids,
+    merge,
     multimodal,
     kmeans,
+    olap,
     packing,
     profile,
     ranking,
     rangejoin,
+    repetition,
     sampling,
     sessions,
     stats,
@@ -1335,3 +1339,344 @@ def docs_global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition (labeling pass plan-asserted shuffle-free)."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     return ids.global_row_numbers(docs, ["source", "doc_id"])
+
+
+# --------------------------------------------------------------------------
+# Repetition filters (Gopher family), funnels/cohorts, OLAP lattice,
+# merge-upsert, exact-substring overlap
+# --------------------------------------------------------------------------
+
+def _rep_gram_sql(n: int) -> str:
+    """Per-doc n-gram repetition roll-up CTE body (DuckDB)."""
+    if n == 1:
+        grams = "SELECT doc_id, unnest(t) AS g FROM toks"
+    else:
+        grams = f"""SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+            FROM (SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i
+                  FROM toks)"""
+    return f"""
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT)   AS total_{n}g,
+           CAST(count(*) AS BIGINT)   AS distinct_{n}g,
+           CAST(max(cnt) AS BIGINT)   AS top_{n}g,
+           CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT) AS dup_{n}g,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)    AS top_{n}g_frac,
+           CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS DOUBLE)
+               / CAST(sum(cnt) AS DOUBLE)                         AS dup_{n}g_frac
+    FROM (SELECT doc_id, g, count(*) AS cnt FROM ({grams}) GROUP BY 1, 2)
+    GROUP BY doc_id"""
+
+
+_REP_STATS_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g1 AS ({_rep_gram_sql(1)}), g2 AS ({_rep_gram_sql(2)}), g3 AS ({_rep_gram_sql(3)})
+    SELECT d.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           g1.* EXCLUDE (doc_id), g2.* EXCLUDE (doc_id), g3.* EXCLUDE (doc_id)
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    JOIN g1 USING (doc_id) JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+"""
+
+
+@register("doc_repetition_stats", _REP_STATS_SQL)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition profile (uni/bi/trigram totals,
+    top-gram and duplicate-gram fractions) — exact integers + one IEEE
+    division per fraction column."""
+    return repetition.repetition_stats(_docs(spark, sf_dir), ns=(1, 2, 3))
+
+
+@register("repetition_gate_docs", """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g2 AS (SELECT doc_id, max(cnt) AS top, sum(cnt) AS total
+           FROM (SELECT doc_id, t[i] || ' ' || t[i+1] AS g, count(*) AS cnt
+                 FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+                 GROUP BY 1, 2) GROUP BY 1),
+    g3 AS (SELECT doc_id, coalesce(sum(cnt) FILTER (cnt > 1), 0) AS dup,
+                  sum(cnt) AS total
+           FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g,
+                        count(*) AS cnt
+                 FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                       FROM toks) GROUP BY 1, 2) GROUP BY 1)
+    SELECT d.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(g2.top AS DOUBLE) / CAST(g2.total AS DOUBLE) AS top_2g_frac,
+           CAST(g3.dup AS DOUBLE) / CAST(g3.total AS DOUBLE) AS dup_3g_frac,
+           CAST(g2.top AS DOUBLE) / CAST(g2.total AS DOUBLE) > 0.20
+               AS flag_top_bigram,
+           CAST(g3.dup AS DOUBLE) / CAST(g3.total AS DOUBLE) > 0.20
+               AS flag_dup_trigram,
+           NOT (CAST(g2.top AS DOUBLE) / CAST(g2.total AS DOUBLE) > 0.20)
+           AND NOT (CAST(g3.dup AS DOUBLE) / CAST(g3.total AS DOUBLE) > 0.20)
+               AS keep
+    FROM documents d JOIN toks t USING (doc_id)
+    JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+""")
+def repetition_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop verdict on the Gopher repetition thresholds (top-bigram
+    fraction > 0.20 or duplicate-trigram fraction > 0.20 → drop)."""
+    return repetition.repetition_gate(_docs(spark, sf_dir))
+
+
+_FUNNEL_STAGES_SQL = """
+    WITH w1 AS (SELECT user_id, ts, event_type,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           OVER (PARTITION BY user_id) AS t1
+                FROM events),
+    w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                              AND ts > t1 THEN ts END)
+                         OVER (PARTITION BY user_id) AS t2
+           FROM w1),
+    w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                              AND ts > t2 THEN ts END)
+                         OVER (PARTITION BY user_id) AS t3
+           FROM w2)
+    SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+    FROM w3 GROUP BY user_id
+"""
+
+
+@register("funnel_user_stages", _FUNNEL_STAGES_SQL)
+def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel: each user's first
+    completion time per stage (stage k strictly after stage k-1)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return funnel.funnel_user_stages(ev, ["view", "click", "purchase"])
+
+
+@register("funnel_conversion", f"""
+    WITH u AS ({_FUNNEL_STAGES_SQL}),
+    c AS (SELECT count(t1) AS c1, count(t2) AS c2, count(t3) AS c3 FROM u)
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'view' AS step, c1 AS n_users,
+             CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE) AS frac_of_entry FROM c
+      UNION ALL
+      SELECT 2, 'click', c2, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', c3, CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE) FROM c)
+""")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel reach and conversion fraction of the entry stage."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return funnel.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+@register("user_cohort_retention", """
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                          AS cohort_day
+               FROM events)
+    SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM d GROUP BY 1, 2
+""")
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: distinct users of each first-seen-day
+    cohort active again k days later."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return funnel.cohort_retention(ev)
+
+
+@register("user_interevent_stats", """
+    WITH g AS (SELECT user_id,
+                      epoch_us(ts) - lag(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                          AS gap
+               FROM events)
+    SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+           min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+           CASE WHEN count(gap) > 0
+                THEN CAST(sum(gap) AS DOUBLE) / CAST(count(gap) AS DOUBLE)
+           END AS mean_gap_us
+    FROM g GROUP BY user_id
+""")
+def user_interevent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile in exact microseconds (lag over one
+    ordered user window + integer roll-up on the same exchange)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return funnel.interevent_stats(ev)
+
+
+@register("lineitem_rollup", """
+    SELECT coalesce(CAST(l_returnflag AS VARCHAR), 'ALL') AS l_returnflag,
+           coalesce(CAST(l_linestatus AS VARCHAR), 'ALL') AS l_linestatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_qty_cents,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal lattice (detail → per-flag → grand total) in one Expand
+    pass; grouping_id disambiguates sentinel rows."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return olap.rollup_counts(
+        li, ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n_rows"),
+         F.sum(stats.cents("l_quantity")).alias("sum_qty_cents"),
+         F.sum(stats.cents("l_extendedprice")).alias("sum_price_cents")])
+
+
+@register("orders_cube", """
+    SELECT coalesce(CAST(o_orderstatus AS VARCHAR), 'ALL') AS o_orderstatus,
+           coalesce(CAST(o_orderpriority AS VARCHAR), 'ALL') AS o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 2^k subtotal lattice over (status, priority)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return olap.cube_counts(
+        o, ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n_rows"),
+         F.sum(stats.cents("o_totalprice")).alias("sum_price_cents")])
+
+
+@register("orders_status_pivot", """
+    SELECT o_orderpriority,
+           coalesce(count(*) FILTER (o_orderstatus = 'O'), 0) AS n_o,
+           coalesce(count(*) FILTER (o_orderstatus = 'F'), 0) AS n_f,
+           coalesce(count(*) FILTER (o_orderstatus = 'P'), 0) AS n_p
+    FROM orders GROUP BY o_orderpriority
+""")
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide contingency table via pivot with an EXPLICIT value list (no
+    hidden distinct-collect pre-pass)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return olap.pivot_counts(o, "o_orderpriority", "o_orderstatus",
+                             ["O", "F", "P"])
+
+
+@register("lineitem_measures_long", """
+    WITH a AS (SELECT l_returnflag,
+                      CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS sum_qty_cents,
+                      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS sum_price_cents
+               FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, 'sum_qty_cents' AS measure, sum_qty_cents AS value_cents
+    FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM a
+""")
+def lineitem_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregate → long form via the zero-shuffle unpivot Expand."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(stats.cents("l_quantity")).alias("sum_qty_cents"),
+        F.sum(stats.cents("l_extendedprice")).alias("sum_price_cents"))
+    return olap.unpivot_measures(wide, ["l_returnflag"],
+                                 ["sum_qty_cents", "sum_price_cents"],
+                                 value_col="value_cents")
+
+
+@register("events_value_histogram", """
+    WITH c AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    s AS (SELECT event_type, cents,
+                 min(cents) OVER (PARTITION BY event_type) AS mn,
+                 max(cents) OVER (PARTITION BY event_type)
+                   - min(cents) OVER (PARTITION BY event_type) + 1 AS span
+          FROM c),
+    b AS (SELECT event_type,
+                 CAST(floor(CAST((cents - mn) * 10 AS DOUBLE)
+                            / CAST(span AS DOUBLE)) AS BIGINT) AS bin,
+                 mn, span
+          FROM s)
+    SELECT event_type, bin, count(*) AS n_rows,
+           max(mn + CAST(floor(CAST(bin * span AS DOUBLE) / 10) AS BIGINT))
+               AS bin_lo_cents,
+           max(mn + CAST(floor(CAST((bin + 1) * span AS DOUBLE) / 10) AS BIGINT)
+               - 1) AS bin_hi_cents
+    FROM b GROUP BY 1, 2
+""")
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-width 10-bin histogram of exact cent values — integer
+    bin arithmetic, min/max on one window exchange."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return olap.histogram_fixed(ev, ["event_type"], "value", nbins=10)
+
+
+_MERGE_UPDATES_SQL = """
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           o_totalprice + 1000.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+def _merge_updates(o: DataFrame) -> DataFrame:
+    """Deterministic synthetic update batch: every 7th key modified, every
+    13th re-inserted under a fresh key (pure expressions — same frame both
+    engines)."""
+    changed = (o.filter(F.col("o_orderkey") % 7 == 0)
+               .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                       (F.col("o_totalprice") + 1000.0).alias("o_totalprice")))
+    inserted = (o.filter(F.col("o_orderkey") % 13 == 0)
+                .select((F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                        "o_orderstatus", "o_totalprice"))
+    return changed.unionByName(inserted)
+
+
+@register("orders_merge_upsert", f"""
+    WITH upd AS ({_MERGE_UPDATES_SQL}),
+    allr AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src
+             FROM orders
+             UNION ALL SELECT *, 1 FROM upd),
+    r AS (SELECT *, row_number()
+                 OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+          FROM allr)
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1
+""")
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD-1 insert-or-replace) as one union + rank-1 window —
+    updates win on collision, no join."""
+    o = catalog.load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return merge.merge_upsert(o, _merge_updates(o), ["o_orderkey"])
+
+
+@register("orders_merge_changelog", f"""
+    WITH upd AS ({_MERGE_UPDATES_SQL}),
+    allr AS (SELECT o_orderkey, 0 AS src FROM orders
+             UNION ALL SELECT o_orderkey, 1 FROM upd)
+    SELECT o_orderkey,
+           CASE WHEN min(src) = 1 THEN 'insert'
+                WHEN max(src) = 0 THEN 'keep'
+                ELSE 'update' END AS action
+    FROM allr GROUP BY o_orderkey
+""")
+def orders_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key merge audit verdict (insert/update/keep)."""
+    o = catalog.load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return merge.merge_changelog(o, _merge_updates(o), ["o_orderkey"])
+
+
+@register("shared_ngram_pairs_docs", """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks)),
+    freq AS (SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
+             WHERE df > 1),
+    p AS (SELECT doc_id, g.g FROM g JOIN freq USING (g))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_grams
+    FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+""")
+def shared_ngram_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-token-gram overlap pairs (Lee et al. span-dedup family) —
+    singleton-pruned inverted-index self-join, never doc×doc."""
+    return dedup.shared_ngram_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                    n=4, min_shared=2)

@@ -1,0 +1,213 @@
+"""Repetition filters, funnel/cohort/gap analytics, OLAP lattice, merge
+upsert, and exact-substring overlap — hand-computed parity + edge cases."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import (
+    dedup, funnel, merge, olap, repetition)
+
+
+# ---------------------------------------------------------------- repetition
+
+def test_repetition_stats_hand_computed(spark):
+    # "x x x y": unigrams x×3,y×1 → top 3/4, dup 3/4
+    #            bigrams "x x"×2, "x y"×1 → top 2/3, dup 2/3
+    df = spark.createDataFrame([(1, "x x x y")], "doc_id long, text string")
+    r = repetition.repetition_stats(df, ns=(1, 2)).collect()[0]
+    assert r["n_tokens"] == 4
+    assert (r["total_1g"], r["distinct_1g"], r["top_1g"], r["dup_1g"]) == (4, 2, 3, 3)
+    assert r["top_1g_frac"] == pytest.approx(0.75)
+    assert (r["total_2g"], r["distinct_2g"], r["top_2g"], r["dup_2g"]) == (3, 2, 2, 2)
+    assert r["dup_2g_frac"] == pytest.approx(2 / 3)
+
+
+def test_repetition_stats_short_doc_survives(spark):
+    # 1-token doc has no bigrams: zero counts, NULL fractions, row kept
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = repetition.repetition_stats(df, ns=(2,)).collect()[0]
+    assert (r["total_2g"], r["distinct_2g"], r["top_2g"], r["dup_2g"]) == (0, 0, 0, 0)
+    assert r["top_2g_frac"] is None and r["dup_2g_frac"] is None
+
+
+def test_repetition_gate_flags_boilerplate(spark):
+    spam = " ".join(["buy now"] * 30)            # one bigram dominates
+    prose = "a b c d e f g h i j k l m n o p q r"
+    df = spark.createDataFrame([(1, spam), (2, prose)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition.repetition_gate(df).collect()}
+    assert not out[1]["keep"] and out[1]["flag_top_bigram"]
+    assert out[2]["keep"] and not out[2]["flag_dup_trigram"]
+
+
+# -------------------------------------------------------------------- funnel
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, 1, 0, 0, s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_strict_ordering(spark):
+    # u1 completes all 3 in order; u2 clicked BEFORE viewing → stage 2 null
+    # (strict ordering); u3 never clicks
+    ev = _ev(spark, [(1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+                     (2, 0, "click"), (2, 10, "view"), (2, 5, "purchase"),
+                     (3, 0, "view")])
+    out = {r["user_id"]: r for r in funnel.funnel_user_stages(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["t3"] is not None
+    assert out[2]["t1"] is not None and out[2]["t2"] is None
+    assert out[3]["t2"] is None and out[3]["t3"] is None
+
+
+def test_funnel_conversion_fractions(spark):
+    ev = _ev(spark, [(1, 0, "view"), (1, 1, "click"), (2, 0, "view"),
+                     (3, 0, "view"), (3, 1, "click"), (3, 2, "purchase"),
+                     (4, 0, "click")])
+    rows = {r["step"]: r for r in funnel.funnel_conversion(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert rows["view"]["n_users"] == 3
+    assert rows["click"]["n_users"] == 2
+    assert rows["purchase"]["n_users"] == 1
+    assert rows["click"]["frac_of_entry"] == pytest.approx(2 / 3)
+
+
+def test_cohort_retention_offsets(spark):
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 3)),
+         (2, datetime(2024, 1, 1)), (3, datetime(2024, 1, 2))],
+        "user_id long, ts timestamp")
+    out = {(str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+           for r in funnel.cohort_retention(ev).collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 2)] == 1
+    assert out[("2024-01-02", 0)] == 1
+
+
+def test_interevent_stats_exact_gaps(spark):
+    ev = _ev(spark, [(1, 0, "a"), (1, 2, "a"), (1, 5, "a"), (2, 7, "a")])
+    out = {r["user_id"]: r for r in funnel.interevent_stats(ev).collect()}
+    assert out[1]["n_gaps"] == 2
+    assert out[1]["sum_gap_us"] == 5_000_000
+    assert (out[1]["min_gap_us"], out[1]["max_gap_us"]) == (2_000_000, 3_000_000)
+    assert out[1]["mean_gap_us"] == pytest.approx(2_500_000.0)
+    # single-event user: zero gaps, NULLs, still present
+    assert out[2]["n_gaps"] == 0 and out[2]["sum_gap_us"] is None
+
+
+# ---------------------------------------------------------------------- olap
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    return spark.createDataFrame(
+        [("a", "x", 1.00), ("a", "y", 2.00), ("b", "x", 3.00)],
+        "k1 string, k2 string, value double")
+
+
+def test_rollup_lattice(sales):
+    out = {(r["k1"], r["k2"]): (r["gid"], r["n"]) for r in olap.rollup_counts(
+        sales, ["k1", "k2"], [F.count(F.lit(1)).alias("n")]).collect()}
+    assert out[("a", "x")] == (0, 1)
+    assert out[("a", "ALL")] == (1, 2)          # per-k1 subtotal
+    assert out[("ALL", "ALL")] == (3, 3)        # grand total
+    assert len(out) == 3 + 2 + 1
+
+
+def test_cube_lattice_has_all_subsets(sales):
+    out = olap.cube_counts(sales, ["k1", "k2"],
+                           [F.count(F.lit(1)).alias("n")]).collect()
+    gids = {r["gid"] for r in out}
+    assert gids == {0, 1, 2, 3}                 # every key subset present
+    col_only = {r["k2"]: r["n"] for r in out if r["gid"] == 2}
+    assert col_only == {"x": 2, "y": 1}
+
+
+def test_pivot_explicit_values_zero_fill(sales):
+    out = {r["k1"]: r for r in olap.pivot_counts(
+        sales, "k1", "k2", ["x", "y", "z"]).collect()}
+    assert (out["a"]["n_x"], out["a"]["n_y"], out["a"]["n_z"]) == (1, 1, 0)
+    assert (out["b"]["n_x"], out["b"]["n_y"], out["b"]["n_z"]) == (1, 0, 0)
+
+
+def test_unpivot_roundtrip_shape(sales):
+    wide = sales.groupBy("k1").agg(F.sum("value").alias("m1"),
+                                   F.count(F.lit(1)).cast("double").alias("m2"))
+    long = olap.unpivot_measures(wide, ["k1"], ["m1", "m2"])
+    assert long.count() == 4
+    assert set(long.columns) == {"k1", "measure", "value"}
+
+
+def test_histogram_bins_exact(spark):
+    # cents 100..400, span 301: bin = floor((c-100)*4/301)
+    df = spark.createDataFrame([("a", 1.00), ("a", 2.00), ("a", 3.00),
+                                ("a", 4.00)], "k string, value double")
+    out = {r["bin"]: r for r in olap.histogram_fixed(
+        df, ["k"], "value", nbins=4).collect()}
+    assert {b: r["n_rows"] for b, r in out.items()} == {0: 1, 1: 1, 2: 1, 3: 1}
+    assert out[0]["bin_lo_cents"] == 100
+    assert out[3]["bin_hi_cents"] == 400
+    # edges tile the span with no gaps
+    assert out[1]["bin_lo_cents"] == out[0]["bin_hi_cents"] + 1
+
+
+def test_histogram_single_value_group(spark):
+    df = spark.createDataFrame([("a", 5.00), ("a", 5.00)],
+                               "k string, value double")
+    out = olap.histogram_fixed(df, ["k"], "value", nbins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n_rows"] == 2
+
+
+# --------------------------------------------------------------------- merge
+
+def test_merge_upsert_updates_win(spark):
+    base = spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string")
+    upd = spark.createDataFrame([(2, "new"), (3, "new")], "k long, v string")
+    out = {r["k"]: r["v"] for r in merge.merge_upsert(base, upd, ["k"]).collect()}
+    assert out == {1: "old", 2: "new", 3: "new"}
+
+
+def test_merge_upsert_order_col_resolves_dupes(spark):
+    base = spark.createDataFrame([(1, "old", 0)], "k long, v string, seq long")
+    upd = spark.createDataFrame([(1, "mid", 5), (1, "late", 9)],
+                                "k long, v string, seq long")
+    out = merge.merge_upsert(base, upd, ["k"], order_col="seq").collect()
+    assert len(out) == 1 and out[0]["v"] == "late"
+
+
+def test_merge_changelog_actions(spark):
+    base = spark.createDataFrame([(1,), (2,)], "k long")
+    upd = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r["k"]: r["action"]
+           for r in merge.merge_changelog(base, upd, ["k"]).collect()}
+    assert out == {1: "keep", 2: "update", 3: "insert"}
+
+
+# ------------------------------------------------------------- shared ngrams
+
+def test_shared_ngram_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s t u"),                    # shares "p q r s"+"q r s t"
+         (2, "a p q r s t b"),                  # → 2 shared 4-grams with 1
+         (3, "z z z z z z")],                   # no overlap
+        "doc_id long, text string")
+    out = dedup.shared_ngram_pairs(df, "doc_id", "text",
+                                   n=4, min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"], r["n_shared_grams"]) == (1, 2, 2)
+
+
+def test_shared_ngram_max_docfreq_drops_boilerplate(spark):
+    rows = [(i, "same old boiler plate text here") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_pairs = dedup.shared_ngram_pairs(df, "doc_id", "text",
+                                         n=4, min_shared=1)
+    assert all_pairs.count() == 10              # 5 choose 2
+    pruned = dedup.shared_ngram_pairs(df, "doc_id", "text", n=4,
+                                      min_shared=1, max_docfreq=3)
+    assert pruned.count() == 0                  # ubiquitous grams cut
