@@ -14,7 +14,7 @@ Hash-comparability notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import (
@@ -24,6 +24,7 @@ from .operators import (
     decontam,
     dedup,
     funnel,
+    fuzzy,
     ids,
     merge,
     multimodal,
@@ -1680,3 +1681,162 @@ def shared_ngram_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton-pruned inverted-index self-join, never doc×doc."""
     return dedup.shared_ngram_pairs(_docs(spark, sf_dir), "doc_id", "text",
                                     n=4, min_shared=2)
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching, multi-dim join revenue, window-rank surface,
+# FK integrity audit, full-outer reconciliation
+# --------------------------------------------------------------------------
+
+_FUZZY_PAIRS_SQL = """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE len(list_intersect(string_split(a.p_name, ' '),
+                             string_split(b.p_name, ' '))) > 0
+      AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+"""
+
+
+@register("part_name_fuzzy_pairs", _FUZZY_PAIRS_SQL)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-blocked Levenshtein similarity join over part names (entity
+    resolution): shared-token candidates only, JVM edit-distance verify —
+    never the n² cross join. The oracle mirrors the documented blocking
+    predicate (shared ≥1 token)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return fuzzy.fuzzy_name_pairs(p, "p_partkey", "p_name", max_distance=2)
+
+
+@register("part_name_canonical", f"""
+    WITH pairs AS ({_FUZZY_PAIRS_SQL}),
+    m AS (SELECT p_partkey, p_partkey AS c FROM part
+          UNION ALL SELECT id_b, id_a FROM pairs)
+    SELECT p_partkey, min(c) AS canonical_id FROM m GROUP BY p_partkey
+""")
+def part_name_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-hop fuzzy canonicalization: each part mapped to the minimum
+    id among its direct fuzzy matches (transitive chains are
+    operators/cluster.py's job)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return fuzzy.fuzzy_canonicalize(p, "p_partkey", "p_name", max_distance=2)
+
+
+@register("regional_revenue", """
+    SELECT r.r_name, n.n_name, count(*) AS n_lineitems,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS revenue_cbp
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+""")
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join: fact → orders (date-pruned BEFORE the
+    join) → customer → broadcast nation → broadcast region, revenue in
+    exact integer cent-basis-points (price_cents × (100 − disc_pct)) so the
+    sum is associative and hash-portable. Catalyst pushes the date filter
+    into the orders scan; the two sub-KB dims broadcast."""
+    li = catalog.load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    o = (catalog.load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+         .select("o_orderkey", "o_custkey"))
+    c = catalog.load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    n = catalog.load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_regionkey", "n_name")
+    r = catalog.load_table(spark, sf_dir, "region") \
+        .select("r_regionkey", "r_name")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (li
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_lineitems"),
+                 F.sum(price_c * (100 - disc_pct)).alias("revenue_cbp")))
+
+
+@register("events_value_ntile", """
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, event_type, cents,
+           CAST(ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY cents, event_id) AS INTEGER)
+               AS quartile,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS pr
+    FROM c
+""")
+def events_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment + percent_rank per event type — one ordered
+    window exchange; the (cents, event_id) sort is tie-free so both rank
+    functions are deterministic and the percent_rank division is the single
+    portable IEEE op."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    c = stats.cents("value")
+    w = Window.partitionBy("event_type").orderBy(c.asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", "event_type", c.alias("cents"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"))
+
+
+@register("fk_orphans_audit", """
+    WITH live AS (SELECT c_custkey FROM customer WHERE c_custkey % 5 != 0)
+    SELECT o_orderstatus, count(*) AS n_orphans,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_missing_keys
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM live l WHERE l.c_custkey = o.o_custkey)
+    GROUP BY o_orderstatus
+""")
+def fk_orphans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orders whose customer key is absent
+    from the (deterministically thinned) customer dimension — LEFT ANTI
+    join, rolled up per status. The anti join is the scalable NOT EXISTS:
+    one hash exchange, no driver-side key set."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    live = (catalog.load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 5 != 0)
+            .select("c_custkey"))
+    orphans = o.join(live, o.o_custkey == live.c_custkey, "left_anti")
+    return orphans.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.countDistinct("o_custkey").alias("n_missing_keys"))
+
+
+@register("views_vs_purchases_daily", """
+    WITH v AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_views
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT coalesce(v.day, p.day) AS day,
+           coalesce(v.n_views, 0) AS n_views,
+           coalesce(p.n_purchases, 0) AS n_purchases
+    FROM v FULL OUTER JOIN p ON v.day = p.day
+""")
+def views_vs_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided daily reconciliation via FULL OUTER join of the per-day
+    view/purchase counts, zero-filled — the coverage-gap report shape
+    (which days had views but no purchases, and vice versa)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy(day).agg(F.count(F.lit(1)).alias("n_views")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy(day).agg(F.count(F.lit(1)).alias("n_purchases")))
+    return (v.join(p, "day", "full_outer")
+            .select(F.col("day"),
+                    F.coalesce("n_views", F.lit(0)).alias("n_views"),
+                    F.coalesce("n_purchases", F.lit(0)).alias("n_purchases")))

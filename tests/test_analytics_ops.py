@@ -211,3 +211,41 @@ def test_shared_ngram_max_docfreq_drops_boilerplate(spark):
     pruned = dedup.shared_ngram_pairs(df, "doc_id", "text", n=4,
                                       min_shared=1, max_docfreq=3)
     assert pruned.count() == 0                  # ubiquitous grams cut
+
+
+# --------------------------------------------------------------------- fuzzy
+
+def test_fuzzy_pairs_blocking_and_verify(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import fuzzy
+    df = spark.createDataFrame(
+        [(1, "red widget"), (2, "red widgot"),   # distance 1, share "red"
+         (3, "blue bolt"), (4, "blue balt"),     # distance 1, share "blue"
+         (5, "red bolt")],                       # within 2 of nothing else
+        "id long, name string")
+    out = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in fuzzy.fuzzy_name_pairs(df, "id", "name",
+                                           max_distance=2).collect()}
+    assert out == {(1, 2): 1, (3, 4): 1}
+
+
+def test_fuzzy_pairs_stop_token_cut(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import fuzzy
+    rows = [(i, f"acme part{i}") for i in range(10)]   # "acme" everywhere
+    df = spark.createDataFrame(rows, "id long, name string")
+    full = fuzzy.fuzzy_name_pairs(df, "id", "name", max_distance=2)
+    assert full.count() > 0
+    cut = fuzzy.fuzzy_name_pairs(df, "id", "name", max_distance=2,
+                                 max_token_freq=5)
+    # "acme" (freq 10) no longer blocks; "partN" tokens are unique so the
+    # only remaining blocking key is gone
+    assert cut.count() == 0
+
+
+def test_fuzzy_canonicalize_min_id_wins(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import fuzzy
+    df = spark.createDataFrame(
+        [(7, "red widget"), (3, "red widgot"), (9, "unrelated thing")],
+        "id long, name string")
+    out = {r["id"]: r["canonical_id"]
+           for r in fuzzy.fuzzy_canonicalize(df, "id", "name").collect()}
+    assert out == {3: 3, 7: 3, 9: 9}

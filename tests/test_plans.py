@@ -174,3 +174,25 @@ def test_range_join_is_hash_join_not_bnlj(spark):
     plan = _executed(q("events_value_bands")(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_regional_revenue_dims_broadcast_date_pushed(spark):
+    plan = _executed(q("regional_revenue")(spark, SF_SMOKE))
+    # nation + region broadcast; the date filter reaches the orders scan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or \
+           "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    plan = _executed(q("part_name_fuzzy_pairs")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_single_shuffle_group_limit(spark):
+    plan = _executed(q("orders_merge_upsert")(spark, SF_SMOKE))
+    # union + rank-1 window: one exchange, WindowGroupLimit pushdown, no join
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
