@@ -66,3 +66,48 @@ def global_row_numbers(df: DataFrame, order_cols: list[str], *,
             yield out
 
     return d.mapInPandas(label, schema)
+
+
+def global_cumsum(df: DataFrame, order_cols: list[str], value_col: str, *,
+                  out_col: str = "cumsum",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Append ``out_col``: the INCLUSIVE running total of ``value_col``
+    following the total order of ``order_cols`` — the same two-phase trick
+    as :func:`global_row_numbers` (``sum() OVER (ORDER BY …)`` with no
+    partition key would collapse to one task):
+
+    range-partition + sort once, sum each partition (k numbers to the
+    driver), prefix-sum those into per-partition offsets, then each
+    partition folds its own rows locally. Requires a total order and an
+    integer value column (the driver-side prefix and the partition-local
+    fold must both be exact — doubles would make the result depend on the
+    partition count).
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+           .sortWithinPartitions(*order_cols)
+           .withColumn("_pid", F.spark_partition_id())
+           .localCheckpoint())
+
+    sums = {r["_pid"]: r["s"] for r in
+            d.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+
+    schema = d.drop("_pid").schema.add(out_col, "long", False)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["_pid"].iat[0])]
+            out = pdf.drop(columns=["_pid"])
+            local = pdf[value_col].astype("int64").cumsum()
+            out[out_col] = base + running + local
+            running += int(pdf[value_col].astype("int64").sum())
+            yield out
+
+    return d.mapInPandas(fold, schema)

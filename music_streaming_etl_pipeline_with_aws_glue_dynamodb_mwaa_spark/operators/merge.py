@@ -63,3 +63,40 @@ def merge_changelog(base: DataFrame, updates: DataFrame,
                      .when(F.col("_mx") == 0, F.lit("keep"))
                      .otherwise(F.lit("update")).alias("action"))
             .drop("_mn", "_mx"))
+
+
+def table_diff(left: DataFrame, right: DataFrame, keys: list[str], *,
+               compare_cols: list[str] | None = None) -> DataFrame:
+    """Keyed two-table diff: one row per key present in either side, with
+    ``action`` ∈ {``only_left``, ``only_right``, ``changed``,
+    ``unchanged``} — the regression-test primitive for pipeline outputs
+    (yesterday's table vs today's) and the value-aware complement of
+    :func:`merge_changelog`.
+
+    Each side reduces to (keys, md5-of-values) BEFORE the full-outer join,
+    so the exchange carries a 32-char digest instead of full rows. Value
+    columns are stringified with an explicit NULL sentinel and a unit
+    separator so (NULL, "x") never collides with ("x", NULL) and "a","bc"
+    never collides with "ab","c".
+
+    Portability note: stringification of DOUBLE columns is engine-specific
+    (scientific-notation thresholds differ) — pass integer/string/date
+    columns in ``compare_cols`` when the diff must be oracle-reproducible
+    (convert money to exact cents first, as the registered query does).
+    """
+    cols = compare_cols or [c for c in left.columns if c not in keys]
+
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                 for c in cols]
+        return df.select(*keys, F.md5(F.concat_ws("\x1f", *parts)).alias(name))
+
+    l = digest(left, "_hl")
+    r = digest(right, "_hr")
+    joined = l.join(r, keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_hr").isNull(), F.lit("only_left"))
+         .when(F.col("_hl").isNull(), F.lit("only_right"))
+         .when(F.col("_hl") == F.col("_hr"), F.lit("unchanged"))
+         .otherwise(F.lit("changed")).alias("action"))

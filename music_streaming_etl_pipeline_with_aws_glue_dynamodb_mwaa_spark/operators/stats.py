@@ -140,3 +140,71 @@ def group_percentiles_approx(df: DataFrame, keys: list[str], value_col: str,
     aggs = [F.percentile_approx(c, float(p), accuracy)
             .cast("double").alias(f"p{int(p * 100)}_cents") for p in ps]
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+def group_corr(df: DataFrame, keys: list[str], x_col: str, y_col: str, *,
+               out_col: str = "corr") -> DataFrame:
+    """Per-group Pearson correlation of the exact cent values, computed
+    through the PORTABLE op tree (built-in ``corr`` streams doubles in
+    partition order — not reproducible across engines or partitionings):
+
+        mean_x = Σx/n;  cov = Σxy/n − mean_x·mean_y
+        var_x  = Σx²/n − mean_x²;  r = cov / (√var_x · √var_y)
+
+    Every input sum is an exact int64 (associative); every derived step is
+    an individually correctly-rounded IEEE op (div, mul, sub, sqrt) — the
+    oracle runs the identical tree, bit for bit. Per-group sums of x², y²
+    and x·y stay exact while n·max(cent)² < 2⁶³ (~3×10¹⁶ cent-products per
+    group at 10⁷-cent values); past that switch the three product sums to
+    DECIMAL(38,0), as with group_moments. Zero-variance groups yield NULL.
+    """
+    x, y = cents(x_col), cents(y_col)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"), F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("_sx").cast("double") / n
+    my = F.col("_sy").cast("double") / n
+    cov = F.col("_sxy").cast("double") / n - mx * my
+    vx = F.col("_sxx").cast("double") / n - mx * mx
+    vy = F.col("_syy").cast("double") / n - my * my
+    r = cov / (F.sqrt(vx) * F.sqrt(vy))
+    return agg.select(*keys, "n",
+                      F.when((vx > 0) & (vy > 0), r).alias(out_col))
+
+
+def winsorized_mean(df: DataFrame, keys: list[str], value_col: str, *,
+                    p_lo: float = 0.05, p_hi: float = 0.95) -> DataFrame:
+    """Per-group winsorized mean: clamp each value to the group's
+    [p_lo, p_hi] NEAREST-RANK percentiles (rank ``ceil(p·n)``, an exact
+    integer cent — interpolated percentiles would make the clamp bounds
+    doubles and the clamped sum order-dependent), then average.
+
+    One ordered window gives rank + count; two conditional-max windows on
+    the SAME exchange extract the bounds; the final roll-up sums exact
+    clamped integers — one IEEE division total. The robust-mean aggregate
+    for monitoring dashboards where a fat tail would drown the signal.
+    """
+    c = cents(value_col)
+    wo = Window.partitionBy(*keys).orderBy(c.asc())
+    wn = Window.partitionBy(*keys)
+    rn = F.row_number().over(wo)
+    n = F.count(F.lit(1)).over(wn)
+    base = df.select(*keys, c.alias("_c"), rn.alias("_rn"), n.alias("_n"))
+    lo_rank = F.ceil(F.lit(p_lo) * F.col("_n")).cast("long")
+    hi_rank = F.ceil(F.lit(p_hi) * F.col("_n")).cast("long")
+    lo = F.max(F.when(F.col("_rn") == F.greatest(lo_rank, F.lit(1)),
+                      F.col("_c"))).over(wn)
+    hi = F.max(F.when(F.col("_rn") == hi_rank, F.col("_c"))).over(wn)
+    clamped = F.greatest(F.least(F.col("_c"), hi), lo)
+    return (base
+            .select(*keys, clamped.alias("_w"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_w").alias("wsum_cents"))
+            .withColumn("winsorized_mean_cents",
+                        F.col("wsum_cents").cast("double")
+                        / F.col("n").cast("double")))

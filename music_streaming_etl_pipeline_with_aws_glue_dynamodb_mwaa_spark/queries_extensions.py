@@ -1840,3 +1840,182 @@ def views_vs_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("day"),
                     F.coalesce("n_views", F.lit(0)).alias("n_views"),
                     F.coalesce("n_purchases", F.lit(0)).alias("n_purchases")))
+
+
+# --------------------------------------------------------------------------
+# Global cumsum (vocab coverage), table diff, portable correlation,
+# winsorized mean, grouping sets
+# --------------------------------------------------------------------------
+
+@register("vocab_coverage", """
+    WITH c AS (SELECT g AS token, count(*) AS cnt
+               FROM (SELECT unnest(string_split(text, ' ')) AS g
+                     FROM documents) GROUP BY 1),
+    t AS (SELECT sum(cnt) AS total FROM c)
+    SELECT token, cnt,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, token) AS BIGINT)
+               AS cum_cnt,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, token) AS DOUBLE)
+               / CAST(total AS DOUBLE) AS cum_frac
+    FROM c, t
+""")
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: corpus token counts in descending
+    frequency order with the INCLUSIVE running total and coverage fraction
+    — 'how many vocab entries cover 95% of tokens'. The running total uses
+    the two-phase parallel global cumsum (operators/ids.py), never a
+    single-task unpartitioned window; the oracle's window is the
+    single-task equivalent it must match bit-for-bit."""
+    counts = (_docs(spark, sf_dir)
+              .select(F.explode(F.split("text", " ")).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    cum = ids.global_cumsum(
+        counts.withColumn("_neg", -F.col("cnt")),
+        ["_neg", "token"], "cnt", out_col="cum_cnt").drop("_neg")
+    return (cum.join(F.broadcast(total))
+            .select("token", "cnt", "cum_cnt",
+                    (F.col("cum_cnt").cast("double")
+                     / F.col("_total").cast("double")).alias("cum_frac")))
+
+
+_DIFF_SIDES_SQL = """
+    l AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p
+          FROM orders),
+    r AS (SELECT k, s, CASE WHEN k % 7 = 0 THEN p + 100 ELSE p END AS p
+          FROM l WHERE k % 11 != 0
+          UNION ALL SELECT k + 2000000000, s, p FROM l WHERE k % 13 = 0)
+"""
+
+
+@register("orders_table_diff", f"""
+    WITH {_DIFF_SIDES_SQL}
+    SELECT coalesce(l.k, r.k) AS o_orderkey,
+           CASE WHEN r.k IS NULL THEN 'only_left'
+                WHEN l.k IS NULL THEN 'only_right'
+                WHEN l.s = r.s AND l.p = r.p THEN 'unchanged'
+                ELSE 'changed' END AS action
+    FROM l FULL OUTER JOIN r ON l.k = r.k
+""")
+def orders_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-aware table diff (yesterday-vs-today regression check): each
+    side reduced to (key, md5 digest) before one full-outer exchange. The
+    right side is a deterministic mutation of orders (drop every 11th key,
+    bump every 7th price, re-key every 13th)."""
+    base = (catalog.load_table(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_orderstatus").alias("s"),
+                    stats.cents("o_totalprice").alias("p")))
+    right = (base.filter(F.col("k") % 11 != 0)
+             .select("k", "s", F.when(F.col("k") % 7 == 0,
+                                      F.col("p") + 100)
+                     .otherwise(F.col("p")).alias("p"))
+             .unionByName(base.filter(F.col("k") % 13 == 0)
+                          .select((F.col("k") + 2000000000).alias("k"),
+                                  "s", "p")))
+    return (merge.table_diff(base, right, ["k"], compare_cols=["s", "p"])
+            .withColumnRenamed("k", "o_orderkey"))
+
+
+@register("lineitem_qty_price_corr", """
+    WITH a AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS sx,
+                      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS sy,
+                      CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                               * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS sxx,
+                      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                               * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS syy,
+                      CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                               * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS sxy
+               FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           CASE WHEN (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+                 AND (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+                THEN (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+           END AS corr
+    FROM a
+""")
+def lineitem_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag Pearson correlation through the portable op tree (exact
+    integer sums; div/mul/sub/sqrt only — built-in ``corr`` would stream
+    doubles in partition order and never hash-match)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return stats.group_corr(li, ["l_returnflag"],
+                            "l_quantity", "l_extendedprice")
+
+
+@register("events_value_winsorized", """
+    WITH c AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM c),
+    b AS (SELECT *,
+                 max(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                          THEN cents END)
+                     OVER (PARTITION BY event_type) AS lo,
+                 max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                          THEN cents END)
+                     OVER (PARTITION BY event_type) AS hi
+          FROM r)
+    SELECT event_type, count(*) AS n,
+           CAST(sum(greatest(least(cents, hi), lo)) AS BIGINT) AS wsum_cents,
+           CAST(sum(greatest(least(cents, hi), lo)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS winsorized_mean_cents
+    FROM b GROUP BY 1
+""")
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: values clamped to nearest-rank
+    [p05, p95] (exact integer bounds — interpolation would make the
+    clamped sum order-dependent), one division at the end."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return stats.winsorized_mean(ev, ["event_type"], "value")
+
+
+@register("lineitem_grouping_sets", """
+    SELECT coalesce(CAST(l_returnflag AS VARCHAR), 'ALL') AS l_returnflag,
+           coalesce(CAST(l_linestatus AS VARCHAR), 'ALL') AS l_linestatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_qty_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag), (status)) — the general lattice the
+    rollup/cube operators specialize; one Expand pass, no union of
+    aggregations."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    grouped = (li.groupingSets([["l_returnflag"], ["l_linestatus"]],
+                               "l_returnflag", "l_linestatus")
+               .agg(F.grouping_id().alias("gid"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(stats.cents("l_quantity")).alias("sum_qty_cents")))
+    return grouped.select(
+        F.coalesce(F.col("l_returnflag").cast("string"),
+                   F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce(F.col("l_linestatus").cast("string"),
+                   F.lit("ALL")).alias("l_linestatus"),
+        "gid", "n_rows", "sum_qty_cents")

@@ -249,3 +249,68 @@ def test_fuzzy_canonicalize_min_id_wins(spark):
     out = {r["id"]: r["canonical_id"]
            for r in fuzzy.fuzzy_canonicalize(df, "id", "name").collect()}
     assert out == {3: 3, 7: 3, 9: 9}
+
+
+# ------------------------------------------------- global cumsum / diff / corr
+
+def test_global_cumsum_matches_window(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import ids
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    out = {r["k"]: r["cumsum"] for r in
+           ids.global_cumsum(df, ["k"], "v", num_partitions=7).collect()}
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert out[k] == acc
+
+
+def test_table_diff_classification(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import merge
+    l = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)],
+                              "k long, v string")
+    r = spark.createDataFrame([(2, "B"), (3, None), (4, "d")],
+                              "k long, v string")
+    out = {row["k"]: row["action"]
+           for row in merge.table_diff(l, r, ["k"]).collect()}
+    assert out == {1: "only_left", 2: "changed", 3: "unchanged",
+                   4: "only_right"}
+
+
+def test_table_diff_null_vs_sentinel_not_conflated(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import merge
+    # (NULL,"x") vs ("x",NULL) must be 'changed', not 'unchanged'
+    l = spark.createDataFrame([(1, None, "x")], "k long, a string, b string")
+    r = spark.createDataFrame([(1, "x", None)], "k long, a string, b string")
+    out = merge.table_diff(l, r, ["k"]).collect()
+    assert out[0]["action"] == "changed"
+
+
+def test_group_corr_matches_numpy(spark):
+    import numpy as np
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    rows = [("g", float(x), float(3 * x + (-1) ** x)) for x in range(1, 20)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = stats.group_corr(df, ["k"], "x", "y").collect()[0]["corr"]
+    xs = np.array([int(x * 100 + 0.5) for _, x, _ in rows], dtype=float)
+    ys = np.array([int(y * 100 + 0.5) for _, _, y in rows], dtype=float)
+    assert r == pytest.approx(np.corrcoef(xs, ys)[0, 1], rel=1e-9)
+
+
+def test_group_corr_zero_variance_null(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    df = spark.createDataFrame([("g", 1.0, 2.0), ("g", 1.0, 3.0)],
+                               "k string, x double, y double")
+    assert stats.group_corr(df, ["k"], "x", "y").collect()[0]["corr"] is None
+
+
+def test_winsorized_mean_clamps_tail(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    # 19 ones + one huge outlier; p95 rank = ceil(.95*20)=19 → bound 1.00
+    rows = [("g", 1.00)] * 19 + [("g", 1000.00)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    r = stats.winsorized_mean(df, ["k"], "value").collect()[0]
+    assert r["wsum_cents"] == 20 * 100          # outlier clamped to 100
+    assert r["winsorized_mean_cents"] == pytest.approx(100.0)

@@ -157,3 +157,52 @@ def test_stateful_closed_sessions_across_batches(spark, tmp_path):
             r["duration_secs"]) == ("u1", 0, 2, 600)
     assert str(r["session_start"]) == "2024-01-01 10:00:00"
     assert str(r["session_end"]) == "2024-01-01 10:10:00"
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """dedup_events: identical result set in batch (dropDuplicates) and
+    stream (dropDuplicatesWithinWatermark) modes for in-horizon dupes."""
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.streaming import dedupe
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    rows = ("event_id,ts\n"
+            "e1,2024-01-01T10:00:00\n"
+            "e2,2024-01-01T10:00:05\n"
+            "e1,2024-01-01T10:00:09\n")          # e1 re-delivered
+    (src / "a.csv").write_text(rows)
+    schema = "event_id string, ts timestamp"
+    batch = spark.read.csv(str(src), header=True, schema=schema)
+    got_batch = sorted(r["event_id"]
+                       for r in dedupe.dedup_events(batch, ["event_id"]).collect())
+    assert got_batch == ["e1", "e2"]
+
+    stream = (spark.readStream.schema(schema)
+              .option("header", True).csv(str(src)))
+    q = (dedupe.dedup_events(stream, ["event_id"], watermark="10 minutes")
+         .writeStream.format("memory").queryName("dd_out")
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_stream = sorted(r["event_id"]
+                        for r in spark.sql("select * from dd_out").collect())
+    assert got_stream == got_batch
+
+
+def test_stream_static_enrichment_left_join(spark, tmp_path):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.streaming import dedupe
+    src = tmp_path / "en_in"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\nk1,10\nk3,30\n")
+    dim = spark.createDataFrame([("k1", "one"), ("k2", "two")],
+                                "k string, label string")
+    stream = (spark.readStream.schema("k string, v int")
+              .option("header", True).csv(str(src)))
+    q = (dedupe.enrich_with_dim(stream, dim, "k")
+         .writeStream.format("memory").queryName("en_out")
+         .option("checkpointLocation", str(tmp_path / "en_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {r["k"]: r["label"]
+           for r in spark.sql("select * from en_out").collect()}
+    # missing dim key survives with NULL (left join), never dropped
+    assert out == {"k1": "one", "k3": None}
