@@ -1,0 +1,79 @@
+"""Iterative graph algorithms on DataFrames — PageRank (power iteration).
+
+Companion to ``operators/cluster.py`` (connected components): components
+give duplicate CLUSTERS; PageRank gives per-node IMPORTANCE over a
+similarity / citation / co-occurrence graph — the corpus-weighting signal
+("keep the canonical page, down-weight its orbit of mirrors") a training
+pipeline derives after near-dup detection.
+
+Spark-first shape (the classic Pregel-on-DataFrames loop):
+
+- one static ``links`` frame: (src, dst, 1/out_degree) — computed once,
+  materialized once, reused every round;
+- each round is ONE equi-join (ranks ⋈ links on src) + ONE groupBy(dst)
+  sum — two hash exchanges, both on node keys, no driver participation
+  except two scalar aggregates (dangling mass, node count);
+- lineage is cut with ``localCheckpoint`` every round (the same pattern as
+  cluster.py's pointer-jumping loop) so plan depth stays O(1) per round
+  instead of O(rounds) — without it round k replans k joins.
+
+Ranks are double sums over shuffled partials → order-dependent in the last
+ulps, so this registers rows-only (the driver's documented carve-out for
+iterative algorithms); convergence to the true eigenvector is asserted in
+tests against a dense NumPy power iteration.
+
+At 100 TB: the per-round cost is a fact-sized shuffle keyed by node id —
+hot nodes (a mega-hub) are the usual skew problem; salt the CONTRIBUTION
+aggregation (operators/skew.py::salted_agg) if one dst dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iterations: int = 10) -> DataFrame:
+    """PageRank over a directed edge list (parallel edges collapse to one).
+
+    Returns (node, rank), ranks summing to ~1.0. Dangling nodes (no
+    out-edges) redistribute their mass uniformly each round — the standard
+    stochastic-matrix completion, so rank mass is conserved.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct()
+             .localCheckpoint(eager=False))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    links = (e.join(out_deg, "src")
+             .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
+             .localCheckpoint(eager=False))
+    # dangling = nodes that never appear as src
+    dangling = nodes.join(e.select("src").distinct(),
+                          nodes["node"] == F.col("src"), "left_anti") \
+                    .localCheckpoint(eager=False)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        dangling_mass = (dangling.join(ranks, "node")
+                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                         .first()[0])
+        contribs = (ranks.join(links, ranks["node"] == links["src"])
+                    .select(links["dst"].alias("node"),
+                            (F.col("rank") * F.col("_w")).alias("_c"))
+                    .groupBy("node").agg(F.sum("_c").alias("_in")))
+        ranks = (nodes.join(contribs, "node", "left")
+                 .select("node",
+                         (F.lit(teleport)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("_in"), F.lit(0.0))
+                             + F.lit(dangling_mass / n))).alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks

@@ -100,3 +100,36 @@ def table_diff(left: DataFrame, right: DataFrame, keys: list[str], *,
          .when(F.col("_hl").isNull(), F.lit("only_right"))
          .when(F.col("_hl") == F.col("_hr"), F.lit("unchanged"))
          .otherwise(F.lit("changed")).alias("action"))
+
+
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_aggregates(parts: list[DataFrame], keys: list[str],
+                     merge_spec: dict[str, str]) -> DataFrame:
+    """Incremental-aggregation maintenance: combine already-aggregated
+    partials (yesterday's agg table + today's delta agg — any number of
+    parts) into the aggregate of the union, WITHOUT rescanning the raw
+    fact. ``merge_spec`` maps aggregate column → merge fn (``sum`` for
+    counts and sums, ``min``/``max`` for extrema). Averages/ratios are NOT
+    re-aggregable — store (count, sum) partials and derive the ratio after
+    the merge (the same re-aggregability algebra as skew.salted_agg).
+
+    One union (no shuffle) + one hash agg over rows whose count is the sum
+    of the PARTS' group counts — per-refresh cost is bounded by touched
+    groups, never fact size; this is the 100 TB daily-refresh shape
+    (plans/pipeline.py's ``cumulative`` mode re-reads affected partitions
+    instead; this operator is the pure-partial variant for when the raw
+    rows are gone or cold).
+    """
+    unknown = set(merge_spec.values()) - set(_MERGE_FNS)
+    if unknown:
+        raise ValueError(f"not re-aggregable: {sorted(unknown)}")
+    if not parts:
+        raise ValueError("merge_aggregates needs at least one part")
+    cols = keys + sorted(merge_spec)
+    out = parts[0].select(*cols)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*cols))
+    return out.groupBy(*keys).agg(
+        *[_MERGE_FNS[fn](c).alias(c) for c, fn in sorted(merge_spec.items())])

@@ -17,7 +17,7 @@ shuffle, no driver participation, scales to any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,21 @@ def weighted_hash_sample(df: DataFrame, key_col: str, weight: Column, *,
     writes the same weight expression tree."""
     b = hash_bucket(key_col, buckets=resolution, salt=salt)
     return df.filter(b < F.floor(weight * F.lit(float(resolution))))
+
+
+def sample_n_per_group(df: DataFrame, group_cols: list[str], key_col: str,
+                       n: int, *, salt: str = "") -> DataFrame:
+    """Deterministic fixed-size sample: up to ``n`` rows per group, chosen
+    by md5(key + salt) order (tie-broken by the key itself) — reservoir-
+    sampling semantics without randomness, so the sample is stable across
+    runs/engines/partitionings and refreshes predictably when rows churn.
+
+    One hash exchange on the group; Spark ≥3.5 plans the rank-1..n filter
+    as WindowGroupLimit (per-partition partial top-n before the shuffle),
+    so the exchange carries ~n rows per group per map task, not the group.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))).asc(),
+        F.col(key_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))

@@ -83,3 +83,34 @@ def two_phase_count_distinct(df: DataFrame, keys: list[str], value_col: str,
         df.select(*keys, value_col).distinct()
         .groupBy(*keys).agg(F.count(F.col(value_col)).alias(out_col))
     )
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: list[str], *,
+                buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Exact equi-join with hot LEFT-side keys spread over ``buckets``
+    reducers — for large⋈medium joins where the medium side is too big to
+    broadcast and one join key is hot enough to serialize a reducer.
+
+    Left rows get a salt in [0, buckets) (``rand`` — placement-only, the
+    result is salt-independent by construction); the right side is
+    replicated once per salt value, so every (left row, right row) key
+    match meets in exactly one salted partition: multiplicities — and
+    therefore the join result — are identical to the unsalted join, while
+    a hot key's rows now land on ``buckets`` reducers instead of one.
+
+    Cost: right shuffle volume × ``buckets`` — worth it only when the left
+    side dwarfs the right and AQE's skew splitting (which handles the
+    SORT-side skew of a sort-merge join automatically) isn't available,
+    e.g. when the skew is in the build of a shuffled hash join. ``how``
+    supports the left-preserving family (inner/left/left_semi/left_anti);
+    right/full-outer would need the DUAL salting (right rows salted, left
+    replicated) — compose the mirror by swapping arguments.
+    """
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti"}:
+        raise ValueError(f"salted_join supports left-preserving joins, not {how}")
+    salt = F.floor(F.rand(seed=42) * buckets).cast("int")
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+    out = l.join(r, on + ["_salt"], how)
+    return out.drop("_salt")

@@ -33,10 +33,13 @@ from .operators import (
     packing,
     profile,
     ranking,
+    quality,
     rangejoin,
     repetition,
     sampling,
+    scd,
     sessions,
+    skew,
     stats,
     similarity,
     text,
@@ -2019,3 +2022,251 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("l_linestatus").cast("string"),
                    F.lit("ALL")).alias("l_linestatus"),
         "gid", "n_rows", "sum_qty_cents")
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history, point-in-time lookup, salted join, quality suite,
+# per-group sampling, incremental aggregate maintenance
+# --------------------------------------------------------------------------
+
+_SCD2_HIST_SQL = """
+    ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS _prev,
+               row_number() OVER w AS _rn
+        FROM events WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hist AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM ordered
+        WHERE _rn = 1 OR _prev IS DISTINCT FROM event_type
+    )
+"""
+
+
+@register("user_state_history", f"""
+    WITH {_SCD2_HIST_SQL}
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM hist
+""")
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build: the non-purchase event stream as a changelog of
+    each user's 'current activity' state, run-length-compressed into
+    half-open [valid_from, valid_to) version intervals (operators/scd.py —
+    one exchange, two window passes). event_id tie-breaks equal
+    timestamps deterministically."""
+    ev = (catalog.load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type") != "purchase"))
+    return scd.scd2_build(ev, ["user_id"], "ts", ["event_type"],
+                          tie_break=["event_id"]) \
+        .select("user_id", "event_type", "valid_from", "valid_to",
+                "is_current")
+
+
+@register("purchase_state_pit", f"""
+    WITH {_SCD2_HIST_SQL}
+    SELECT p.event_id, p.user_id,
+           h.event_type AS state_at_purchase
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+""")
+def purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup: each purchase joined to the
+    user-state version ACTIVE at purchase time — the leakage-free feature
+    snapshot (a plain join to the current state would leak future
+    activity). Equi-join on user_id carries the shuffle; the interval
+    predicate is a residual; half-open intervals guarantee ≤1 match."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    hist = scd.scd2_build(ev.filter(F.col("event_type") != "purchase"),
+                          ["user_id"], "ts", ["event_type"],
+                          tie_break=["event_id"])
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    return (scd.scd2_lookup(facts, hist, ["user_id"], "ts",
+                            attr_cols=["event_type"], prefix="dim_")
+            .select("event_id", "user_id",
+                    F.col("dim_event_type").alias("state_at_purchase")))
+
+
+@register("orders_by_nation_salted", """
+    SELECT c_nationkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+""")
+def orders_by_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders↔customer equi-join executed through the SALTED join
+    (operators/skew.py::salted_join — hot fact keys spread over 8
+    reducers, dim replicated 8×), then rolled up per nation. The salt is
+    placement-only: result is bit-identical to the plain join the oracle
+    runs."""
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    cust = (catalog.load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"))
+    joined = skew.salted_join(orders, cust, ["o_custkey"], buckets=8)
+    return (joined.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(stats.cents("o_totalprice")).alias("revenue_cents")))
+
+
+@register("orders_quality_report", """
+    WITH checks AS (
+        SELECT 'accepted_values(o_orderstatus)' AS check_name,
+               'accepted_values' AS kind,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                               OR o_orderstatus IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'fk(o_custkey)', 'fk', CAST(count(*) AS BIGINT)
+        FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'in_range(o_totalprice)', 'in_range',
+               CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'matches(o_orderpriority)', 'matches',
+               CAST(sum(CASE WHEN o_orderpriority IS NULL
+                               OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'not_null(o_orderkey)', 'not_null',
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)', 'unique',
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+    )
+    SELECT check_name, kind, n_violations, n_violations = 0 AS passed
+    FROM checks ORDER BY check_name
+""")
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/quality.py): five
+    row/table-level checks compiled into ONE aggregate pass + one FK
+    anti-join probe — a six-row report for a table of any size."""
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    cust = catalog.load_table(spark, sf_dir, "customer")
+    report = (quality.Expectations()
+              .expect_not_null("o_orderkey")
+              .expect_unique(["o_orderkey"])
+              .expect_accepted_values("o_orderstatus", ["O", "F", "P"])
+              .expect_in_range("o_totalprice", lo=0)
+              .expect_matches("o_orderpriority", "^[1-5]-")
+              .expect_fk("o_custkey", cust, "c_custkey")
+              .report(orders))
+    return report.withColumnRenamed("check", "check_name")
+
+
+@register("sample_docs_per_source", """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents) WHERE rn <= 5
+""")
+def sample_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample: 5 documents per source
+    by content-hash order (operators/sampling.py::sample_n_per_group) —
+    reservoir semantics, zero randomness, WindowGroupLimit plan."""
+    docs = _docs(spark, sf_dir)
+    return sampling.sample_n_per_group(
+        docs, ["source"], "doc_id", 5).select("doc_id", "source")
+
+
+@register("events_daily_agg_incremental", """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS min_value_cents,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events GROUP BY 1, 2
+""")
+def events_daily_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/merge.py::
+    merge_aggregates): the daily roll-up computed as TWO disjoint partial
+    aggregates (odd/even user halves — standing in for yesterday's agg
+    table + today's delta) merged WITHOUT rescanning raw rows. The oracle
+    aggregates the full fact directly: merged partials must match it
+    exactly (count/sum/min are re-aggregable monoids)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+
+    def part(pred) -> DataFrame:
+        return (ev.filter(pred)
+                .groupBy(F.to_date("ts").alias("day"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min(stats.cents("value")).alias("min_value_cents"),
+                     F.sum(stats.cents("value")).alias("sum_value_cents")))
+
+    halves = [part(F.col("user_id") % 2 == 0), part(F.col("user_id") % 2 == 1)]
+    return merge.merge_aggregates(
+        halves, ["day", "event_type"],
+        {"n_events": "sum", "min_value_cents": "min",
+         "sum_value_cents": "sum"})
+
+
+@register("part_order_pagerank", None)   # iterative float sums: rows-only
+def part_order_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite order↔part co-occurrence graph from
+    lineitem (edges both directions, so the chain is ergodic). Iterative
+    double summation is partition-order-dependent in the last ulps —
+    registered rows-only per the driver's iterative-algorithm carve-out;
+    eigenvector convergence is pinned in tests/test_graph.py against a
+    dense NumPy power iteration."""
+    from .operators import graph
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    return graph.pagerank(edges, iterations=5)
+
+
+@register("events_daily_users_sketch", None)   # HLL impl-specific: rows-only
+def events_daily_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user ESTIMATES from stored HLL sketch columns
+    (operators/sketches.py) — the mergeable pre-aggregation that answers
+    any-grain uniques without rescanning the fact. Sketch bytes are
+    DataSketches-specific (no DuckDB mirror) → rows-only; estimate error
+    vs exact distinct is pinned in tests/test_sketches.py."""
+    from .operators import sketches
+    ev = catalog.load_table(spark, sf_dir, "events")
+    daily = sketches.distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "user_id")
+    return (sketches.estimate(daily, estimate_col="n_users_est")
+            .select("day", "n_users_est"))
+
+
+@register("events_monthly_users_sketch_rollup", None)   # rows-only (HLL)
+def events_monthly_users_sketch_rollup(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Month-grain uniques produced by MERGING the daily sketches —
+    no raw re-scan (exact daily counts could never roll up: distinct is
+    not re-aggregable; sketches are). Cost: |days| sketch merges."""
+    from .operators import sketches
+    ev = catalog.load_table(spark, sf_dir, "events")
+    daily = sketches.distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "user_id")
+    monthly = sketches.merge_sketches(
+        daily.withColumn("month", F.trunc("day", "month")), ["month"],
+        estimate_col="n_users_est")
+    return monthly.select("month", "n_users_est")
