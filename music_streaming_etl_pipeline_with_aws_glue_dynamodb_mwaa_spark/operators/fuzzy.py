@@ -40,12 +40,22 @@ def fuzzy_name_pairs(df: DataFrame, id_col: str, name_col: str, *,
     names share ≥1 token and sit within ``max_distance`` Levenshtein edits
     (DIFFERENT names only — exact duplicates are ``dedup_exact``'s job).
 
+    Blocking, candidate generation, and edit-distance verification all run
+    on the DISTINCT-NAME frame, not on rows: real catalogs repeat names
+    massively (TPC-H part: 20k rows, 64 distinct names), and row-level
+    blocking squares that multiplicity inside every token bucket before a
+    single byte of verification happens. Name-level work is
+    |distinct names|-sized; verified name pairs then fan back out to id
+    pairs through two equi-joins — the row-pair explosion happens only in
+    the OUTPUT, where it is the answer itself, never in an intermediate.
+
     ``max_token_freq`` drops blocking tokens shared by more than that many
-    rows (stop-token cut) — recall-lossy by design, the knob that keeps a
-    ubiquitous token from quadratic candidate blow-up at scale.
+    DISTINCT NAMES (stop-token cut) — recall-lossy by design, the knob
+    that keeps a ubiquitous token from quadratic candidate blow-up.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"))
-    blocked = base.select("_id", "_nm", F.explode(
+    names = base.select("_nm").distinct()
+    blocked = names.select("_nm", F.explode(
         F.array_distinct(tokens("_nm"))).alias("_tok"))
     if max_token_freq is not None:
         ok = (blocked.groupBy("_tok")
@@ -53,21 +63,31 @@ def fuzzy_name_pairs(df: DataFrame, id_col: str, name_col: str, *,
               .filter(F.col("_f") <= max_token_freq)
               .select("_tok"))
         blocked = blocked.join(ok, "_tok")
-    a = blocked.select(F.col("_id").alias("id_a"),
-                       F.col("_nm").alias("name_a"), "_tok")
-    b = blocked.select(F.col("_id").alias("id_b"),
-                       F.col("_nm").alias("name_b"), "_tok")
+    a = blocked.select(F.col("_nm").alias("_na"), "_tok")
+    b = blocked.select(F.col("_nm").alias("_nb"), "_tok")
     cand = (a.join(b, "_tok")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "name_a", "name_b")
+            .filter(F.col("_na") < F.col("_nb"))
+            .select("_na", "_nb")
             .distinct())
     # cheap length prefilter before the O(len²) edit-distance verify
-    pruned = cand.filter(
-        F.abs(F.length("name_a") - F.length("name_b")) <= max_distance)
-    return (pruned
-            .withColumn("distance", F.levenshtein("name_a", "name_b"))
-            .filter((F.col("distance") <= max_distance)
-                    & (F.col("distance") > 0)))
+    npairs = (cand
+              .filter(F.abs(F.length("_na") - F.length("_nb"))
+                      <= max_distance)
+              .withColumn("_d", F.levenshtein("_na", "_nb"))
+              .filter((F.col("_d") <= max_distance) & (F.col("_d") > 0)))
+    # fan the (few) verified name pairs back out to id pairs; orient each
+    # row pair by id order, names following their ids
+    ga = base.select(F.col("_id").alias("_ia"), F.col("_nm").alias("_na"))
+    gb = base.select(F.col("_id").alias("_ib"), F.col("_nm").alias("_nb"))
+    lo = F.col("_ia") < F.col("_ib")
+    return (npairs.join(ga, "_na").join(gb, "_nb")
+            .select(F.least("_ia", "_ib").alias("id_a"),
+                    F.greatest("_ia", "_ib").alias("id_b"),
+                    F.when(lo, F.col("_na")).otherwise(F.col("_nb"))
+                    .alias("name_a"),
+                    F.when(lo, F.col("_nb")).otherwise(F.col("_na"))
+                    .alias("name_b"),
+                    F.col("_d").alias("distance")))
 
 
 def fuzzy_canonicalize(df: DataFrame, id_col: str, name_col: str, *,

@@ -208,3 +208,95 @@ def winsorized_mean(df: DataFrame, keys: list[str], value_col: str, *,
             .withColumn("winsorized_mean_cents",
                         F.col("wsum_cents").cast("double")
                         / F.col("n").cast("double")))
+
+
+def rolling_time_agg(df: DataFrame, keys: list[str], ts_col: str,
+                     value_col: str, *, window_seconds: int,
+                     out_prefix: str = "w") -> DataFrame:
+    """Per-ROW trailing time-range aggregates: count and exact-cent sum of
+    the key's rows inside ``[ts − window_seconds, ts]`` — the rolling
+    7-day-volume / velocity feature every fraud, engagement, and
+    rate-limit model wants, leakage-free (the frame never looks forward).
+
+    ONE window on one key exchange with a RANGE frame over epoch seconds —
+    Spark's range frame demands a numeric ordering column, and epoch
+    seconds also makes the frame arithmetic engine-portable (an INTERVAL
+    frame would drag in calendar semantics). Ties share the frame (RANGE
+    includes peers) in every engine. All aggregates are integer
+    count/sum — hash-exact.
+
+    At 100 TB this beats the self-join formulation (events ⋈ events ON
+    ts BETWEEN) outright: one exchange + one sort vs an O(rows × window
+    density) join explosion.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = (Window.partitionBy(*keys).orderBy(epoch)
+         .rangeBetween(-window_seconds, 0))
+    c = cents(value_col)
+    return df.select(
+        *df.columns,
+        F.count(F.lit(1)).over(w).alias(f"{out_prefix}_n"),
+        F.sum(c).over(w).alias(f"{out_prefix}_sum_cents"))
+
+
+def loo_mean(df: DataFrame, keys: list[str], value_col: str, *,
+             out_col: str = "loo_mean_cents") -> DataFrame:
+    """Leave-one-out target encoding: each row gets the mean of its
+    GROUP'S value EXCLUDING the row itself — (Σ − x)/(n − 1), NULL for
+    singleton groups. The leakage-safe categorical encoding (plain target
+    encoding leaks each row's own label into its feature; LOO removes
+    exactly that term).
+
+    One unordered window over one key exchange — no stats-table join-back.
+    Numerator and count are exact integers; the encoding is one IEEE
+    division, so the column is hash-portable.
+    """
+    c = cents(value_col)
+    wn = Window.partitionBy(*keys)
+    s = F.sum(c).over(wn)
+    n = F.count(F.lit(1)).over(wn)
+    return df.select(
+        *df.columns,
+        F.when(n > 1, (s - c).cast("double") / (n - 1).cast("double"))
+        .alias(out_col))
+
+
+def mad_outliers(df: DataFrame, keys: list[str], value_col: str, *,
+                 k: float = 3.0) -> DataFrame:
+    """Median-absolute-deviation outlier flags, integer-exact: per group
+    take the LOW MEDIAN of the cent values (rank ``(n+1) div 2`` — an
+    actual data point, so it stays integer; the interpolated median would
+    leak doubles into every downstream comparison), deviations
+    ``|x − med|``, the low median of THOSE (= MAD), and flag rows with
+    ``dev > k·MAD``. The robust alternative to z-scores when the tail
+    itself is what's being hunted (outliers inflate stddev and mask
+    themselves; the median and MAD don't move).
+
+    Two ordered window passes on the SAME key exchange (second pass
+    re-sorts within partitions, no new shuffle). With k rational
+    (default 3) the flag compares integers — fully hash-portable.
+    """
+    c = cents(value_col)
+    wo = Window.partitionBy(*keys).orderBy(c.asc())
+    wn = Window.partitionBy(*keys)
+    base = df.select(
+        *df.columns, c.alias("_c"),
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"))
+    med = F.max(F.when(F.col("_rn") == F.floor((F.col("_n") + 1) / 2),
+                       F.col("_c"))).over(wn)
+    dev = base.select(*df.columns, "_n",
+                      F.abs(F.col("_c") - med).alias("_dev"),
+                      F.col("_c").alias("value_cents"),
+                      med.alias("median_cents"))
+    wo2 = Window.partitionBy(*keys).orderBy(F.col("_dev").asc())
+    wn2 = Window.partitionBy(*keys)
+    mad = F.max(F.when(F.col("_rn2") == F.floor((F.col("_n") + 1) / 2),
+                       F.col("_dev"))).over(wn2)
+    return (dev
+            .withColumn("_rn2", F.row_number().over(wo2))
+            .withColumn("mad_cents", mad)
+            .withColumn("is_outlier",
+                        F.col("_dev").cast("double")
+                        > F.lit(float(k)) * F.col("mad_cents"))
+            .drop("_rn2", "_n", "_dev"))

@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 
 from .operators import (
     asof,
+    cdc,
     cluster,
     corpus,
     decontam,
     dedup,
+    freq,
     funnel,
     fuzzy,
     ids,
@@ -2270,3 +2272,227 @@ def events_monthly_users_sketch_rollup(spark: SparkSession,
         daily.withColumn("month", F.trunc("day", "month")), ["month"],
         estimate_col="n_users_est")
     return monthly.select("month", "n_users_est")
+
+
+# --------------------------------------------------------------------------
+# CDC changelog apply, rolling time windows, LOO encoding, MAD outliers,
+# set operations, heavy hitters, SemDeDup
+# --------------------------------------------------------------------------
+
+# deterministic synthetic changelog over orders, derivable identically in
+# SQL: keys %5==0 get an UPDATE (status 'X', price+1.00, seq 1); keys
+# %7==0 get a DELETE (seq 2 — beats the %35 overlap's update); keys
+# %11==0 spawn an INSERT under key+1e9 (seq 1).
+_CDC_LOG_SQL = """
+    changes AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               o_totalprice + 1.0 AS o_totalprice,
+               1 AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 'D'
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice, 1, 'I'
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+"""
+
+
+def _cdc_frames(spark: SparkSession, sf_dir: str):
+    snap = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = (snap.filter(F.col("o_orderkey") % 5 == 0)
+           .select("o_orderkey", F.lit("X").alias("o_orderstatus"),
+                   (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+                   F.lit(1).alias("seq"), F.lit("U").alias("op")))
+    dele = (snap.filter(F.col("o_orderkey") % 7 == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    F.lit(2).alias("seq"), F.lit("D").alias("op")))
+    ins = (snap.filter(F.col("o_orderkey") % 11 == 0)
+           .select((F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                   "o_orderstatus", "o_totalprice",
+                   F.lit(1).alias("seq"), F.lit("I").alias("op")))
+    return snap, upd.unionByName(dele).unionByName(ins)
+
+
+@register("orders_cdc_apply", f"""
+    WITH {_CDC_LOG_SQL},
+    unioned AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               NULL::INT AS seq, 'U' AS op
+        FROM orders
+        UNION ALL SELECT * FROM changes
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey
+            ORDER BY seq DESC NULLS LAST, op DESC) AS rn
+        FROM unioned
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+""")
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay (operators/cdc.py::apply_changes): orders snapshot + a
+    deterministic I/U/D changelog folded in ONE key-hash exchange
+    (union + WindowGroupLimit rank-1 + tombstone filter, no join)."""
+    snap, changes = _cdc_frames(spark, sf_dir)
+    return cdc.apply_changes(snap, changes, ["o_orderkey"], "seq")
+
+
+@register("orders_cdc_change_counts", f"""
+    WITH {_CDC_LOG_SQL}
+    SELECT o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_changes,
+           CAST(min(seq) AS INT) AS first_seq,
+           CAST(max(seq) AS INT) AS last_seq,
+           max_by(op, seq) AS last_op
+    FROM changes GROUP BY o_orderkey
+""")
+def orders_cdc_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key CDC replay audit (operators/cdc.py::change_counts): one
+    hash agg, max_by picks the final op without a window."""
+    _, changes = _cdc_frames(spark, sf_dir)
+    return cdc.change_counts(changes, ["o_orderkey"], "seq")
+
+
+@register("events_user_rolling_7d", f"""
+    WITH c AS (SELECT *, {_CENTS_SQL} AS cents,
+                      CAST(epoch(ts) AS BIGINT) AS es FROM events)
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS w_n,
+           CAST(sum(cents) OVER w AS BIGINT) AS w_sum_cents
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+""")
+def events_user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user volume features (stats.rolling_time_agg):
+    ONE range-frame window on one user exchange — never the
+    events⋈events self-join that explodes at scale."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return stats.rolling_time_agg(
+        ev, ["user_id"], "ts", "value",
+        window_seconds=7 * 86400).select(
+        "event_id", "user_id", "w_n", "w_sum_cents")
+
+
+@register("orders_custkey_loo_price", """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN count(*) OVER w > 1 THEN
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+                  - CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) OVER w - 1 AS DOUBLE)
+           END AS loo_mean_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+""")
+def orders_custkey_loo_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of customer → order price
+    (stats.loo_mean): (Σ−x)/(n−1) on one unordered window — the
+    leakage-safe categorical feature."""
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    return stats.loo_mean(orders, ["o_custkey"], "o_totalprice").select(
+        "o_orderkey", "o_custkey", "loo_mean_cents")
+
+
+@register("events_value_mad_outliers", f"""
+    WITH c AS (SELECT event_id, event_type, {_CENTS_SQL} AS cents
+               FROM events),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cents) AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM c),
+    m AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                      OVER (PARTITION BY event_type) AS median_cents
+          FROM r),
+    d AS (SELECT event_id, event_type, n, cents AS value_cents, median_cents,
+                 abs(cents - median_cents) AS dev
+          FROM m),
+    r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY dev) AS BIGINT) AS rn2
+           FROM d),
+    m2 AS (SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                       OVER (PARTITION BY event_type) AS mad_cents
+           FROM r2)
+    SELECT event_id, event_type, value_cents, median_cents, mad_cents,
+           CAST(dev AS DOUBLE) > 3.0 * mad_cents AS is_outlier
+    FROM m2
+""")
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust outlier flags (stats.mad_outliers): low-median + MAD in
+    exact integer cents, two ordered passes on ONE event_type exchange."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return stats.mad_outliers(ev, ["event_type"], "value").select(
+        "event_id", "event_type", "value_cents", "median_cents",
+        "mad_cents", "is_outlier")
+
+
+@register("users_view_and_purchase", """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+""")
+def users_view_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT surface (SURVEY §2.7): Spark plans it as a distinct +
+    left-semi hash join — no sort, shuffle on the key only."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.intersect(buys)
+
+
+@register("users_view_not_purchase", """
+    SELECT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE)
+    FROM events WHERE event_type = 'purchase'
+""")
+def users_view_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT surface (SURVEY §2.7): distinct + left-anti hash join —
+    (user, day) grain so the difference is non-empty (every user
+    eventually purchases; browse-without-buying is a per-day fact)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.to_date("ts").alias("day")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.to_date("ts").alias("day")))
+    return views.subtract(buys)
+
+
+@register("doc_token_heavy_hitters", """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), nn AS (SELECT token FROM toks WHERE token <> ''),
+    counted AS (SELECT token, CAST(count(*) AS BIGINT) AS count
+                FROM nn GROUP BY token),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM nn)
+    SELECT token, count, n_total
+    FROM counted, tot WHERE count * 50 > n_total
+""")
+def doc_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (operators/freq.py): tokens holding a strict
+    >1/50 share of the corpus. Misra–Gries O(k)-memory partition summaries
+    generate candidates (guaranteed to cover every true heavy hitter under
+    any partitioning), then one semi-join recounts candidates exactly —
+    no full-vocabulary shuffle ever, yet the result is exact and
+    oracle-checkable."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")) \
+               .filter(F.col("token") != "")
+    return freq.heavy_hitters(toks, "token", k=50)
+
+
+@register("semantic_dedup_survivors", None)   # kmeans blocks: rows-only
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means cells bound the cosine
+    pair search (Σ|cell|² flops, not n²); within-cell pairs ≥0.95 drop the
+    higher id. Cluster blocks are float-trained → rows-only; soundness +
+    recall vs the exact pair set are pinned in tests/test_semdedup.py."""
+    from .operators import semdedup
+    emb = _emb(spark, sf_dir)
+    return semdedup.semantic_dedup(emb, id_col="vec_id",
+                                   vec_col="embedding", k=8,
+                                   threshold=0.95).select("vec_id")
