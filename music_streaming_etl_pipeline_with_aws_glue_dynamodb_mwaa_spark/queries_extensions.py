@@ -2496,3 +2496,119 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semantic_dedup(emb, id_col="vec_id",
                                    vec_col="embedding", k=8,
                                    threshold=0.95).select("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Classic TPC-H-shaped optimizer showcases: Q3 (join+agg+top-k), Q4
+# (EXISTS semi-join with a non-equi residual), Q10 (4-way star + top-k).
+# Revenue is exact integer cent-basis-points (cents × (100 − disc_cents)),
+# the same convention as regional_revenue — no double summation anywhere.
+# --------------------------------------------------------------------------
+
+_REV_CBP_SQL = ("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))")
+
+
+def _rev_cbp() -> F.Column:
+    return (stats.cents("l_extendedprice")
+            * (F.lit(100) - stats.cents("l_discount")))
+
+
+@register("tpch_q3_shipping_priority", f"""
+    SELECT l.l_orderkey,
+           CAST(sum({_REV_CBP_SQL}) AS BIGINT) AS revenue_cbp,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3
+    ORDER BY revenue_cbp DESC, l_orderkey LIMIT 10
+""")
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer (broadcast) → orders →
+    lineitem, both date filters pushed to the scans, exact-integer revenue
+    roll-up, deterministic top-10 (TakeOrderedAndProject — the limit rides
+    the sort, no global sort materializes)."""
+    cut = "1998-06-01"
+    c = (catalog.load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (catalog.load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < cut)
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    l = (catalog.load_table(spark, sf_dir, "lineitem")
+         .filter(F.col("l_shipdate") > cut)
+         .select("l_orderkey", _rev_cbp().alias("_rev")))
+    return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum("_rev").alias("revenue_cbp"))
+            .select("l_orderkey", "revenue_cbp", "o_orderdate")
+            .orderBy(F.col("revenue_cbp").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+@register("tpch_q4_order_priority", """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+""")
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join with a non-equi residual
+    (l_shipdate > o_orderdate) riding the orderkey equi-join — the
+    scalable NOT-EXISTS/EXISTS pattern; never a count-then-filter
+    subquery per row."""
+    o = (catalog.load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1997-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    l = catalog.load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    hit = o.join(l, (o["o_orderkey"] == l["l_orderkey"])
+                 & (l["l_shipdate"] > o["o_orderdate"]), "left_semi")
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@register("tpch_q10_returned_items", f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum({_REV_CBP_SQL}) AS BIGINT) AS revenue_cbp
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_cbp DESC, c_custkey LIMIT 20
+""")
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-lineitem star join (nation broadcast,
+    date + returnflag pushed down), exact-integer revenue, deterministic
+    top-20 losers report."""
+    c = catalog.load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name", "c_nationkey")
+    o = (catalog.load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1998-01-01")
+                 & (F.col("o_orderdate") < "1998-07-01"))
+         .select("o_orderkey", "o_custkey"))
+    l = (catalog.load_table(spark, sf_dir, "lineitem")
+         .filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey", _rev_cbp().alias("_rev")))
+    n = catalog.load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    return (l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum("_rev").alias("revenue_cbp"))
+            .orderBy(F.col("revenue_cbp").desc(), F.col("c_custkey"))
+            .limit(20))

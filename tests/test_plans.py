@@ -196,3 +196,25 @@ def test_merge_upsert_single_shuffle_group_limit(spark):
     # union + rank-1 window: one exchange, WindowGroupLimit pushdown, no join
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
+
+
+def test_tpch_q3_topk_no_global_sort(spark):
+    plan = _executed(q("tpch_q3_shipping_priority")(spark, SF_SMOKE))
+    # limit folds into the sort: TakeOrderedAndProject, no full Sort stage
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan          # segment dim broadcast
+    # both date filters reach the parquet scans
+    assert plan.count("PushedFilters: [") >= 2
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    plan = _executed(q("tpch_q4_order_priority")(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q10_star_broadcast_dims(spark):
+    plan = _executed(q("tpch_q10_returned_items")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan          # nation broadcast
