@@ -15,10 +15,12 @@ shuffle); the layout itself is one ``repartitionByRange`` (sampled range
 boundaries, balanced output files) + in-partition sort, which is exactly
 the shuffle a plain sorted write would cost.
 
-Caveat (documented, deliberate): linear min-max scaling is skew-sensitive —
-a heavy-tailed column wastes z-bits on empty range. The robust variant
-would bin by approxQuantile instead; same interleave, one extra pass. At
-100 TB do the quantile variant once and reuse the boundaries.
+Two scalings, pick by distribution: ``zorder_by`` (linear min-max —
+cheapest, right for roughly uniform domains) and ``zorder_by_quantile``
+(rank-space via approxQuantile boundaries — skew-robust: a heavy-tailed
+column no longer wastes z-bits on empty range; each bin holds ~equal row
+mass). At 100 TB compute the quantile boundaries once and reuse them
+across writes.
 """
 
 from __future__ import annotations
@@ -88,6 +90,50 @@ def zorder_by(df: DataFrame, cols: list[str], *, num_partitions: int,
     return (with_z.repartitionByRange(num_partitions, F.col("_z"))
             .sortWithinPartitions("_z")
             .drop("_z"))
+
+
+def zorder_by_quantile(df: DataFrame, cols: list[str], *,
+                       num_partitions: int, bits: int = 8,
+                       relative_error: float = 0.01) -> DataFrame:
+    """Skew-robust z-order: each column is mapped to its RANK-SPACE bin
+    (index into ``2^bits`` approxQuantile boundaries) before interleaving,
+    so a heavy-tailed column spreads over all z-bits instead of collapsing
+    into the first few. Bin lookup is a broadcast literal-array binary
+    search — no UDF, no join; boundaries are one approxQuantile pass
+    (GK sketch, mergeable, driver gets 2^bits doubles per column).
+
+    ``pyspark.ml.feature.Bucketizer`` does the lookup — a JVM binary
+    search over the broadcast split array, no UDF, no join. NULLs bin to 0
+    (sort first, prunable by IS NULL).
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    if not cols:
+        raise ValueError("zorder_by_quantile needs at least one column")
+    nbins = 1 << bits
+    probs = [i / nbins for i in range(1, nbins)]
+    dbl_cols = [f"_q_{c}" for c in cols]
+    staged = df.select(
+        "*", *[F.col(c).cast("double").alias(d)
+               for c, d in zip(cols, dbl_cols)])
+    bounds = staged.approxQuantile(dbl_cols, probs, relative_error)
+    splits = []
+    for bs in bounds:
+        # strictly increasing splits (approxQuantile repeats values on
+        # discrete data — collapse; fewer bins just means fewer occupied
+        # codes, the interleave is indifferent)
+        splits.append([float("-inf")] + sorted(set(bs)) + [float("inf")])
+    bin_cols = [f"_b_{c}" for c in cols]
+    bucketizer = Bucketizer(inputCols=dbl_cols, outputCols=bin_cols,
+                            splitsArray=splits, handleInvalid="keep")
+    binned = bucketizer.transform(staged.fillna(
+        {d: float("-inf") for d in dbl_cols}))
+    scaled = [F.least(F.col(b).cast("long"), F.lit(nbins - 1))
+              for b in bin_cols]
+    with_z = binned.withColumn("_z", zvalue(scaled, bits))
+    return (with_z.repartitionByRange(num_partitions, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z", *dbl_cols, *bin_cols))
 
 
 def write_zordered(df: DataFrame, path: str, cols: list[str], *,

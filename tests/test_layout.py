@@ -81,3 +81,35 @@ def test_compact_small_files(spark, tmp_path):
     files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
     assert len(files) == n
     assert 1 < n < 40
+
+
+def test_zorder_quantile_robust_on_heavy_tail(spark, tmp_path):
+    # x is heavy-tailed (cubed), y uniform: linear min-max scaling maps
+    # ~all x mass into the bottom z-bins, so files can't separate the
+    # dense region; rank-space binning spreads it evenly.
+    n = 20_000
+    df = spark.range(n).select(
+        ((F.xxhash64("id") % 1000 + 1000) % 1000).alias("u"),
+        F.col("id"))
+    df = df.select(
+        (F.col("u") * F.col("u") * F.col("u")).alias("x"),   # tail to 1e9
+        (F.xxhash64("id", F.lit(2)) % 1000).alias("y"))
+    qpath, lpath = str(tmp_path / "q"), str(tmp_path / "l")
+    layout.zorder_by_quantile(df, ["x", "y"], num_partitions=16) \
+        .write.parquet(qpath)
+    layout.zorder_by(df, ["x", "y"], num_partitions=16, bits=8) \
+        .write.parquet(lpath)
+
+    qdf = spark.read.parquet(qpath)
+    assert qdf.count() == n
+    assert set(qdf.columns) == {"x", "y"}
+
+    qrep = layout.clustering_report(spark, qpath, ["x", "y"]).collect()
+    lrep = layout.clustering_report(spark, lpath, ["x", "y"]).collect()
+    # probes inside the dense low-x region, where the tail crushes the
+    # linear scaling
+    probes = [(8, 100), (1000, 500), (125000, 900), (27000, 50)]
+    q_frac = sum(_touch_fraction(qrep, *p) for p in probes) / len(probes)
+    l_frac = sum(_touch_fraction(lrep, *p) for p in probes) / len(probes)
+    assert q_frac <= l_frac
+    assert q_frac < 0.5
