@@ -76,6 +76,39 @@ def funnel_conversion(events: DataFrame, steps: list[str], *,
     )
 
 
+def event_transitions(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    (from_event, to_event, n, prob) where ``to_event`` is each user's NEXT
+    event in (``ts_col``, ``id_col``) order and ``prob`` is the row-
+    normalized share of ``from_event``'s outgoing transitions.
+
+    Plan: one hash exchange on user for the ``lead`` window, then a
+    (from, to) hash agg whose partial (map-side combine) collapses the
+    stream to ≤ |event-type|² rows BEFORE the second exchange — at 100 TB
+    the second shuffle moves kilobytes. The row total for ``prob`` rides a
+    Window over the tiny aggregated frame, not the fact.
+
+    ``id_col`` breaks timestamp ties deterministically (oracle-portable:
+    the same ORDER BY in SQL's ``lead``); the last event of each user has
+    no successor and contributes no pair. ``prob`` is ONE IEEE division of
+    two exact longs — hash-comparable across engines.
+    """
+    nxt = F.lead(type_col).over(
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc()))
+    pairs = (events.select(F.col(type_col).alias("from_event"),
+                           nxt.alias("to_event"))
+             .where(F.col("to_event").isNotNull()))
+    agg = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_event"))
+    return agg.select(
+        "from_event", "to_event", "n",
+        (F.col("n").cast("double") / tot.cast("double")).alias("prob"))
+
+
 def cohort_retention(events: DataFrame, *, user_col: str = "user_id",
                      ts_col: str = "ts") -> DataFrame:
     """(cohort_day, day_offset, n_users): distinct users from each first-seen

@@ -105,3 +105,64 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                              + F.lit(dangling_mass / n))).alias("rank"))
                  .localCheckpoint(eager=False))
     return ranks
+
+
+def triangle_count(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over the undirected graph:
+    (node, n_triangles), nodes in ≥1 triangle. Parallel edges, direction,
+    and self-loops are collapsed/dropped up front.
+
+    Spark-first shape — the degree-orientation MPC algorithm (Suri &
+    Vassilvitskii, WWW'11): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, so every out-degree is
+    O(√m); enumerate wedges as the oriented self-join on the common LOWEST
+    vertex (u→v, u→w with v before w in the same order), then one more
+    equi-join probes whether the closing edge (v, w) exists. Each triangle
+    is found exactly once — at its minimum-(degree, id) vertex.
+
+    Why not the naive a<b<c id-ordered join: a hub of degree D yields
+    O(D²) wedges under id-ordering but only O(m) total under degree-
+    ordering — the difference between a dead reducer and an even spread on
+    a power-law graph at 100 TB. Both enumerate the same triangle SET, so
+    the id-ordered SQL formulation remains a valid oracle.
+
+    Plan: 3 hash aggs (distinct, degree, final count) + 3 equi-joins, all
+    keyed by node/edge — no cartesian, no driver participation.
+    """
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select("b"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    da, db = deg.alias("da"), deg.alias("db")
+    ranked = (und.join(da, F.col("a") == F.col("da.node"))
+              .join(db, F.col("b") == F.col("db.node"))
+              .select("a", "b", F.col("da.deg").alias("dega"),
+                      F.col("db.deg").alias("degb")))
+    # rank(x) = (deg(x), x): orient low → high
+    a_first = (F.col("dega") < F.col("degb")) | \
+              ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+    o = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("deghi"),
+    ).localCheckpoint(eager=False)
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    # wedge at u: (u→v, u→w), v strictly before w in (deg, id) order
+    v_first = (F.col("e1.deghi") < F.col("e2.deghi")) | \
+              ((F.col("e1.deghi") == F.col("e2.deghi"))
+               & (F.col("e1.hi") < F.col("e2.hi")))
+    wedges = (e1.join(e2, F.col("e1.lo") == F.col("e2.lo"))
+              .where(v_first)
+              .select(F.col("e1.lo").alias("u"), F.col("e1.hi").alias("v"),
+                      F.col("e2.hi").alias("w")))
+    tri = wedges.join(
+        e3, (F.col("v") == F.col("e3.lo")) & (F.col("w") == F.col("e3.hi")),
+        "left_semi")
+    return (tri.select(F.col("u").alias("node"))
+            .unionAll(tri.select("v"))
+            .unionAll(tri.select("w"))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))

@@ -227,3 +227,49 @@ def chunk_documents(docs: DataFrame, id_col: str, text_col: str, *,
             .select(F.col(id_col), F.explode(chunks).alias("_c"))
             .select(id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tokens")
             .filter(F.col("n_tokens") > 0))
+
+
+def remove_common_segments(docs: DataFrame, id_col: str, text_col: str, *,
+                           seg_tokens: int = 8,
+                           max_docfreq: int = 1) -> DataFrame:
+    """Corpus-level boilerplate removal, CCNet/RefinedWeb-style: cut every
+    non-overlapping ``seg_tokens``-token segment that appears in MORE than
+    ``max_docfreq`` distinct documents (headers, footers, cookie banners —
+    the segments whose cross-document frequency betrays template origin),
+    then stitch each document back together from its surviving segments.
+
+    Returns (doc_id, clean_text, n_segs_kept, n_segs_dropped). A document
+    whose every segment is boilerplate survives with an empty
+    ``clean_text`` (dropping it is the quality gate's decision, not this
+    operator's).
+
+    Spark-first shape, 3 exchanges total at ANY corpus size:
+    1. segment explode (narrow) → docfreq hash-agg keyed by the segment's
+       md5 — 128-bit key, never the multi-KB segment text;
+    2. the over-frequent set is a tiny fraction of segments (boilerplate
+       is by definition repeated → collapses under distinct), so it comes
+       back to the segment stream as a BROADCAST left-semi flag — no
+       second fact-sized shuffle;
+    3. one groupBy(doc) re-assembly with an array_sort on segment index —
+       order restored without an ordered shuffle.
+    """
+    segs = (chunk_documents(docs.select(id_col, text_col), id_col, text_col,
+                            chunk_tokens=seg_tokens, overlap_tokens=0)
+            .withColumn("_h", F.md5(F.col("chunk_text"))))
+    common = (segs.groupBy("_h")
+              .agg(F.countDistinct(id_col).alias("_df"))
+              .where(F.col("_df") > max_docfreq)
+              .select("_h"))
+    flagged = segs.join(F.broadcast(common.withColumn("_drop", F.lit(True))),
+                        "_h", "left")
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("_drop").isNull(),
+                       F.struct("chunk_idx", "chunk_text")))),
+            lambda s: s["chunk_text"]),
+        " ")
+    return (flagged.groupBy(id_col).agg(
+        kept_text.alias("clean_text"),
+        F.count(F.when(F.col("_drop").isNull(), 1)).alias("n_segs_kept"),
+        F.count(F.when(F.col("_drop").isNotNull(), 1)).alias("n_segs_dropped")))

@@ -2612,3 +2612,123 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("_rev").alias("revenue_cbp"))
             .orderBy(F.col("revenue_cbp").desc(), F.col("c_custkey"))
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# E57 — event-stream transition matrix (first-order Markov counts)
+# --------------------------------------------------------------------------
+
+@register("event_transition_matrix", """
+    WITH p AS (SELECT event_type AS from_event,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          AS to_event
+               FROM events),
+    a AS (SELECT from_event, to_event, count(*) AS n
+          FROM p WHERE to_event IS NOT NULL GROUP BY 1, 2)
+    SELECT from_event, to_event, n,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE) AS prob
+    FROM a
+""")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does a user do NEXT after each event type — the session-flow /
+    Markov-chain transition matrix (funnel.py::event_transitions). One user
+    exchange + one tiny (from,to) agg; prob is one IEEE division of exact
+    longs."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return funnel.event_transitions(ev)
+
+
+# --------------------------------------------------------------------------
+# E58 — triangle counting (graph clustering coefficient ingredient)
+# --------------------------------------------------------------------------
+
+@register("part_triangle_counts", """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+    tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM und e1 JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT u AS node FROM tri UNION ALL
+          SELECT v FROM tri UNION ALL
+          SELECT w FROM tri)
+    GROUP BY node
+""")
+def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (parts
+    sharing ≥2 orders — the support threshold keeps the graph sparse as the
+    fact grows). Degree-orientation enumeration (graph.py::triangle_count)
+    bounds every wedge fan-out by O(√m); the id-ordered SQL oracle
+    enumerates the same triangle set."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("src"),
+                      F.col("b.l_partkey").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("_sup"))
+             .where(F.col("_sup") >= 2)
+             .select("src", "dst"))
+    from .operators import graph
+    return graph.triangle_count(edges)
+
+
+# --------------------------------------------------------------------------
+# E59 — corpus boilerplate removal (CCNet/RefinedWeb segment docfreq cut)
+# --------------------------------------------------------------------------
+
+@register("docs_clean_boilerplate", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, CAST(st // 4 AS BIGINT) AS chunk_idx,
+                 array_to_string(toks[st+1:st+4], ' ') AS seg
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks), 1), 4)) AS st
+                FROM t)
+          WHERE least(4, len(toks) - st) > 0),
+    com AS (SELECT seg FROM s GROUP BY seg
+            HAVING count(DISTINCT doc_id) > 1)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN c.seg IS NULL THEN s.seg END,
+                               ' ' ORDER BY chunk_idx), '') AS clean_text,
+           count(CASE WHEN c.seg IS NULL THEN 1 END) AS n_segs_kept,
+           count(CASE WHEN c.seg IS NOT NULL THEN 1 END) AS n_segs_dropped
+    FROM s LEFT JOIN com c USING (seg)
+    GROUP BY doc_id
+""")
+def docs_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate scrub: drop every 4-token segment seen in
+    >1 document (template headers/footers at web scale), reassemble the
+    survivors (text.py::remove_common_segments). The over-frequent set
+    collapses under distinct → broadcast flag, no second fact shuffle."""
+    return text.remove_common_segments(_docs(spark, sf_dir), "doc_id", "text",
+                                       seg_tokens=4, max_docfreq=1)
+
+
+# --------------------------------------------------------------------------
+# E60 — Python UDTF surface (§2.10): lateral table function
+# --------------------------------------------------------------------------
+
+@register("doc_tokens_udtf", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    e AS (SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+                 unnest(l) AS token
+          FROM t)
+    SELECT doc_id, pos, token,
+           (pos = min(pos) OVER (PARTITION BY doc_id, token))
+               AS first_occurrence
+    FROM e WHERE token <> ''
+""")
+def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``) lateral-joined per document:
+    position-ordered tokens with a streamed first-occurrence flag
+    (functions/udtfs.py). Registered to pin the §2.10 table-function
+    surface; the JVM posexplode+window twin (asserted row-equal in tests)
+    is the hot path."""
+    from .functions import udtfs
+    return udtfs.tokenize_first_seen_udtf(spark, _docs(spark, sf_dir))

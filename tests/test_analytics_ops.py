@@ -314,3 +314,31 @@ def test_winsorized_mean_clamps_tail(spark):
     r = stats.winsorized_mean(df, ["k"], "value").collect()[0]
     assert r["wsum_cents"] == 20 * 100          # outlier clamped to 100
     assert r["winsorized_mean_cents"] == pytest.approx(100.0)
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [  # user 1: a->b->a ; user 2: a->b ; ties broken by event_id
+        (1, t(0), "a", 10), (1, t(1), "b", 11), (1, t(2), "a", 12),
+        (2, t(5), "a", 20), (2, t(5), "b", 21),
+        (3, t(9), "c", 30),                     # single event: no pair
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    got = {(r["from_event"], r["to_event"]): (r["n"], r["prob"])
+           for r in funnel.event_transitions(ev).collect()}
+    assert got[("a", "b")] == (2, 1.0)          # both a's go to b
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", None) not in got and len(got) == 2
+
+
+def test_event_transitions_tie_broken_by_id(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, "x", 2), (1, t0, "y", 1)],
+        "user_id long, ts timestamp, event_type string, event_id long")
+    got = [(r["from_event"], r["to_event"])
+           for r in funnel.event_transitions(ev).collect()]
+    assert got == [("y", "x")]                  # id 1 first, then id 2

@@ -52,3 +52,47 @@ def test_pagerank_symmetric_graph_uniform(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     for r in graph.pagerank(df, iterations=10).collect():
         assert r["rank"] == pytest.approx(1.0 / 3, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# triangle_count
+# --------------------------------------------------------------------------
+
+def _brute_triangles(edges):
+    """All-pairs reference: per-node triangle membership counts."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    from itertools import combinations
+    counts = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for x in (a, b, c):
+                counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # K4 on 0-3 (each node in C(3,2)=3 triangles) + a pendant + an isolated
+    # edge + a parallel/reversed/self-loop noise set that must collapse.
+    edges = ([(a, b) for a in range(4) for b in range(4) if a != b]
+             + [(3, 4), (7, 8), (8, 7), (5, 5)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_count(df).collect()}
+    assert got == _brute_triangles(edges)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_no_triangles(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert graph.triangle_count(df).count() == 0
+
+
+def test_triangle_count_random_graph_vs_bruteforce(spark):
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_count(df).collect()}
+    assert got == _brute_triangles(edges)

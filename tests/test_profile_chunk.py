@@ -73,3 +73,43 @@ def test_chunk_reconstruction_covers_all_tokens(spark):
                   for d, v in parts.items()}
     orig = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert rebuilt_py == orig
+
+
+# --------------------------------------------------------------------------
+# remove_common_segments (corpus boilerplate scrub)
+# --------------------------------------------------------------------------
+
+def test_remove_common_segments_drops_shared(spark):
+    docs = spark.createDataFrame(
+        [(1, "hdr foo a b c d"),       # "hdr foo" shared by docs 1+2
+         (2, "hdr foo x y z w"),
+         (3, "p q r s")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.remove_common_segments(docs, "doc_id", "text",
+                                       seg_tokens=2, max_docfreq=1).collect()}
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[1]["n_segs_dropped"] == 1 and out[1]["n_segs_kept"] == 2
+    assert out[2]["clean_text"] == "x y z w"
+    assert out[3]["clean_text"] == "p q r s"
+    assert out[3]["n_segs_dropped"] == 0
+
+
+def test_remove_common_segments_all_boilerplate_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "same same"), (2, "same same")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.remove_common_segments(docs, "doc_id", "text",
+                                       seg_tokens=2, max_docfreq=1).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_segs_kept"] == 0
+    assert set(out) == {1, 2}
+
+
+def test_remove_common_segments_within_doc_repeat_kept(spark):
+    # a segment repeated WITHIN one doc has docfreq 1 -> kept both times
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e f")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.remove_common_segments(docs, "doc_id", "text",
+                                       seg_tokens=2, max_docfreq=1).collect()}
+    assert out[1]["clean_text"] == "a b a b"
