@@ -37,9 +37,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return kpi.genre_kpi_pipeline(streams, songs)
 
 
+# The driver's correctness gate samples the FIRST 50 registry entries, so
+# ordering is load-bearing: the reference surface (SURVEY.md §2) goes first,
+# then one representative per extension family — prioritizing operators that
+# have not yet received a driver correctness row (round-2 additions) and the
+# queries whose projections were fixed this round. Everything else keeps its
+# definition order after the priority block; ALL entries are continuously
+# self-checked by tools/oracle_check.py (see ORACLE_FULL_r03.txt).
+_PRIORITY = [
+    # reference surface (SURVEY.md §2 ✓-rows)
+    "daily_genre_kpis", "top_songs_per_genre", "top_genres_per_day",
+    "validate_split_good", "validate_split_bad", "kv_genre_kpi_items",
+    "kv_top_song_items", "kv_top_genre_items", "latest_day_kpis",
+    "csv_scan_roundtrip", "csv_scan_corrupt_routing", "scan_project_filter",
+    "events_daily_agg", "lineitem_agg_salted",
+    "events_unique_users_skew_robust", "events_props_extract",
+    "daily_genre_kpis_approx",
+    # projections/oracles fixed in round 3 — need fresh driver rows
+    "media_resize_stamped", "media_feature_extract",
+    "embedding_quantize_int8", "pack_documents_512", "packing_stats_512",
+    # LLM-pipeline headline families (already green in r2, keep guarded)
+    "dedup_exact_text", "ann_cosine_topk",
+    # round-2 families with no driver row yet — one or two reps each
+    "sessionize_events", "session_stats", "asof_purchase_click",
+    "events_value_bands", "funnel_conversion", "lineitem_rollup",
+    "orders_status_pivot", "lineitem_grouping_sets", "events_value_histogram",
+    "orders_merge_upsert", "orders_table_diff", "user_state_history",
+    "orders_cdc_apply", "events_user_rolling_7d", "lineitem_qty_price_corr",
+    "events_value_moments", "orders_quality_report",
+    "doc_token_heavy_hitters", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q10_returned_items", "regional_revenue",
+    "doc_term_stats", "events_windowed_counts", "docs_global_row_numbers",
+    "doc_repetition_stats",
+]
+
+
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    src = queries_reference.REGISTRY
     reg: dict = {}
-    reg.update(queries_reference.REGISTRY)
+    for name in _PRIORITY:
+        if name in src:
+            reg[name] = src[name]
+    for name, item in src.items():
+        if name not in reg:
+            reg[name] = item
     return reg
 
 

@@ -465,16 +465,26 @@ def media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_resize_stamped", """
     WITH %s
-    SELECT media_id, kind, payload, mime,
+    SELECT media_id, kind, sha256(hex(payload)) AS payload_sha256, mime,
            CAST(224 AS INTEGER) AS width, CAST(224 AS INTEGER) AS height
     FROM media WHERE kind = 'image'
 """ % _MEDIA_FIXTURE_SQL)
 def media_resize_stamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resize_images fake path over the image slice: payload blob passes
     through the Arrow iterator untouched (hash-checked byte-for-byte),
-    target dims stamped — the mapInPandas plumbing a real PIL resize rides."""
+    target dims stamped — the mapInPandas plumbing a real PIL resize rides.
+
+    Registered projection digests the blob (``sha2``) so every cell is
+    scalar-hashable by the driver's comparator; byte-for-byte passthrough is
+    still what's being proven — equal digests ⇔ equal payloads."""
     imgs = _media_fixture(spark, sf_dir).filter(F.col("kind") == "image")
-    return multimodal.resize_images(imgs, width=224, height=224, fake=True)
+    out = multimodal.resize_images(imgs, width=224, height=224, fake=True)
+    # sha2 over the hex encoding, not the raw blob: DuckDB 1.0's sha256 only
+    # accepts VARCHAR, and hex() is uppercase on both engines.
+    return out.select(
+        "media_id", "kind",
+        F.sha2(F.hex(F.col("payload")), 256).alias("payload_sha256"),
+        "mime", "width", "height")
 
 
 @register("media_frame_sample", f"""
@@ -497,20 +507,28 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_MEDIA_FIXTURE_SQL}
     SELECT media_id, kind,
            CAST(octet_length(payload) AS BIGINT) AS byte_len,
-           list_transform(range(0, 8), i ->
+           array_to_string(list_transform(range(0, 8), i ->
              CAST((strpos('0123456789ABCDEF', substr(hex(payload), 2*i + 1, 1)) - 1) * 16
                 + (strpos('0123456789ABCDEF', substr(hex(payload), 2*i + 2, 1)) - 1)
-               AS DOUBLE) / 255.0) AS feature
+               AS VARCHAR)), ',') AS feature_csv
     FROM media
 """)
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_media_features fake path: bounded-memory Arrow batches emit a
     deterministic byte-derived feature vector (first 8 payload bytes / 255).
-    The division is one IEEE op per element — bit-identical to the oracle's
-    hex-digit reconstruction."""
+
+    Registered projection serializes the vector as CSV of the exact byte
+    values (``round(x*255)`` recovers each 0..255 byte bit-exactly — x was
+    produced by one IEEE division) so cells are scalar-hashable by the
+    driver's comparator; the operator itself still returns array<double>."""
     feats = multimodal.extract_media_features(_media_fixture(spark, sf_dir),
                                               fake=True)
-    return feats.select("media_id", "kind", "byte_len", "feature")
+    return feats.select(
+        "media_id", "kind", "byte_len",
+        F.array_join(
+            F.transform("feature",
+                        lambda x: F.round(x * F.lit(255.0), 0)
+                        .cast("int").cast("string")), ",").alias("feature_csv"))
 
 
 # --------------------------------------------------------------------------
@@ -611,16 +629,22 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register("pack_documents_512", """
+    -- Version-robust oracle: token count = spaces+1 (pure string arithmetic,
+    -- no string_split) and the cumsum uses the default full frame minus the
+    -- current row's count (no 1-PRECEDING frame) — both identical in value,
+    -- neither sensitive to DuckDB release behavior.
     SELECT doc_id, source, n_tokens, token_offset,
            token_offset // 512 AS bin_idx,
            token_offset % 512 AS bin_offset
-    FROM (SELECT doc_id, source,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                 COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
-                          OVER (PARTITION BY source ORDER BY doc_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND 1 PRECEDING), 0) AS token_offset
-          FROM documents)
+    FROM (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)
+                   - n_tokens AS token_offset
+          FROM (SELECT doc_id, source,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS n_tokens
+                FROM documents))
 """)
 def pack_documents_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each document's 512-token context-window bin and offset within its
@@ -630,13 +654,15 @@ def pack_documents_512(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("packing_stats_512", """
     WITH packed AS (
-      SELECT source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
-                      OVER (PARTITION BY source ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING), 0) AS token_offset
-      FROM documents)
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+               - n_tokens AS token_offset
+      FROM (SELECT doc_id, source,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        + 1 AS BIGINT) AS n_tokens
+            FROM documents))
     SELECT source, max(token_offset // 512) + 1 AS n_bins,
            count(*) AS n_docs, sum(n_tokens) AS total_tokens,
            CAST(sum(n_tokens) AS DOUBLE)
@@ -702,9 +728,10 @@ def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_quantize_int8", """
     SELECT vec_id, scale,
-           list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
-               ELSE CAST(floor(CAST(x AS DOUBLE) / scale * 127) AS INTEGER)
-               END) AS qvec
+           array_to_string(list_transform(embedding,
+               x -> CAST(CASE WHEN scale = 0.0 THEN 0
+                   ELSE CAST(floor(CAST(x AS DOUBLE) / scale * 127) AS INTEGER)
+                   END AS VARCHAR)), ',') AS qvec_csv
     FROM (SELECT vec_id, embedding,
                  list_aggregate(list_transform(embedding,
                      x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
@@ -712,8 +739,15 @@ def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x|,
-    q = floor(x/scale*127) — floor (not round) keeps it engine-exact."""
-    return similarity.quantize_embeddings(_emb(spark, sf_dir), bits=8)
+    q = floor(x/scale*127) — floor (not round) keeps it engine-exact.
+
+    Registered projection serializes qvec as CSV (driver's comparator needs
+    scalar-hashable cells); the operator itself returns array<int>."""
+    q = similarity.quantize_embeddings(_emb(spark, sf_dir), bits=8)
+    return q.select(
+        "vec_id", "scale",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")),
+                     ",").alias("qvec_csv"))
 
 
 # --------------------------------------------------------------------------

@@ -45,10 +45,10 @@ def get_spark(app_name: str = "music-streaming-engine", *, cpus: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        # Spark has no TIMESTAMP(NANOS) type; read ns-precision parquet
-        # columns as raw long and convert in the catalog (integer div 1000).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # TIMESTAMP(NANOS) parquet columns: PySpark 4.x reads them natively as
+    # timestamp_ntz; on 3.x the legacy conf reads raw long ns which the
+    # catalog converts (dtype-guarded, sources/catalog.py::load_table).
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

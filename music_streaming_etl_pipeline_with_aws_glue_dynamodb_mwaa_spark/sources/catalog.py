@@ -24,14 +24,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark has no type for:
-        # a plain session fails the scan with PARQUET_TYPE_ILLEGAL. Read it as
-        # raw long ns (runtime-settable conf, so this works even under a
-        # session not built by our factory) and truncate to µs timestamps.
-        # Integer `div` — double division loses precision at ~1.7e18 ns.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(NANOS). Spark's handling differs by
+        # version:
+        #   - PySpark 4.x reads it natively as timestamp_ntz (µs-truncated) —
+        #     use it as-is.
+        #   - PySpark 3.x has no nanos type; `spark.sql.legacy.parquet
+        #     .nanosAsLong=true` reads raw long ns, which we truncate to µs
+        #     timestamps with integer `div` (double division loses precision
+        #     at ~1.7e18 ns).
+        # Branch on the READ dtype, not the version string, so either session
+        # shape works.
+        try:  # conf removed in 4.x; setting it there is a no-op or raises
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        # Epoch math downstream (sessionize, rolling windows) and the DuckDB
+        # oracle (naive timestamps ≡ UTC wall clock) both assume UTC; pin it
+        # even when the session wasn't built by our factory.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # Reinterpret as UTC instants (session tz is UTC, so this is
+            # value-preserving) — restores the TimestampType every downstream
+            # epoch cast / window / oracle comparison was verified against;
+            # timestamp_ntz cannot cast to bigint on 4.x.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

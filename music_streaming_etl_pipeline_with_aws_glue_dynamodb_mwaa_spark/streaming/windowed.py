@@ -23,6 +23,23 @@ from pyspark.sql import functions as F
 
 from ..operators.stats import cents
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_seconds(window: str) -> float:
+    """Seconds in a Spark window-duration string like '6 hours' or
+    '1 day 12 hours' (used only for the grid-size guard, not for window
+    assignment — that stays Spark's)."""
+    parts = window.strip().lower().split()
+    total = 0.0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        total += float(qty) * _INTERVAL_UNIT_SECONDS[unit]
+    return total
+
 
 def windowed_event_counts(events: DataFrame, *,
                           window: str = "6 hours",
@@ -51,7 +68,8 @@ def windowed_event_counts(events: DataFrame, *,
 def dense_windowed_counts(events: DataFrame, *,
                           window: str = "6 hours",
                           ts_col: str = "ts",
-                          keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+                          keys: tuple[str, ...] = ("event_type",),
+                          max_cells: int | None = 10_000_000) -> DataFrame:
     """Gap-filled (dense) windowed counts: every (window slot, key) combo
     between the corpus' first and last window, zero-filled where no events
     landed — downstream time-series consumers (drift monitors, charting,
@@ -62,7 +80,30 @@ def dense_windowed_counts(events: DataFrame, *,
     slot), keys from a distinct projection — the cross join is
     (slots × keys), metadata-sized, then one left join against the sparse
     aggregate. Batch-only by nature (a stream can't emit future empties).
+
+    ``max_cells`` bounds the dense grid: a high-cardinality key set × a
+    long span at fine granularity is the one way this plan can explode at
+    lake scale (e.g. 1 M keys × 100 k minute-slots = 1e11 grid rows). The
+    guard costs one tiny pre-aggregate (a 1-row job) and raises before any
+    grid is built; pass ``None`` to skip it when the caller has already
+    sized the grid.
     """
+    if max_cells is not None:
+        bounds = events.agg(
+            F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"),
+            F.approx_count_distinct(
+                F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+            ).alias("_nk")).collect()[0]
+        if bounds["_lo"] is not None:
+            span_s = (bounds["_hi"] - bounds["_lo"]).total_seconds()
+            n_slots = int(span_s / max(_interval_seconds(window), 1)) + 1
+            cells = n_slots * max(bounds["_nk"], 1)
+            if cells > max_cells:
+                raise ValueError(
+                    f"dense grid would have ~{cells:,} cells "
+                    f"({n_slots:,} slots x ~{bounds['_nk']:,} keys) "
+                    f"> max_cells={max_cells:,}; widen `window`, reduce "
+                    f"`keys` cardinality, or pass max_cells=None")
     agg = windowed_event_counts(events, window=window, ts_col=ts_col,
                                 keys=keys)
     step = F.expr(f"INTERVAL {window}")

@@ -114,3 +114,16 @@ def test_dense_windows_zero_fill_gaps(spark):
     assert out[(ts(18), "click")] == (1, 200)
     assert out[(ts(12), "purchase")] == (1, 500)
     assert out[(ts(0), "purchase")] == (0, 0)
+
+
+def test_dense_grid_cell_guard(spark):
+    ev = catalog.load_table(spark, SF, "events")
+    assert windowed._interval_seconds("6 hours") == 21600
+    assert windowed._interval_seconds("1 day 12 hours") == 129600
+    assert windowed._interval_seconds("30 minutes") == 1800
+    with pytest.raises(ValueError, match="max_cells"):
+        windowed.dense_windowed_counts(ev, window="1 second", max_cells=10)
+    # permissive cap passes through to a real grid
+    out = windowed.dense_windowed_counts(ev, window="6 hours",
+                                         max_cells=10_000_000)
+    assert out.count() > 0

@@ -75,6 +75,19 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         cols = sdf.columns
+        # Driver-shaped guard: the driver's comparator factorizes result
+        # cells with pandas and dies on binary/array/map/struct values
+        # (TypeError: unhashable type). Reject such schemas up front unless
+        # the query is rows-only BY DESIGN (no oracle entry), so a
+        # CORRECTNESS ERR of that class can never recur.
+        unhashable = [f.name for f in sdf.schema.fields
+                      if f.dataType.typeName() in
+                      ("binary", "array", "map", "struct")]
+        if unhashable and name in oracles:
+            print(f"✗ {name:35s} UNHASHABLE COLUMNS for driver comparator: "
+                  f"{unhashable} — project digests/CSV instead")
+            failures += 1
+            continue
         rows = [tuple(r) for r in sdf.collect()]
         spark_secs = time.time() - t0
         if name not in oracles:
