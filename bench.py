@@ -60,18 +60,27 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus)
     # Warm-up: JVM, codegen, parquet footers — not part of any measurement.
-    spark.read.parquet(os.path.join(sf_dir, "part.parquet")).count()
+    for t in ("part", "lineitem", "orders", "events", "documents",
+              "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
 
+    # Repeats run as INTERLEAVED full passes (suite, then suite again),
+    # min per query — a transient stall (GC, page-cache eviction) then
+    # inflates at most one sample of a query instead of both back-to-back
+    # ones, which is how round-3's first draft recorded a 45 s outlier for
+    # a 1.5 s projection.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        best = None
-        for _ in range(repeats):
+    items = list(entrymod.queries().items())
+    for _ in range(repeats):
+        for name, fn in items:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            if name not in times or dt < times[name]:
+                times[name] = round(dt, 3)
 
     total = round(sum(times.values()), 3)
     env["load_avg_1m_end"] = round(os.getloadavg()[0], 2)

@@ -329,3 +329,141 @@ def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     )
     return top_k_per_group(exact, [query_id_col], "cosine", k,
                            tie_break=["neighbor_id"])
+
+
+# --------------------------------------------------------------------------
+# PQ (product quantization) variant: the FAISS-IVFPQ memory lever. Vectors
+# compress to m sub-codes (m bytes at ksub<=256) — 32x smaller than float32
+# at m=8 — and queries score candidates with ADC lookup tables instead of
+# touching float vectors at all; exact re-rank reads floats only for the
+# k·overfetch survivors.
+# --------------------------------------------------------------------------
+
+def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding", *,
+                       m: int = 8, ksub: int = 16,
+                       sample_rows: int = 20_000, iters: int = 10,
+                       seed: int = 42) -> np.ndarray:
+    """Per-subspace k-means on a bounded sample → (m, ksub, dsub) codebook.
+
+    Like train_ivf_centroids, the sample is the only driver-side
+    materialization (constant-size regardless of corpus scale); the
+    codebook itself is m·ksub·dsub floats — KBs, broadcast in UDF
+    closures. Plain L2 k-means per subspace (PQ quantizes raw
+    coordinates; cosine handling happens at scoring time via the
+    reconstructed norms)."""
+    n = emb.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    x = np.stack(
+        emb.sample(fraction=frac, seed=seed).limit(sample_rows)
+           .select(vec_col).toPandas()[vec_col].to_numpy()).astype(np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        c = xs[rng.choice(len(xs), size=min(ksub, len(xs)), replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for t in range(len(c)):
+                members = xs[assign == t]
+                if len(members):
+                    c[t] = members.mean(0)
+        books.append(c)
+    return np.stack(books)                       # (m, ksub, dsub)
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray, *,
+              vec_col: str = "embedding",
+              out_col: str = "pq_codes") -> DataFrame:
+    """Attach the m-byte PQ code array: per subspace, the index of the
+    nearest codeword. One numpy pass per Arrow batch; the corpus never
+    shuffles."""
+    m, ksub, dsub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        mtx = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(mtx), m), np.int32)
+        for j in range(m):
+            xs = mtx[:, j * dsub:(j + 1) * dsub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return emb.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+                   books: np.ndarray, overfetch: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k via PQ + ADC (asymmetric distance computation),
+    then exact re-rank of the k·overfetch survivors.
+
+    Per query, the dot product against ANY corpus vector's reconstruction
+    is a sum of m table lookups: LUT[j][code_j] = q_sub_j · codeword. The
+    LUT stack for the whole query set is (Q, m, ksub) doubles — KBs,
+    shipped in the UDF closure like the codebook. The hot scan therefore
+    touches ONLY the m-byte code column (32x less bandwidth than float32
+    vectors at m=8), emits per-query approximate cosines via one numpy
+    gather per Arrow batch, and the float vectors are read back just for
+    survivors. Queries are collected driver-side to build LUTs — the same
+    'query set is metadata-sized' assumption cosine_topk's broadcast
+    already makes."""
+    m, ksub, dsub = books.shape
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # (Q, m, ksub): LUT[q, j, t] = q_sub · codeword_t  ; plus reconstructed
+    # sub-norms (m, ksub) for the denominator.
+    lut = np.einsum("qjd,jtd->qjt",
+                    qmat.reshape(len(qids), m, dsub), books)
+    sub_sq = (books ** 2).sum(-1)                # (m, ksub)
+    qnorm = np.linalg.norm(qmat, axis=1)         # (Q,)
+
+    @F.pandas_udf("array<double>")
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy())           # (B, m) int
+        b = len(c)
+        j_idx = np.arange(m)[None, :]
+        # reconstructed norm per row: sqrt(Σ_j ||codeword||²)
+        rnorm = np.sqrt(sub_sq[j_idx, c].sum(1))         # (B,)
+        rnorm = np.maximum(rnorm, 1e-12)
+        out = np.empty((b, len(qids)))
+        for qi in range(len(qids)):
+            dots = lut[qi][j_idx, c].sum(1)              # (B,)
+            out[:, qi] = dots / (rnorm * max(qnorm[qi], 1e-12))
+        return pd.Series(list(out))
+
+    coded = pq_encode(emb.select(id_col, vec_col), books, vec_col=vec_col)
+    scored = (coded.select(id_col,
+                           F.posexplode(adc_scores(F.col("pq_codes")))
+                           .alias("_qidx", "_approx")))
+    qmap = F.array(*[F.lit(q) for q in qids])
+    scored = (scored.withColumn("_qid", qmap[F.col("_qidx")])
+              .filter(F.col(id_col) != F.col("_qid")))
+    cand = top_k_per_group(scored.select("_qid",
+                                         F.col(id_col).alias("neighbor_id"),
+                                         "_approx"),
+                           ["_qid"], "_approx", k * overfetch,
+                           tie_break=["neighbor_id"]) \
+        .select("_qid", "neighbor_id")
+
+    full_c = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("_v"),
+                        norm_expr(vec_col).alias("_n"))
+    full_q = queries.select(F.col(query_id_col).alias("_qid"),
+                            F.col(vec_col).alias("_qv"),
+                            norm_expr(vec_col).alias("_qn"))
+    exact = (
+        cand.join(full_c, "neighbor_id").join(F.broadcast(full_q), "_qid")
+        .select(F.col("_qid").alias(query_id_col), "neighbor_id",
+                (dot_expr("_v", "_qv") / (F.col("_n") * F.col("_qn")))
+                .alias("cosine"))
+    )
+    return top_k_per_group(exact, [query_id_col], "cosine", k,
+                           tie_break=["neighbor_id"])

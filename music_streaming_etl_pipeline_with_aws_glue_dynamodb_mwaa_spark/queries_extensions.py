@@ -29,6 +29,7 @@ from .operators import (
     fuzzy,
     ids,
     merge,
+    mixture,
     multimodal,
     kmeans,
     olap,
@@ -2766,3 +2767,102 @@ def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the hot path."""
     from .functions import udtfs
     return udtfs.tokenize_first_seen_udtf(spark, _docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# E61 — data-mixture construction (domain caps + weighted mixture schedule).
+# --------------------------------------------------------------------------
+
+_NTOK_SQL = """
+    toks AS (SELECT doc_id, source, lang,
+                    CAST(length(text) - length(replace(text, ' ', ''))
+                         + 1 AS BIGINT) AS n_tokens
+             FROM documents)
+"""
+
+
+@register("source_token_cap_docs", f"""
+    WITH {_NTOK_SQL}
+    SELECT doc_id, source, n_tokens, tokens_before
+    FROM (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)
+                   - n_tokens AS tokens_before
+          FROM toks)
+    WHERE tokens_before < 5000
+""")
+def source_token_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style domain cap: each source contributes documents
+    (doc_id order) only until 5000 running tokens — no domain dominates
+    the mixture. One window cumsum per source (single hash exchange)."""
+    capped = mixture.cap_tokens_per_group(_docs(spark, sf_dir),
+                                          cap_tokens=5000)
+    return capped.select("doc_id", "source", "n_tokens", "tokens_before")
+
+
+_MIXTURE_PLAN_SQL = f"""
+    {_NTOK_SQL},
+    plan AS (
+      SELECT source, SUM(n_tokens) AS total_tokens,
+             count(*) AS n_docs,
+             CAST(length(source) % 3 + 1 AS BIGINT) AS weight
+      FROM toks GROUP BY source),
+    alloc AS (
+      SELECT source, total_tokens, n_docs, weight,
+             (weight * CAST(200000 AS BIGINT))
+               // (SUM(weight) OVER ()) AS alloc_tokens,
+             least(CAST(4294967296 AS BIGINT),
+                   (weight * CAST(200000 AS BIGINT) * 4294967296)
+                     // ((SUM(weight) OVER ()) * total_tokens))
+               AS keep_threshold_32
+      FROM plan)
+"""
+
+
+@register("mixture_plan_budget", f"""
+    WITH {_MIXTURE_PLAN_SQL}
+    SELECT * FROM alloc
+""")
+def mixture_plan_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture plan for a 200k-token budget with per-source weights derived
+    in-plan (len(source) % 3 + 1 — the no-driver-dict path a million-domain
+    mixture needs): per-source token totals, integer token allocation, and
+    the exact 32-bit sampler threshold. All BIGINT div — bit-identical on
+    any engine."""
+    w = F.length(F.col("source")) % 3 + 1
+    return mixture.mixture_allocations(_docs(spark, sf_dir), w,
+                                       budget_tokens=200_000)
+
+
+@register("mixture_sample_docs", f"""
+    WITH {_MIXTURE_PLAN_SQL}
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN alloc a ON d.source = a.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 4294967296 < a.keep_threshold_32
+""")
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture plan: per-source deterministic md5 keep-filter at
+    the plan threshold. Plan is a k-row broadcast; the corpus never
+    shuffles — the whole mixture materializes map-side."""
+    w = F.length(F.col("source")) % 3 + 1
+    out = mixture.mixture_schedule(_docs(spark, sf_dir), w,
+                                   budget_tokens=200_000)
+    return out.select("doc_id", "source")
+
+
+@register("ann_cosine_topk_pq", None)  # sample-trained codebooks → rows-only
+def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN: vectors compress to 8 sub-codes (32x smaller than
+    float32), queries score candidates through per-subspace lookup tables
+    — the hot scan never touches a float vector — then the k·overfetch
+    survivors re-rank on exact cosine. Recall vs brute force asserted in
+    tests/test_similarity.py. At 100 TB the code column is the only
+    corpus-wide read; codebooks and LUTs stay KB-sized broadcasts."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=16, seed=42)
+    return similarity.cosine_topk_pq(emb, queries, k=10, books=books,
+                                     overfetch=4)

@@ -218,3 +218,19 @@ def test_tpch_q10_star_broadcast_dims(spark):
     plan = _executed(q("tpch_q10_returned_items")(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan          # nation broadcast
+
+
+def test_domain_cap_is_single_exchange(spark):
+    """cap_tokens_per_group: one hash exchange (by source) feeds the window
+    cumsum; no join, no second shuffle."""
+    plan = _executed(q("source_token_cap_docs")(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_mixture_apply_is_broadcast_and_corpus_never_shuffles(spark):
+    """mixture_schedule: the k-row plan broadcasts; the corpus side must
+    not hit a sort-merge join or shuffle for the apply."""
+    plan = _executed(q("mixture_sample_docs")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -136,3 +136,37 @@ def test_sq8_recall_and_exact_scores(spark):
     assert recall >= 0.95, f"recall {recall:.3f}"
     for pair in exact.keys() & sq8.keys():
         assert exact[pair] == sq8[pair], pair   # re-rank is exact, not approx
+
+
+def test_pq_recall_and_exact_scores(spark):
+    """PQ/ADC prefilter + exact re-rank: good recall vs brute force on
+    clustered data, and the surviving rows carry EXACT cosines (the
+    re-rank reads the original floats, like SQ8/IVF)."""
+    emb = _clustered_embeddings(spark)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=16, seed=3)
+    assert books.shape == (8, 16, 8)
+    exact_rows = similarity.cosine_topk(emb, q, k=10).collect()
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in exact_rows}
+    pq_rows = similarity.cosine_topk_pq(emb, q, k=10, books=books,
+                                        overfetch=4).collect()
+    pq = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in pq_rows}
+    recall = len(exact.keys() & pq.keys()) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+    for pair in exact.keys() & pq.keys():
+        assert exact[pair] == pq[pair], pair
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    emb = _emb(spark).limit(40)
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=8, seed=11,
+                                          sample_rows=40)
+    c1 = similarity.pq_encode(emb, books).select("vec_id", "pq_codes")
+    c2 = similarity.pq_encode(emb, books).select("vec_id", "pq_codes")
+    rows1 = {r["vec_id"]: tuple(r["pq_codes"]) for r in c1.collect()}
+    rows2 = {r["vec_id"]: tuple(r["pq_codes"]) for r in c2.collect()}
+    assert rows1 == rows2
+    assert all(len(v) == 8 and all(0 <= x < 8 for x in v)
+               for v in rows1.values())
