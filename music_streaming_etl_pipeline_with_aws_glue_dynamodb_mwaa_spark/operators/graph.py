@@ -60,11 +60,16 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     the shuffled join path, where ``links`` keeps a stable partitioning
     and only the (node-sized) rank frame moves.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-             .distinct()
+    # EAGER checkpoints for every frame the loop (or multiple setup
+    # consumers) reuses: a lazy plan here re-executes its whole subtree per
+    # consumer — edges.distinct() alone has four consumers (nodes, out-
+    # degrees, the links join, the dangling probe), and re-running a fact-
+    # sized distinct four times dominated the operator's wall time.
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().localCheckpoint())
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select("dst")).distinct()
-             .localCheckpoint(eager=False))
+             .localCheckpoint())
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -74,15 +79,17 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     links = (e.join(out_deg, "src")
              .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint())
+    e.rdd.unpersist()                    # links/nodes supersede the edge frame
     # dangling = nodes that never appear as src
-    dangling = nodes.join(e.select("src").distinct(),
+    dangling = nodes.join(links.select("src").distinct(),
                           nodes["node"] == F.col("src"), "left_anti") \
                     .localCheckpoint(eager=False)
     has_dangling = dangling.limit(1).count() > 0
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
+    prev = None
     for _ in range(iterations):
         dangling_mass = 0.0
         if has_dangling:
@@ -97,13 +104,23 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         base = nodes.join(
             F.broadcast(contribs) if broadcast_ranks else contribs,
             "node", "left")
+        # EAGER checkpoint (cluster.py:108 pattern): each round materializes
+        # NOW, so round k's plan is one join over a leaf RDD. The lazy
+        # (eager=False) form deferred every round to the final action, whose
+        # nested broadcast-over-broadcast plan re-executed prior rounds —
+        # measured superlinear (5 iters cost 3.6x of 3 iters at sf0.1).
         ranks = (base
                  .select("node",
                          (F.lit(teleport)
                           + F.lit(damping)
                           * (F.coalesce(F.col("_in"), F.lit(0.0))
                              + F.lit(dangling_mass / n))).alias("rank"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint())
+        if prev is not None:
+            # best-effort: round k-1's checkpoint blocks are dead once
+            # round k has materialized from them
+            prev.rdd.unpersist()
+        prev = ranks
     return ranks
 
 

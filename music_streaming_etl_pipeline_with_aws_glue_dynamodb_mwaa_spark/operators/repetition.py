@@ -49,33 +49,58 @@ def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
     Documents shorter than n tokens surface with zero counts and NULL
     fractions rather than dropping out.
     """
-    frames = []
+    # ONE tagged explode for all n (struct(n, gram)), then
+    # (doc, n, gram) → (doc, n) → pivot-by-conditional-aggregation to one
+    # row per doc: a single gram-sized exchange instead of one per n plus
+    # the per-n join chain — ~3x fewer shuffled bytes for the default ns,
+    # identical values (the oracle hash pins this).
+    def _tag(n):
+        # one-arg lambda on purpose: F.transform passes (element, index) to
+        # a TWO-arg lambda, so an `n=n` default would receive the index
+        return lambda g: F.struct(F.lit(n).alias("_n"), g.alias("_g"))
+
+    tagged = F.concat(*[F.transform(_ngrams(text_col, n), _tag(n))
+                        for n in ns])
+    grams = docs.select(F.col(id_col).alias("_id"),
+                        F.explode_outer(tagged).alias("_t")) \
+                .select("_id", F.col("_t._n").alias("_n"),
+                        F.col("_t._g").alias("_g"))
+    per_gram = grams.groupBy("_id", "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    per_nd = per_gram.groupBy("_id", "_n").agg(
+        F.sum("_cnt").alias("_total"),
+        F.count(F.lit(1)).alias("_distinct"),
+        F.max("_cnt").alias("_top"),
+        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt"))
+              .otherwise(F.lit(0))).alias("_dup"))
+    aggs = []
     for n in ns:
-        grams = docs.select(
-            F.col(id_col).alias("_id"),
-            F.explode_outer(_ngrams(text_col, n)).alias("_g"))
-        per_gram = grams.groupBy("_id", "_g").agg(
-            F.count(F.lit(1)).alias("_cnt"))
-        # explode_outer emits a NULL gram for empty arrays — count real grams
-        real = F.when(F.col("_g").isNotNull(), F.col("_cnt")).otherwise(F.lit(0))
-        one = F.when(F.col("_g").isNotNull(), F.lit(1)).otherwise(F.lit(0))
-        per_doc = per_gram.groupBy("_id").agg(
-            F.sum(real).alias(f"total_{n}g"),
-            F.sum(one).alias(f"distinct_{n}g"),
-            F.max(real).alias(f"top_{n}g"),
-            F.sum(F.when(F.col("_cnt") > 1, real).otherwise(F.lit(0)))
-             .alias(f"dup_{n}g"),
-        )
+        is_n = F.col("_n") == n
+        aggs += [
+            F.coalesce(F.sum(F.when(is_n, F.col("_total"))),
+                       F.lit(0)).alias(f"total_{n}g"),
+            F.coalesce(F.sum(F.when(is_n, F.col("_distinct"))),
+                       F.lit(0)).alias(f"distinct_{n}g"),
+            F.coalesce(F.sum(F.when(is_n, F.col("_top"))),
+                       F.lit(0)).alias(f"top_{n}g"),
+            F.coalesce(F.sum(F.when(is_n, F.col("_dup"))),
+                       F.lit(0)).alias(f"dup_{n}g"),
+        ]
+    out = per_nd.groupBy("_id").agg(*aggs)
+    frac_cols = []
+    for n in ns:
         total = F.col(f"total_{n}g")
-        per_doc = per_doc.select(
-            "_id", f"total_{n}g", f"distinct_{n}g", f"top_{n}g", f"dup_{n}g",
+        frac_cols += [
             F.when(total > 0, F.col(f"top_{n}g").cast("double")
                    / total.cast("double")).alias(f"top_{n}g_frac"),
             F.when(total > 0, F.col(f"dup_{n}g").cast("double")
                    / total.cast("double")).alias(f"dup_{n}g_frac"),
-        )
-        frames.append(per_doc)
-    out = reduce(lambda a, b: a.join(b, "_id"), frames)
+        ]
+    out = out.select(
+        "_id",
+        *[c for n in ns for c in (f"total_{n}g", f"distinct_{n}g",
+                                  f"top_{n}g", f"dup_{n}g")],
+        *frac_cols)
     base = docs.select(F.col(id_col).alias("_id"),
                        F.size(tokens(text_col)).cast("long").alias("n_tokens"))
     return base.join(out, "_id").withColumnRenamed("_id", id_col)
