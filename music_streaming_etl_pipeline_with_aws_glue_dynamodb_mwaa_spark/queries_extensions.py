@@ -28,6 +28,7 @@ from .operators import (
     funnel,
     fuzzy,
     ids,
+    curation,
     merge,
     mixture,
     multimodal,
@@ -2866,3 +2867,36 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.train_pq_codebooks(emb, m=8, ksub=16, seed=42)
     return similarity.cosine_topk_pq(emb, queries, k=10, books=books,
                                      overfetch=4)
+
+
+# --------------------------------------------------------------------------
+# E63 — corpus curation: DSIR importance weights + deterministic epoch
+# shuffle (operators/curation.py). (E62 = PQ/ADC ANN, registered with the
+# similarity family above.)
+# --------------------------------------------------------------------------
+
+@register("dsir_doc_weights", None)   # ln() is engine-specific → rows-only
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (arXiv:2302.03169) importance weights: raw pool = doc_id%50!=0,
+    target = the %50==0 slice (the same split decontam uses); score = mean
+    hashed-bigram log-likelihood ratio target-vs-raw. Numpy-recomputation
+    parity is pinned in tests/test_curation.py."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    raw = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    return curation.dsir_weights(raw, target, n=2, buckets=1000)
+
+
+@register("epoch_shuffle_docs", """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)), doc_id)
+             - 1 AS BIGINT) AS epoch_pos
+    FROM documents
+""")
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 deterministic global training order: dense 0..N-1 positions
+    by md5('e1:' || doc_id) — same order on any engine/cluster/retry, new
+    order per epoch. Range-partitioned counting, no single-task window."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return curation.epoch_shuffle(docs, epoch=1).select("doc_id", "epoch_pos")
