@@ -240,6 +240,31 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     return sh.groupBy("_id").agg(*aggs)
 
 
+def minhash_band_index(df: DataFrame, id_col: str, text_col: str, *,
+                       n: int = 3, num_hashes: int = 48,
+                       bands: int = 12) -> DataFrame:
+    """The persistable LSH index: (id, band, bhash) — ``bands`` rows per
+    document, each a 64-bit hash of one signature band. Same (n,
+    num_hashes, bands) ⇒ same rows on any run/engine, so a lake-resident
+    corpus indexes ONCE at ingest and later batches probe it
+    incrementally (``minhash_near_dup_pairs_incremental``) instead of
+    re-sketching 100 TB. Write it partitioned/bucketed by (band, bhash)
+    for co-located probe joins."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)],
+                            F.lit(bi)).alias("bhash"))
+        for bi in range(bands)
+    ])
+    return sig.select(F.col("_id"), F.explode(band_structs).alias("b")) \
+              .select("_id", F.col("b.band").alias("band"),
+                      F.col("b.bhash").alias("bhash"))
+
+
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                            n: int = 3, num_hashes: int = 48, bands: int = 12,
                            threshold: float = 0.7,
@@ -257,17 +282,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-
-    band_structs = F.array(*[
-        F.struct(F.lit(bi).alias("band"),
-                 F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)],
-                            F.lit(bi)).alias("bhash"))
-        for bi in range(bands)
-    ])
-    banded = sig.select(F.col("_id"), F.explode(band_structs).alias("b")) \
-                .select("_id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    banded = minhash_band_index(df, id_col, text_col, n=n,
+                                num_hashes=num_hashes, bands=bands)
 
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
@@ -284,6 +300,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
         verified = _exact_jaccard_for_pairs(candidates, df, id_col,
                                             text_col, n)
     else:
+        sig = minhash_signatures(df, id_col, text_col, n=n,
+                                 num_hashes=num_hashes)
         sa, sb = sig.alias("sa"), sig.alias("sb")
         agree = sum(
             F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
@@ -296,6 +314,46 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
             .select("doc_a", "doc_b",
                     (agree / F.lit(num_hashes)).cast("double").alias("jaccard"))
         )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dup_pairs_incremental(
+        new_docs: DataFrame, corpus_index: DataFrame, corpus: DataFrame,
+        id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 48,
+        bands: int = 12, threshold: float = 0.7) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch against an already-indexed
+    corpus: only the new batch is shingled and sketched; the corpus
+    contributes through its persisted ``minhash_band_index`` rows plus a
+    candidate-restricted text fetch for exact verification. This is the
+    ingest-time shape at 100 TB — per batch, cost is O(|batch|) sketching
+    + an equi-join against the index, never a corpus rescan.
+
+    Returns (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b, every pair
+    touching ≥1 new id — exactly the subset of the full recompute's pairs
+    that involve the new batch (equivalence is pytest-pinned).
+    Corpus-internal pairs are by design not re-derived.
+    """
+    new_index = minhash_band_index(new_docs, id_col, text_col, n=n,
+                                   num_hashes=num_hashes, bands=bands)
+    both = corpus_index.unionByName(new_index)
+    x, nw = both.alias("x"), new_index.alias("y")
+    candidates = (
+        x.join(nw, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bhash") == F.col("y.bhash"))
+               & (F.col("x._id") != F.col("y._id")))
+        .select(F.least(F.col("x._id"), F.col("y._id")).alias("doc_a"),
+                F.greatest(F.col("x._id"), F.col("y._id")).alias("doc_b"))
+        .distinct()
+    )
+    # fetch + shingle ONLY the texts verification needs: candidate ids are
+    # a semi-join against the lake, so the corpus is never re-shingled
+    cand_ids = (candidates.select(F.col("doc_a").alias(id_col))
+                .union(candidates.select("doc_b")).distinct())
+    texts = (corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+                 new_docs.select(F.col(id_col), F.col(text_col)))
+             .join(cand_ids, id_col, "left_semi"))
+    verified = _exact_jaccard_for_pairs(candidates, texts, id_col,
+                                        text_col, n)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

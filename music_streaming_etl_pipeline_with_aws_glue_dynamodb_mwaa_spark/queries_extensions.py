@@ -2900,3 +2900,19 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order per epoch. Range-partitioned counting, no single-task window."""
     docs = _docs(spark, sf_dir).select("doc_id")
     return curation.epoch_shuffle(docs, epoch=1).select("doc_id", "epoch_pos")
+
+
+@register("neardup_minhash_incremental", None)   # minhash sketch → rows-only
+def neardup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the doc_id%10==0 slice arrives as a
+    NEW batch against the rest of the corpus, which contributes only its
+    persisted MinHash band index (+ candidate-restricted text fetch for
+    exact verification) — the ingest-time shape that avoids re-sketching
+    the lake per batch. Equivalence with the full recompute's new-touching
+    pairs is pinned in tests/test_dedup.py."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    idx = dedup.minhash_band_index(old, "doc_id", "text")
+    return dedup.minhash_near_dup_pairs_incremental(
+        new, idx, old, "doc_id", "text", threshold=0.7)

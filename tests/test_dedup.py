@@ -174,3 +174,20 @@ def test_dedup_exact_shuffles_on_fingerprint_not_text(spark):
     import re
     part_keys = re.findall(r"hashpartitioning\((\w+)", plan)
     assert part_keys and all(k.startswith("_w") for k in part_keys)
+
+
+def test_minhash_incremental_equals_full_on_new_touching_pairs(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    idx = dedup.minhash_band_index(old, "doc_id", "text")
+    inc = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+           dedup.minhash_near_dup_pairs_incremental(
+               new, idx, old, "doc_id", "text", threshold=0.7).collect()}
+    full = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                        threshold=0.7).collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in full
+            if r["doc_a"] in new_ids or r["doc_b"] in new_ids}
+    assert inc == want and len(want) > 0
