@@ -467,3 +467,50 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10, *,
     )
     return top_k_per_group(exact, [query_id_col], "cosine", k,
                            tie_break=["neighbor_id"])
+
+
+# --------------------------------------------------------------------------
+# Cross-row embedding pooling: chunk vectors → one document vector. The
+# standard aggregation step after chunked embedding inference (RAG stores,
+# doc-level semantic dedup over chunk embeddings).
+# --------------------------------------------------------------------------
+
+def pool_embeddings(df: DataFrame, group_col: str, *,
+                    vec_col: str = "embedding",
+                    weight_col: str | None = None,
+                    normalize: bool = False,
+                    out_col: str = "pooled") -> DataFrame:
+    """(group, pooled, n_vecs): element-wise (weighted) mean of each
+    group's vectors, optionally L2-normalized.
+
+    Spark-first: posexplode the vectors, aggregate per (group, element
+    position) — partial sums combine map-side, so the exchange carries
+    (groups × dim) rows, never the raw vectors — then reassemble the array
+    in position order. Handles ragged inputs by construction (each
+    position averages over the vectors that have it). Per-position sums
+    promote to double before adding; intra-group addition ORDER is not
+    guaranteed (the float caveat shared with every distributed mean), so
+    this registers rows-only, with numpy-recompute parity (to float
+    tolerance) pytest-pinned.
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ex = df.select(F.col(group_col).alias("_g"), w.alias("_w"),
+                   F.posexplode(F.col(vec_col)).alias("_p", "_x"))
+    per_pos = (ex.groupBy("_g", "_p")
+               .agg((F.sum(F.col("_x").cast("double") * F.col("_w"))
+                     / F.sum("_w")).alias("_m")))
+    pooled = (per_pos.groupBy("_g")
+              .agg(F.array_sort(F.collect_list(F.struct("_p", "_m")))
+                   .alias("_pm"))
+              .select("_g", F.transform("_pm", lambda s: s["_m"])
+                      .alias(out_col)))
+    counts = df.groupBy(F.col(group_col).alias("_g")) \
+               .agg(F.count(F.lit(1)).alias("n_vecs"))
+    out = pooled.join(counts, "_g").withColumnRenamed("_g", group_col)
+    if normalize:
+        nrm = F.sqrt(F.aggregate(F.col(out_col), F.lit(0.0),
+                                 lambda a, x: a + x * x))
+        out = out.withColumn(
+            out_col, F.when(nrm > 0, F.transform(out_col, lambda x: x / nrm))
+                      .otherwise(F.col(out_col)))
+    return out.select(group_col, out_col, "n_vecs")

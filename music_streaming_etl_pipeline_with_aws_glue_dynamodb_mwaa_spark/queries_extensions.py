@@ -2916,3 +2916,21 @@ def neardup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = dedup.minhash_band_index(old, "doc_id", "text")
     return dedup.minhash_near_dup_pairs_incremental(
         new, idx, old, "doc_id", "text", threshold=0.7)
+
+
+@register("embedding_label_centroids", None)  # distributed float mean → rows-only
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool the embeddings of each label into one centroid vector
+    (chunk→document pooling shape): posexplode + per-(label, position)
+    mean, reassembled in position order — the exchange carries labels×dim
+    scalar rows, never vectors. Rows-only (distributed float addition
+    order); numpy parity pinned in tests/test_similarity.py. Projected to
+    scalar cells (dim, n_vecs, norm, first component) for the driver."""
+    emb = _emb(spark, sf_dir)
+    pooled = similarity.pool_embeddings(emb, "label", normalize=True)
+    return pooled.select(
+        "label", "n_vecs",
+        F.size("pooled").alias("dim"),
+        F.sqrt(F.aggregate("pooled", F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("l2_norm"),
+        F.col("pooled")[0].alias("c0"))

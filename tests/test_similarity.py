@@ -170,3 +170,35 @@ def test_pq_encode_shape_and_determinism(spark):
     assert rows1 == rows2
     assert all(len(v) == 8 and all(0 <= x < 8 for x in v)
                for v in rows1.values())
+
+
+def test_pool_embeddings_matches_numpy(spark):
+    import numpy as np
+    emb = _emb(spark).limit(200)
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    got = {r["label"]: (np.array(r["pooled"]), r["n_vecs"]) for r in
+           similarity.pool_embeddings(emb, "label").collect()}
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64))
+    for lab, vecs in by_label.items():
+        want = np.stack(vecs).mean(axis=0)
+        have, n = got[lab]
+        assert n == len(vecs)
+        assert np.allclose(have, want, rtol=1e-9, atol=1e-12)
+
+
+def test_pool_embeddings_weighted_and_normalized(spark):
+    import pytest
+    df = spark.createDataFrame(
+        [(1, "g", [1.0, 0.0], 3.0), (2, "g", [0.0, 1.0], 1.0)],
+        "vec_id long, label string, embedding array<double>, w double")
+    out = similarity.pool_embeddings(df, "label", weight_col="w",
+                                     normalize=True).collect()[0]
+    v = out["pooled"]
+    # weighted mean (0.75, 0.25), normalized
+    import math
+    nrm = math.sqrt(0.75 ** 2 + 0.25 ** 2)
+    assert v[0] == pytest.approx(0.75 / nrm) and \
+        v[1] == pytest.approx(0.25 / nrm)
