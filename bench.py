@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.session import get_spark
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
 
 
 def _env_snapshot() -> dict:
@@ -60,11 +61,12 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus)
     # Warm-up: JVM, codegen, parquet footers — not part of any measurement.
+    # Through the catalog, not bare spark.read: events needs its
+    # version-dependent TIMESTAMP(NANOS) handling (catalog.load_table).
     for t in ("part", "lineitem", "orders", "events", "documents",
               "embeddings"):
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            spark.read.parquet(p).count()
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            catalog.load_table(spark, sf_dir, t).count()
 
     # Repeats run as INTERLEAVED full passes (suite, then suite again),
     # min per query — a transient stall (GC, page-cache eviction) then

@@ -35,22 +35,18 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text_funcs import tokens
 from .ids import global_row_numbers
+from .ranking import _ngrams
 from .sampling import hash_bucket
 
 
 def _gram_buckets(docs: DataFrame, id_col: str, text_col: str, *,
                   n: int, buckets: int) -> DataFrame:
-    """(id, bucket) per n-gram occurrence — the hashed feature stream."""
-    toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    grams = F.when(F.size(toks) >= n, grams) \
-             .otherwise(F.array().cast("array<string>"))
+    """(id, bucket) per n-gram occurrence — the hashed feature stream
+    (same occurrence-preserving gram construction as the LM count tables,
+    ranking._ngrams, so tokenization fixes can't diverge)."""
     return (docs.select(F.col(id_col).alias("_id"),
-                        F.explode(grams).alias("_g"))
+                        F.explode(_ngrams(text_col, n)).alias("_g"))
             .select("_id", hash_bucket(F.col("_g"),
                                        buckets=buckets).alias("_b")))
 
@@ -67,14 +63,21 @@ def dsir_weights(raw: DataFrame, target: DataFrame, *,
     ``exp(dsir_logratio)``-proportional weights or keep a top quantile —
     both downstream one-liners on this frame.
     """
-    rb = _gram_buckets(raw, id_col, text_col, n=n, buckets=buckets)
+    # The raw gram stream has two consumers (its bucket distribution and
+    # the per-doc scoring join) — checkpoint it eagerly so the fact-sized
+    # explode runs ONCE, not per consumer (the lazy-reuse trap documented
+    # in operators/graph.py). The target stream has one consumer; its
+    # total comes from the B-row counts aggregate, not a second scan.
+    rb = _gram_buckets(raw, id_col, text_col, n=n,
+                       buckets=buckets).localCheckpoint()
     tb = _gram_buckets(target, id_col, text_col, n=n, buckets=buckets)
 
     def dist(b: DataFrame) -> DataFrame:
-        counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
-        total = b.count()
+        counts = (b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+                  .localCheckpoint())           # B rows — tiny
+        total = counts.agg(F.sum("_c")).first()[0] or 0
         # add-smoothing categorical over ALL buckets: missing buckets get
-        # the smoothing mass via the left join below
+        # the smoothing mass via the full join below
         return counts.select(
             "_b", (F.log((F.col("_c") + F.lit(smoothing))
                          / F.lit(total + smoothing * buckets))).alias("_lp"),

@@ -80,16 +80,19 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     links = (e.join(out_deg, "src")
              .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
              .localCheckpoint())
-    e.rdd.unpersist()                    # links/nodes supersede the edge frame
     # dangling = nodes that never appear as src
     dangling = nodes.join(links.select("src").distinct(),
                           nodes["node"] == F.col("src"), "left_anti") \
                     .localCheckpoint(eager=False)
     has_dangling = dangling.limit(1).count() > 0
 
+    # Superseded checkpoints (each round's `ranks`, and `e` once links/
+    # nodes exist) are freed by Spark's ContextCleaner when their last
+    # reference drops — the loop rebinding `ranks` is what releases round
+    # k-1. (`df.rdd.unpersist()` would NOT do it: .rdd returns a fresh
+    # conversion RDD, not the persisted checkpoint.)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
-    prev = None
     for _ in range(iterations):
         dangling_mass = 0.0
         if has_dangling:
@@ -116,11 +119,6 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                           * (F.coalesce(F.col("_in"), F.lit(0.0))
                              + F.lit(dangling_mass / n))).alias("rank"))
                  .localCheckpoint())
-        if prev is not None:
-            # best-effort: round k-1's checkpoint blocks are dead once
-            # round k has materialized from them
-            prev.rdd.unpersist()
-        prev = ranks
     return ranks
 
 

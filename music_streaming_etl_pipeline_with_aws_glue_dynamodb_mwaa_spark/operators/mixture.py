@@ -103,6 +103,9 @@ def mixture_allocations(docs: DataFrame,
             raise ValueError("need at least one weight")
         if any(wt < 0 for wt in weights.values()):
             raise ValueError("negative weight")
+        if sum(weights.values()) == 0:
+            raise ValueError("all weights are zero — the mixture would be "
+                             "empty (weight sum divides the allocations)")
         wexpr = F.lit(0)
         for src, wt in sorted(weights.items()):
             wexpr = F.when(F.col(group_col) == src,

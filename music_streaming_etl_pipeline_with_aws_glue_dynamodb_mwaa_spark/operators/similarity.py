@@ -504,8 +504,12 @@ def pool_embeddings(df: DataFrame, group_col: str, *,
                    .alias("_pm"))
               .select("_g", F.transform("_pm", lambda s: s["_m"])
                       .alias(out_col)))
-    counts = df.groupBy(F.col(group_col).alias("_g")) \
-               .agg(F.count(F.lit(1)).alias("n_vecs"))
+    # n_vecs counts the vectors that actually POOLED (non-null, non-empty)
+    # so downstream weighted merges of centroids stay correct; groups with
+    # no poolable vector have no mean and are absent from the output.
+    counts = (df.filter(F.size(F.col(vec_col)) > 0)
+              .groupBy(F.col(group_col).alias("_g"))
+              .agg(F.count(F.lit(1)).alias("n_vecs")))
     out = pooled.join(counts, "_g").withColumnRenamed("_g", group_col)
     if normalize:
         nrm = F.sqrt(F.aggregate(F.col(out_col), F.lit(0.0),

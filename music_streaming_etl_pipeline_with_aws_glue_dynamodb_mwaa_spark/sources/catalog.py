@@ -40,7 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
         # Epoch math downstream (sessionize, rolling windows) and the DuckDB
         # oracle (naive timestamps ≡ UTC wall clock) both assume UTC; pin it
-        # even when the session wasn't built by our factory.
+        # even when the session wasn't built by our factory. DELIBERATE
+        # session-wide mutation: every engine query assumes UTC (session.py
+        # sets it at build), so a non-UTC caller loading events gets UTC
+        # semantics from here on — documented trade for oracle parity.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_dtype = dict(df.dtypes).get("ts")

@@ -24,19 +24,25 @@ from pyspark.sql import functions as F
 from ..operators.stats import cents
 
 _INTERVAL_UNIT_SECONDS = {
+    "microsecond": 1e-6, "microseconds": 1e-6,
+    "millisecond": 1e-3, "milliseconds": 1e-3,
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
     "week": 604800, "weeks": 604800,
 }
 
 
-def _interval_seconds(window: str) -> float:
+def _interval_seconds(window: str) -> float | None:
     """Seconds in a Spark window-duration string like '6 hours' or
     '1 day 12 hours' (used only for the grid-size guard, not for window
-    assignment — that stays Spark's)."""
+    assignment — that stays Spark's). Returns None for a unit this parser
+    doesn't know — the guard then skips rather than rejecting a duration
+    Spark itself accepts."""
     parts = window.strip().lower().split()
     total = 0.0
     for qty, unit in zip(parts[::2], parts[1::2]):
+        if unit not in _INTERVAL_UNIT_SECONDS:
+            return None
         total += float(qty) * _INTERVAL_UNIT_SECONDS[unit]
     return total
 
@@ -94,9 +100,10 @@ def dense_windowed_counts(events: DataFrame, *,
             F.approx_count_distinct(
                 F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
             ).alias("_nk")).collect()[0]
-        if bounds["_lo"] is not None:
+        step_s = _interval_seconds(window)
+        if bounds["_lo"] is not None and step_s is not None:
             span_s = (bounds["_hi"] - bounds["_lo"]).total_seconds()
-            n_slots = int(span_s / max(_interval_seconds(window), 1)) + 1
+            n_slots = int(span_s / max(step_s, 1e-6)) + 1
             cells = n_slots * max(bounds["_nk"], 1)
             if cells > max_cells:
                 raise ValueError(

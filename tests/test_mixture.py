@@ -85,3 +85,9 @@ def test_token_count_matches_split_semantics(spark):
     want = [r[0] for r in
             df.select(F.size(F.split(F.col("text"), " "))).collect()]
     assert got == [int(w) for w in want]
+
+
+def test_all_zero_weights_rejected(spark, docs):
+    with pytest.raises(ValueError, match="zero"):
+        mixture.mixture_allocations(docs, {"a": 0, "b": 0},
+                                    budget_tokens=1000)

@@ -202,3 +202,14 @@ def test_pool_embeddings_weighted_and_normalized(spark):
     nrm = math.sqrt(0.75 ** 2 + 0.25 ** 2)
     assert v[0] == pytest.approx(0.75 / nrm) and \
         v[1] == pytest.approx(0.25 / nrm)
+
+
+def test_pool_embeddings_null_vectors_dont_inflate_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "g", [2.0, 0.0]), (2, "g", None), (3, "h", None)],
+        "vec_id long, label string, embedding array<double>")
+    out = {r["label"]: r for r in
+           similarity.pool_embeddings(df, "label").collect()}
+    assert out["g"]["n_vecs"] == 1            # the NULL row didn't count
+    assert out["g"]["pooled"] == [2.0, 0.0]
+    assert "h" not in out                     # nothing poolable → absent

@@ -127,3 +127,12 @@ def test_dense_grid_cell_guard(spark):
     out = windowed.dense_windowed_counts(ev, window="6 hours",
                                          max_cells=10_000_000)
     assert out.count() > 0
+
+
+def test_grid_guard_unknown_and_subsecond_units(spark):
+    assert windowed._interval_seconds("500 milliseconds") == 0.5
+    assert windowed._interval_seconds("3 fortnights") is None
+    ev = catalog.load_table(spark, SF, "events")
+    # unknown unit → guard skips instead of raising; Spark still windows
+    out = windowed.windowed_event_counts(ev, window="720 minutes")
+    assert out.count() > 0
