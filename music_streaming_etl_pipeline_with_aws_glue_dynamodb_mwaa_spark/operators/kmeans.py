@@ -39,30 +39,42 @@ def kmeans_fit(emb: DataFrame, vec_col: str = "embedding", *,
     """Fit (k, dim) unit centroids: sample-trained init + distributed
     Lloyd refinement until centroid shift < ``tol`` (L∞ over all
     coordinates) or ``max_iter`` rounds."""
-    cents = train_ivf_centroids(emb, vec_col, n_centroids=k,
-                                sample_rows=sample_rows, iters=3, seed=seed)
-    dim = cents.shape[1]
-    nrm = norm_expr(vec_col)
-    unit = [(F.col(vec_col)[i] / nrm).alias(f"_u{i}") for i in range(dim)]
-    for _ in range(max_iter):
-        assigned = emb.select(
-            _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("_cid"),
-            *unit)
-        rows = (assigned.groupBy("_cid")
-                .agg(F.count(F.lit(1)).alias("_n"),
-                     *[F.sum(f"_u{i}").alias(f"_s{i}") for i in range(dim)])
-                .collect())
-        new = cents.copy()
-        for r in rows:
-            m = np.array([r[f"_s{i}"] for i in range(dim)], dtype=np.float64)
-            n = np.linalg.norm(m)
-            if n > 0:
-                new[r["_cid"]] = m / n
-        shift = float(np.abs(new - cents).max())
-        cents = new
-        if shift < tol:
-            break
-    return cents
+    # The fit makes max_iter+2 passes over the data (init count+sample,
+    # then one assign+aggregate per Lloyd round) — cache the projected
+    # input for the fit's lifetime so only the FIRST pass reads the
+    # source; at lake scale that's the difference between 1 scan and ~7.
+    proj = emb.select(vec_col).persist()
+    try:
+        cents = train_ivf_centroids(proj, vec_col, n_centroids=k,
+                                    sample_rows=sample_rows, iters=3,
+                                    seed=seed)
+        dim = cents.shape[1]
+        nrm = norm_expr(vec_col)
+        unit = [(F.col(vec_col)[i] / nrm).alias(f"_u{i}")
+                for i in range(dim)]
+        for _ in range(max_iter):
+            assigned = proj.select(
+                _cell_udf(cents, 1)(F.col(vec_col)).getItem(0).alias("_cid"),
+                *unit)
+            rows = (assigned.groupBy("_cid")
+                    .agg(F.count(F.lit(1)).alias("_n"),
+                         *[F.sum(f"_u{i}").alias(f"_s{i}")
+                           for i in range(dim)])
+                    .collect())
+            new = cents.copy()
+            for r in rows:
+                m = np.array([r[f"_s{i}"] for i in range(dim)],
+                             dtype=np.float64)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    new[r["_cid"]] = m / n
+            shift = float(np.abs(new - cents).max())
+            cents = new
+            if shift < tol:
+                break
+        return cents
+    finally:
+        proj.unpersist()
 
 
 def kmeans_assign(emb: DataFrame, centroids: np.ndarray, *,
