@@ -80,10 +80,12 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     links = (e.join(out_deg, "src")
              .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
              .localCheckpoint())
-    # dangling = nodes that never appear as src
+    # dangling = nodes that never appear as src; EAGER — consumed by the
+    # has_dangling probe now and by every round's mass aggregate later
+    # (≥2 consumers across separate actions ⇒ materialize once)
     dangling = nodes.join(links.select("src").distinct(),
                           nodes["node"] == F.col("src"), "left_anti") \
-                    .localCheckpoint(eager=False)
+                    .localCheckpoint()
     has_dangling = dangling.limit(1).count() > 0
 
     # Superseded checkpoints (each round's `ranks`, and `e` once links/

@@ -118,13 +118,16 @@ def mixture_allocations(docs: DataFrame,
               .agg(F.sum(token_count(text_col)).alias("total_tokens"),
                    F.count(F.lit(1)).alias("n_docs"))
               .withColumn("weight", wexpr.cast("long")))
+    # nullif keeps a zero weight sum from raising ANSI DIVIDE_BY_ZERO at
+    # materialization — the degenerate plan surfaces as NULL thresholds,
+    # which mixture_schedule converts into a clear ValueError.
     return totals.selectExpr(
         group_col, "total_tokens", "n_docs", "weight",
-        f"(weight * CAST({budget_tokens} AS BIGINT)) div ({wsum_expr}) "
-        "AS alloc_tokens",
+        f"(weight * CAST({budget_tokens} AS BIGINT)) "
+        f"div nullif(({wsum_expr}), 0) AS alloc_tokens",
         f"least(CAST({_B32} AS BIGINT), "
         f"(weight * CAST({budget_tokens} AS BIGINT) * {_B32}) div "
-        f"(({wsum_expr}) * total_tokens)) AS keep_threshold_32")
+        f"nullif((({wsum_expr}) * total_tokens), 0)) AS keep_threshold_32")
 
 
 def mixture_schedule(docs: DataFrame,
@@ -136,8 +139,20 @@ def mixture_schedule(docs: DataFrame,
     the plan's threshold. The plan is a k-row broadcast join (k = number
     of sources); the filter is map-side — the corpus shuffles zero times.
     """
+    # Materialize the k-row plan once: the broadcast reuses it, and the
+    # zero-weight-sum check below costs a k-row scan instead of a second
+    # corpus aggregation.
     plan = mixture_allocations(docs, weights, budget_tokens=budget_tokens,
-                               group_col=group_col, text_col=text_col)
+                               group_col=group_col, text_col=text_col) \
+        .localCheckpoint()
+    # Guard the Column-weights path too (the dict path raises statically):
+    # a weight expression that is 0 for every observed source makes the
+    # divisor 0 → NULL thresholds → `bucket < NULL` silently drops
+    # everything. Fail loudly instead.
+    max_w = plan.agg(F.max("weight")).first()[0]
+    if max_w is None or max_w <= 0:
+        raise ValueError("weight expression is zero/null for every observed "
+                         "source — the mixture would be empty")
     bucket = hash_bucket(key_col, buckets=_B32, salt=salt)
     return (docs.join(F.broadcast(
                 plan.select(group_col, "keep_threshold_32")), group_col)

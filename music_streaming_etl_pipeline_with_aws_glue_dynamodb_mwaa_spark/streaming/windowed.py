@@ -39,12 +39,18 @@ def _interval_seconds(window: str) -> float | None:
     doesn't know — the guard then skips rather than rejecting a duration
     Spark itself accepts."""
     parts = window.strip().lower().split()
+    if not parts or len(parts) % 2:       # malformed ("6hour") → don't guess
+        return None
     total = 0.0
     for qty, unit in zip(parts[::2], parts[1::2]):
         if unit not in _INTERVAL_UNIT_SECONDS:
             return None
-        total += float(qty) * _INTERVAL_UNIT_SECONDS[unit]
-    return total
+        try:
+            total += float(qty) * _INTERVAL_UNIT_SECONDS[unit]
+        except ValueError:
+            return None
+    # zero/negative durations are Spark's error to raise, not the guard's
+    return total if total > 0 else None
 
 
 def windowed_event_counts(events: DataFrame, *,
@@ -103,7 +109,7 @@ def dense_windowed_counts(events: DataFrame, *,
         step_s = _interval_seconds(window)
         if bounds["_lo"] is not None and step_s is not None:
             span_s = (bounds["_hi"] - bounds["_lo"]).total_seconds()
-            n_slots = int(span_s / max(step_s, 1e-6)) + 1
+            n_slots = int(span_s / step_s) + 1
             cells = n_slots * max(bounds["_nk"], 1)
             if cells > max_cells:
                 raise ValueError(

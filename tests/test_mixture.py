@@ -91,3 +91,8 @@ def test_all_zero_weights_rejected(spark, docs):
     with pytest.raises(ValueError, match="zero"):
         mixture.mixture_allocations(docs, {"a": 0, "b": 0},
                                     budget_tokens=1000)
+
+
+def test_zero_weight_expression_rejected(spark, docs):
+    with pytest.raises(ValueError, match="empty"):
+        mixture.mixture_schedule(docs, F.lit(0), budget_tokens=1000)

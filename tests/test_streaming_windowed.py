@@ -132,7 +132,17 @@ def test_dense_grid_cell_guard(spark):
 def test_grid_guard_unknown_and_subsecond_units(spark):
     assert windowed._interval_seconds("500 milliseconds") == 0.5
     assert windowed._interval_seconds("3 fortnights") is None
+    assert windowed._interval_seconds("6hour") is None      # malformed
+    assert windowed._interval_seconds("0 seconds") is None  # Spark's error
     ev = catalog.load_table(spark, SF, "events")
-    # unknown unit → guard skips instead of raising; Spark still windows
-    out = windowed.windowed_event_counts(ev, window="720 minutes")
-    assert out.count() > 0
+    # unknown unit → the GUARD must skip (no max_cells ValueError); the
+    # failure that surfaces is Spark's own invalid-duration error at
+    # window-build/exec time, not ours
+    with pytest.raises(Exception) as ei:
+        windowed.dense_windowed_counts(ev, window="3 fortnights",
+                                       max_cells=10).count()
+    assert "max_cells" not in str(ei.value)
+    # sub-second KNOWN unit → guard sizes the grid and rejects correctly
+    with pytest.raises(ValueError, match="max_cells"):
+        windowed.dense_windowed_counts(ev, window="500 milliseconds",
+                                       max_cells=10)
