@@ -87,6 +87,13 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                           nodes["node"] == F.col("src"), "left_anti") \
                     .localCheckpoint()
     has_dangling = dangling.limit(1).count() > 0
+    # zero_in = nodes with no in-edges — STATIC across rounds, so hoist
+    # it out of the loop: each round then rebuilds ranks as
+    # (transformed contribs) ∪ (zero_in at the teleport floor) instead of
+    # re-joining the full node set against contribs — one fewer join and
+    # one fewer broadcast per round.
+    zero_in = nodes.join(links.select(F.col("dst").alias("node")).distinct(),
+                         "node", "left_anti").localCheckpoint()
 
     # Superseded checkpoints (each round's `ranks`, and `e` once links/
     # nodes exist) are freed by Spark's ContextCleaner when their last
@@ -96,30 +103,32 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
-        dangling_mass = 0.0
-        if has_dangling:
-            dangling_mass = (dangling.join(ranks, "node")
-                             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                             .first()[0])
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (r.join(links, r["node"] == links["src"])
                     .select(links["dst"].alias("node"),
                             (F.col("rank") * F.col("_w")).alias("_c"))
                     .groupBy("node").agg(F.sum("_c").alias("_in")))
-        base = nodes.join(
-            F.broadcast(contribs) if broadcast_ranks else contribs,
-            "node", "left")
+        new_ranks = contribs.select("node", F.col("_in").alias("_in")) \
+            .unionAll(zero_in.select("node", F.lit(0.0).alias("_in")))
+        if has_dangling:
+            # dangling mass as a broadcast 1-row aggregate cross-joined
+            # into the round's plan — NOT a separate driver action: the
+            # scalar job per round doubled the loop's job count.
+            dm = (dangling.join(r, "node")
+                  .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")))
+            new_ranks = new_ranks.crossJoin(F.broadcast(dm))
+        else:
+            new_ranks = new_ranks.withColumn("_dm", F.lit(0.0))
         # EAGER checkpoint (cluster.py:108 pattern): each round materializes
         # NOW, so round k's plan is one join over a leaf RDD. The lazy
         # (eager=False) form deferred every round to the final action, whose
         # nested broadcast-over-broadcast plan re-executed prior rounds —
         # measured superlinear (5 iters cost 3.6x of 3 iters at sf0.1).
-        ranks = (base
+        ranks = (new_ranks
                  .select("node",
                          (F.lit(teleport)
                           + F.lit(damping)
-                          * (F.coalesce(F.col("_in"), F.lit(0.0))
-                             + F.lit(dangling_mass / n))).alias("rank"))
+                          * (F.col("_in") + F.col("_dm") / n)).alias("rank"))
                  .localCheckpoint())
     return ranks
 

