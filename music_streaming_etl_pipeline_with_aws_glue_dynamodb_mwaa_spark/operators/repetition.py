@@ -51,20 +51,27 @@ def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
     """
     # ONE tagged explode for all n (struct(n, gram)), then
     # (doc, n, gram) → (doc, n) → pivot-by-conditional-aggregation to one
-    # row per doc: a single gram-sized exchange instead of one per n plus
-    # the per-n join chain — ~3x fewer shuffled bytes for the default ns,
-    # identical values (the oracle hash pins this).
+    # row per doc. Every aggregation is keyed by a superset of {doc}, so
+    # repartition the RAW documents by id FIRST (a doc-sized shuffle) and
+    # the entire exploded gram stream stays partition-local: hash
+    # partitioning on a subset of the group keys satisfies the clustering
+    # requirement, and Catalyst elides all three downstream exchanges —
+    # the ~n·L-per-doc gram strings never cross the wire. (Previously the
+    # first groupBy shuffled the gram stream itself: ~3L string rows per
+    # document.) The n_tokens branch reads the same repartitioned frame,
+    # so ReuseExchange shares the one shuffle.
     def _tag(n):
         # one-arg lambda on purpose: F.transform passes (element, index) to
         # a TWO-arg lambda, so an `n=n` default would receive the index
         return lambda g: F.struct(F.lit(n).alias("_n"), g.alias("_g"))
 
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col)) \
+            .repartition(F.col("_id"))
     tagged = F.concat(*[F.transform(_ngrams(text_col, n), _tag(n))
                         for n in ns])
-    grams = docs.select(F.col(id_col).alias("_id"),
-                        F.explode_outer(tagged).alias("_t")) \
-                .select("_id", F.col("_t._n").alias("_n"),
-                        F.col("_t._g").alias("_g"))
+    grams = d.select("_id", F.explode_outer(tagged).alias("_t")) \
+             .select("_id", F.col("_t._n").alias("_n"),
+                     F.col("_t._g").alias("_g"))
     per_gram = grams.groupBy("_id", "_n", "_g").agg(
         F.count(F.lit(1)).alias("_cnt"))
     per_nd = per_gram.groupBy("_id", "_n").agg(
@@ -101,8 +108,8 @@ def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
         *[c for n in ns for c in (f"total_{n}g", f"distinct_{n}g",
                                   f"top_{n}g", f"dup_{n}g")],
         *frac_cols)
-    base = docs.select(F.col(id_col).alias("_id"),
-                       F.size(tokens(text_col)).cast("long").alias("n_tokens"))
+    base = d.select("_id",
+                    F.size(tokens(text_col)).cast("long").alias("n_tokens"))
     return base.join(out, "_id").withColumnRenamed("_id", id_col)
 
 
