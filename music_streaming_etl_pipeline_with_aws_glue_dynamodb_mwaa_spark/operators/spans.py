@@ -1,0 +1,89 @@
+"""Interval algebra over keyed spans — merge overlapping/adjacent
+intervals into islands, and per-key coverage roll-ups.
+
+The reference has no interval surface (its only temporal op is
+``to_date`` bucketing, `REF/glue_jobs/transform.py:19`); this is the
+extension analogue every activity / availability / PII-span pipeline
+needs: "collapse [start, end] spans per key into maximal disjoint
+islands" (user activity windows, redaction-span normalization before
+masking, sensor uptime, ad-exposure windows).
+
+Spark-first shape — the classic gaps-and-islands formulation, ONE
+exchange total:
+
+- window 1 (per key, ordered by start, end): running max of *previous*
+  rows' ends; a row starts a NEW island iff its start exceeds that
+  running max by more than ``max_gap``;
+- window 2 (same spec): running sum of the new-island flags = island id;
+- final groupBy(key, island) → min(start), max(end), count — hash
+  partitioning on ``keys`` (a subset of the group keys) already
+  satisfies the aggregation's clustering, so both windows and the
+  roll-up ride the single key exchange.
+
+All comparisons are on the raw column values (longs / timestamps) —
+no floats, fully oracle-comparable.
+
+At 100 TB: the exchange is keyed by ``keys``; a single pathological key
+with billions of spans serializes in one task — the standard mitigation
+is pre-merging per (key, coarse time bucket) then re-merging bucket
+boundaries, which composes from this same operator applied twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_intervals(df: DataFrame, keys: list[str], start_col: str,
+                    end_col: str, *, max_gap: Column | int = 0) -> DataFrame:
+    """Collapse per-key intervals into maximal islands.
+
+    Intervals are treated as closed; two spans merge when the next start
+    is within ``max_gap`` of the furthest end seen so far (``max_gap=0``
+    ⇒ touching spans merge). ``max_gap`` may be an int (for numeric
+    span columns) or a Column (e.g. ``F.expr("INTERVAL 5 MINUTES")`` for
+    timestamps).
+
+    Returns one row per island: keys, ``span_start``, ``span_end``,
+    ``n_spans`` — ordered deterministically only if the caller sorts.
+    """
+    gap = F.lit(max_gap) if isinstance(max_gap, int) else max_gap
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull()
+        | (F.col(start_col) > prev_max_end + gap), 1).otherwise(0)
+    flagged = df.withColumn("_new", new_island)
+    island = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (flagged.withColumn("_island", island)
+            .groupBy(*keys, "_island")
+            .agg(F.min(start_col).alias("span_start"),
+                 F.max(end_col).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_spans"))
+            .drop("_island"))
+
+
+def interval_coverage(df: DataFrame, keys: list[str], start_col: str,
+                      end_col: str, *, max_gap: Column | int = 0,
+                      length: "callable | None" = None) -> DataFrame:
+    """Per-key coverage summary of the merged islands: island count,
+    total spans, and summed island length. ``length`` maps
+    (span_start, span_end) → a numeric Column; default is end − start
+    (numeric spans). For timestamps pass e.g.
+    ``lambda s, e: F.unix_micros(e) - F.unix_micros(s)``.
+    """
+    merged = merge_intervals(df, keys, start_col, end_col, max_gap=max_gap)
+    if length is None:
+        def length(s, e):          # noqa: E731 — simple default
+            return e - s
+    span_len = length(F.col("span_start"), F.col("span_end"))
+    # groupBy(keys) reuses the merge's key exchange (same subset rule)
+    return (merged
+            .withColumn("_len", span_len)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum("n_spans").alias("n_spans"),
+                 F.sum("_len").alias("covered")))

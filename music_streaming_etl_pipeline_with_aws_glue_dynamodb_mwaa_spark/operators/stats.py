@@ -176,6 +176,44 @@ def group_corr(df: DataFrame, keys: list[str], x_col: str, y_col: str, *,
                       F.when((vx > 0) & (vy > 0), r).alias(out_col))
 
 
+def group_ols(df: DataFrame, keys: list[str], x_col: Column | str,
+              y_col: Column | str, *, y_scale: int = 100) -> DataFrame:
+    """Per-group simple linear regression (OLS of y on x) through the
+    portable op tree — the per-entity TREND operator (is this user's
+    spend rising?, is this sensor drifting?).
+
+    ``x_col`` must already be an exact integer (a day index, an epoch
+    second); ``y_col`` is scaled to cents. All five sums are exact int64,
+    then:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)      — ONE division
+        intercept = (Σy − slope·Σx) / n                     — rounded ops
+
+    (built-in ``regr_slope`` streams doubles in partition order — not
+    reproducible across engines; this tree is, bit for bit). Groups with
+    n < 2 or zero x-variance yield NULL slope/intercept. Exactness bound:
+    n·max|x·y_cents| < 2⁶³ per group, same envelope as group_corr.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = cents(y_col, scale=y_scale)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"), F.sum(x * y).alias("_sxy"),
+    )
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+    den = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    slope = num.cast("double") / den.cast("double")
+    intercept = ((F.col("_sy").cast("double")
+                  - slope * F.col("_sx").cast("double"))
+                 / F.col("n").cast("double"))
+    valid = den > 0
+    return agg.select(
+        *keys, "n",
+        F.when(valid, slope).alias("slope_cents"),
+        F.when(valid, intercept).alias("intercept_cents"))
+
+
 def winsorized_mean(df: DataFrame, keys: list[str], value_col: str, *,
                     p_lo: float = 0.05, p_hi: float = 0.95) -> DataFrame:
     """Per-group winsorized mean: clamp each value to the group's

@@ -2944,3 +2944,242 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.aggregate("pooled", F.lit(0.0),
                            lambda a, x: a + x * x)).alias("l2_norm"),
         F.col("pooled")[0].alias("c0"))
+
+
+# --------------------------------------------------------------------------
+# E66 — TPC-H Q1/Q14 showcases (wide-agg scan and conditional-share joins)
+# --------------------------------------------------------------------------
+
+_QTY_CENTS_SQL = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+_PRICE_CENTS_SQL = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_TAX_CENTS_SQL = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+
+
+@register("tpch_q1_pricing_summary", f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({_QTY_CENTS_SQL}) AS BIGINT)   AS sum_qty_cents,
+           CAST(sum({_PRICE_CENTS_SQL}) AS BIGINT) AS sum_base_cents,
+           CAST(sum({_REV_CBP_SQL}) AS BIGINT)     AS sum_disc_cbp,
+           CAST(sum({_REV_CBP_SQL} * (100 + {_TAX_CENTS_SQL})) AS BIGINT)
+               AS sum_charge_cbp2,
+           CAST(count(*) AS BIGINT) AS count_order,
+           CAST(sum({_QTY_CENTS_SQL}) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_qty_cents,
+           CAST(sum({_PRICE_CENTS_SQL}) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_price_cents
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+""")
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical wide-aggregate scan: one pass, one
+    6-group hash agg behind a pushed scan filter; every measure is an
+    exact integer roll-up (cents / cent-basis-points / cbp²) and the
+    averages are single IEEE divisions of those integers, so the whole
+    row hashes bit-identically vs the oracle. Exactness envelope: the
+    cbp² charge sum holds ~2×10¹¹ per row — fine to ~10⁷ rows per group;
+    past that (sf ≳ 10) switch the charge column to DECIMAL(38,0), same
+    playbook as group_corr."""
+    li = catalog.load_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+    qty_c = stats.cents("l_quantity")
+    price_c = stats.cents("l_extendedprice")
+    charge = _rev_cbp() * (F.lit(100) + stats.cents("l_tax"))
+    agg = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(qty_c).alias("sum_qty_cents"),
+                F.sum(price_c).alias("sum_base_cents"),
+                F.sum(_rev_cbp()).alias("sum_disc_cbp"),
+                F.sum(charge).alias("sum_charge_cbp2"),
+                F.count(F.lit(1)).alias("count_order")))
+    cnt = F.col("count_order").cast("double")
+    return (agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty_cents", "sum_base_cents",
+        "sum_disc_cbp", "sum_charge_cbp2", "count_order",
+        (F.col("sum_qty_cents").cast("double") / cnt).alias("avg_qty_cents"),
+        (F.col("sum_base_cents").cast("double") / cnt)
+        .alias("avg_price_cents"))
+        .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("tpch_q14_promo_share", f"""
+    SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV_CBP_SQL}
+                         ELSE 0 END) AS BIGINT) AS promo_cbp,
+           CAST(sum({_REV_CBP_SQL}) AS BIGINT)  AS total_cbp,
+           100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                 THEN {_REV_CBP_SQL} ELSE 0 END) AS DOUBLE)
+                 / CAST(sum({_REV_CBP_SQL}) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-06-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-07-01'
+""")
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue share for one month: date filter
+    pushed to the fact scan, part dim broadcast, conditional vs total
+    roll-up in ONE agg pass, share = one division of exact longs
+    (scale factors cancel)."""
+    li = (catalog.load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1998-06-01")
+                  & (F.col("l_shipdate") < "1998-07-01"))
+          .select("l_partkey", _rev_cbp().alias("_rev")))
+    p = catalog.load_table(spark, sf_dir, "part") \
+        .select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type").startswith("PROMO"), F.col("_rev")) \
+             .otherwise(F.lit(0))
+    agg = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+           .agg(F.sum(promo).alias("promo_cbp"),
+                F.sum("_rev").alias("total_cbp")))
+    return agg.select(
+        "promo_cbp", "total_cbp",
+        (F.lit(100.0) * F.col("promo_cbp").cast("double")
+         / F.col("total_cbp").cast("double")).alias("promo_pct"))
+
+
+# --------------------------------------------------------------------------
+# E67 — interval merge (gaps-and-islands) + per-key coverage
+# --------------------------------------------------------------------------
+
+@register("user_activity_spans", """
+    WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+                FROM events),
+    m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+          FROM iv),
+    f AS (SELECT user_id, s, e,
+                 CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+          FROM m),
+    i AS (SELECT user_id, s, e,
+                 sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS isl
+          FROM f)
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM i GROUP BY user_id, isl
+""")
+def user_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's [ts, ts+10min) event intervals into maximal
+    activity islands (operators/spans.py::merge_intervals — the
+    gaps-and-islands plan: two windows + the roll-up on ONE user-keyed
+    exchange). Raw timestamp comparisons only, fully oracle-hashable."""
+    from .operators import spans
+    ev = catalog.load_table(spark, sf_dir, "events")
+    iv = ev.select("user_id", F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"))
+    return spans.merge_intervals(iv, ["user_id"], "s", "e",
+                                 max_gap=F.expr("INTERVAL 0 SECONDS")) \
+        .select("user_id", "span_start", "span_end", "n_spans")
+
+
+@register("user_activity_coverage", """
+    WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+                FROM events),
+    m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+          FROM iv),
+    f AS (SELECT user_id, s, e,
+                 CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+          FROM m),
+    i AS (SELECT user_id, s, e,
+                 sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS isl
+          FROM f),
+    g AS (SELECT user_id, min(s) AS ss, max(e) AS se,
+                 CAST(count(*) AS BIGINT) AS n_spans
+          FROM i GROUP BY user_id, isl)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(epoch_us(se) - epoch_us(ss)) AS BIGINT) AS covered_us
+    FROM g GROUP BY user_id
+""")
+def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total active time from the merged islands
+    (operators/spans.py::interval_coverage) — island count, span count,
+    covered microseconds (exact long sums)."""
+    from .operators import spans
+    ev = catalog.load_table(spark, sf_dir, "events")
+    iv = ev.select("user_id", F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"))
+    cov = spans.interval_coverage(
+        iv, ["user_id"], "s", "e",
+        max_gap=F.expr("INTERVAL 0 SECONDS"),
+        length=lambda s, e: F.unix_micros(e) - F.unix_micros(s))
+    return cov.select("user_id", "n_islands", "n_spans",
+                      F.col("covered").alias("covered_us"))
+
+
+# --------------------------------------------------------------------------
+# E68 — market-basket pair mining (2-itemset Apriori core)
+# --------------------------------------------------------------------------
+
+@register("part_pair_support", """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b),
+    ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+    f AS (SELECT b.bk, b.it, ic.n_item FROM b JOIN ic USING (it)
+          WHERE ic.n_item >= 2),
+    p AS (SELECT a.it AS item_a, b2.it AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_pair,
+                 max(a.n_item) AS n_a, max(b2.n_item) AS n_b
+          FROM f a JOIN f b2 ON a.bk = b2.bk AND a.it < b2.it
+          GROUP BY 1, 2)
+    SELECT item_a, item_b, n_pair, n_a, n_b, n_baskets,
+           CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+           CAST(n_pair * n_baskets AS DOUBLE)
+               / CAST(n_a * n_b AS DOUBLE) AS lift
+    FROM p, tot WHERE n_pair >= 2
+""")
+def part_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs across orders (operators/baskets.py) —
+    "bought together" support/lift with Apriori pruning: infrequent
+    items drop BEFORE the within-basket self-join, so the quadratic step
+    only sees frequent items. support/lift are single divisions of
+    exact longs."""
+    from .operators import baskets
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return baskets.pair_support(li, "l_orderkey", "l_partkey",
+                                min_support=2, max_basket_size=None)
+
+
+# --------------------------------------------------------------------------
+# E69 — per-group OLS trend (portable regression op tree)
+# --------------------------------------------------------------------------
+
+@register("user_value_trend", """
+    WITH p AS (SELECT user_id,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS x,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+               FROM events WHERE event_type = 'purchase'),
+    a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x*x) AS sxx, sum(x*y) AS sxy
+          FROM p GROUP BY 1)
+    SELECT user_id, n,
+           CASE WHEN n*sxx - sx*sx > 0
+                THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope_cents,
+           CASE WHEN n*sxx - sx*sx > 0
+                THEN (CAST(sy AS DOUBLE)
+                      - (CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) END AS intercept_cents
+    FROM a
+""")
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-value trend: OLS slope/intercept of value-cents
+    on the day index (operators/stats.py::group_ols — exact int64 sums,
+    then individually-rounded IEEE ops; built-in regr_slope streams
+    doubles and is NOT cross-engine reproducible)."""
+    ev = catalog.load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type") == "purchase")
+    x = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    return stats.group_ols(ev.withColumn("_x", x), ["user_id"],
+                           "_x", "value")
