@@ -148,3 +148,54 @@ def continuation_counts(docs: DataFrame, text_col: str) -> DataFrame:
         F.substring_index("bg", " ", -1).alias("right")).distinct()
     return pair.groupBy(F.col("right").alias("token")) \
                .agg(F.count(F.lit(1)).alias("n_left_contexts"))
+
+
+def doc_lm_scores(docs: DataFrame, id_col: str, text_col: str, *,
+                  lm_docs: DataFrame | None = None, add_k: float = 0.5,
+                  lm_text_col: str | None = None) -> DataFrame:
+    """Per-document bigram-LM log-likelihood — the CCNet/KenLM-style
+    fluency signal: score every document under an add-k-smoothed bigram
+    model trained on ``lm_docs`` (default: the corpus itself), so
+    gibberish / boilerplate surfaces as low mean log-probability.
+
+        logp(doc) = Σ ln((C(w1 w2) + k) / (C(w1·) + k·V))
+
+    with C from the training counts and V the training unigram-context
+    vocabulary (+1 for unseen contexts). Returns (id, n_bigrams,
+    sum_logprob, mean_logprob).
+
+    Spark-first: the count tables come from ``ngram_counts``-shaped
+    aggregations; scoring is ONE explode of the scored docs' bigrams +
+    two count-table equi-joins (gram, then left-context) + a per-doc
+    roll-up. The model tables are vocabulary-sized — at 100 TB they are
+    the small side and broadcast (hinted) under any sane vocabulary cap.
+
+    ``ln`` is not correctly-rounded and the per-doc sum crosses shuffled
+    rows → registered rows-only; numpy parity is pinned in
+    tests/test_ranking.py.
+    """
+    lm = docs if lm_docs is None else lm_docs
+    lm_text = text_col if lm_text_col is None else lm_text_col
+    bg = lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg")) \
+        .groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx = lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg")) \
+        .select(F.substring_index("_bg", " ", 1).alias("_w1")) \
+        .groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab_n = ctx.agg((F.count(F.lit(1)) + 1).alias("_v"))
+
+    scored = (docs.select(F.col(id_col).alias("_id"),
+                          F.explode(_ngrams(text_col, 2)).alias("_bg"))
+              .join(F.broadcast(bg), "_bg", "left")
+              .join(F.broadcast(ctx),
+                    F.substring_index("_bg", " ", 1) == F.col("_w1"), "left")
+              .crossJoin(F.broadcast(vocab_n)))
+    logp = F.log(
+        (F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(add_k) * F.col("_v")))
+    per_doc = (scored.select("_id", logp.alias("_lp"))
+               .groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("_lp").alias("sum_logprob")))
+    return per_doc.select(
+        F.col("_id").alias(id_col), "n_bigrams", "sum_logprob",
+        (F.col("sum_logprob") / F.col("n_bigrams")).alias("mean_logprob"))

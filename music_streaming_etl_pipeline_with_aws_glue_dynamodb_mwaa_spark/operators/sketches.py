@@ -55,3 +55,73 @@ def estimate(df: DataFrame, *, sketch_col: str = "sketch",
     """Attach the HLL cardinality estimate for each sketch row."""
     return df.withColumn(estimate_col,
                          F.hll_sketch_estimate(F.col(sketch_col)))
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch AS A TABLE — (depth, width) bucket counts built with the
+# engine-portable md5 bucket hash (operators/sampling.py idiom), so unlike
+# the binary HLL blobs these ARE oracle-comparable integers. Mergeable by
+# construction: CMS(A ∪ B) = cellwise CMS(A) + CMS(B) (one groupBy-sum),
+# the same no-rescan rollup property as the HLL columns above. Point
+# estimate = min over the d probed cells — the classic ≥-truth bound.
+# --------------------------------------------------------------------------
+
+def _cms_bucket(key, row: int, width: int):
+    """Portable bucket: first 8 md5 hex digits of 'key:row' mod width —
+    DuckDB mirror: ``('0x' || substr(md5(k || ':' || row), 1, 8))::BIGINT
+    % width``."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(k.cast("string"), F.lit(f":{row}")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                  F.lit(width))
+
+
+def cms_table(df: DataFrame, key_col: str, *, depth: int = 4,
+              width: int = 256, weight_col: str | None = None) -> DataFrame:
+    """Build the count-min sketch of ``key_col`` (optionally weighted) as
+    a (row, bucket, n) table — depth×width rows, exact longs.
+
+    One pass: each input row contributes to ``depth`` cells via a
+    per-row-seeded md5 bucket (the stacked projection is a map-side
+    explode of d structs); the groupBy collapses map-side, so the
+    exchange carries ≤ depth·width partials per task regardless of input
+    size — the whole point of a CMS at 100 TB.
+    """
+    w = F.lit(1).cast("long") if weight_col is None \
+        else F.col(weight_col).cast("long")
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _cms_bucket(key_col, r, width).alias("bucket"))
+        for r in range(depth)])
+    return (df.select(F.explode(cells).alias("_c"), w.alias("_w"))
+            .groupBy(F.col("_c.row").alias("row"),
+                     F.col("_c.bucket").alias("bucket"))
+            .agg(F.sum("_w").alias("n")))
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the SAME (depth, width): cellwise sum."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionAll(t)
+    return out.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, key_col: str, *,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]``: probe the d
+    cells, take the min — estimate ≥ true count always, ≤ true + εN with
+    the usual (depth, width) guarantees. The CMS is depth·width rows →
+    broadcast to the probe side; one join, no shuffle of the probes."""
+    probed = probes.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _cms_bucket(key_col, r, width).alias("bucket"))
+            for r in range(depth)])).alias("_c"))
+    joined = (probed
+              .join(F.broadcast(cms),
+                    (F.col("_c.row") == cms["row"])
+                    & (F.col("_c.bucket") == cms["bucket"]), "left")
+              .select(key_col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")))
+    return joined.groupBy(key_col).agg(F.min("_n").alias("est_count"))

@@ -3183,3 +3183,133 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
     return stats.group_ols(ev.withColumn("_x", x), ["user_id"],
                            "_x", "value")
+
+
+# --------------------------------------------------------------------------
+# E70 — token co-occurrence / association (PMI-ratio collocations)
+# --------------------------------------------------------------------------
+
+@register("token_cooccur_assoc", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS i FROM t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t_all FROM pos),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+            FROM pos GROUP BY 1),
+    p AS (SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b,
+                 CAST(count(*) AS BIGINT) AS n_pair
+          FROM pos x JOIN pos y
+            ON x.doc_id = y.doc_id AND y.i - x.i BETWEEN 1 AND 2
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT p.a, p.b, p.n_pair,
+           ua.n_tok AS n_a, ub.n_tok AS n_b,
+           CAST(p.n_pair * t_all AS DOUBLE)
+               / CAST(2 * ua.n_tok * ub.n_tok AS DOUBLE) AS assoc_ratio
+    FROM p
+    JOIN uni ua ON ua.tok = p.a
+    JOIN uni ub ON ub.tok = p.b
+    CROSS JOIN tot
+""")
+def token_cooccur_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±2-token co-occurrence collocations with the PMI-ratio association
+    score (operators/cooccur.py). Pair enumeration is in-row JVM array
+    code — zip the token array against its own shifted suffixes — so no
+    position self-join ever runs; the one exchange carries map-combined
+    (pair, count) partials. assoc_ratio = n_pair·T/(w·n_a·n_b), the exp
+    of PMI: ranks identically, hashes bit-identically (ln would not)."""
+    from .operators import cooccur
+    return cooccur.association_scores(_docs(spark, sf_dir), "text",
+                                      window=2, min_pair_count=5)
+
+
+# --------------------------------------------------------------------------
+# E71 — bigram-LM document scoring (CCNet-style fluency filter)
+# --------------------------------------------------------------------------
+
+@register("doc_lm_quality", None)   # ln + cross-row double sum → rows-only
+def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document add-k bigram log-likelihood under a corpus-trained LM
+    (operators/ranking.py::doc_lm_scores) — the perplexity-style quality
+    signal; low mean_logprob ⇒ boilerplate/gibberish. Model tables are
+    vocabulary-sized broadcasts; scoring is one explode + two joins +
+    one roll-up. ln is not correctly-rounded and the per-doc sum crosses
+    shuffled rows → rows-only; numpy parity in tests/test_ranking.py.
+    Docs with <2 tokens have no bigrams and drop out by construction."""
+    return ranking.doc_lm_scores(_docs(spark, sf_dir), "doc_id", "text",
+                                 add_k=0.5)
+
+
+# --------------------------------------------------------------------------
+# E72 — BPE merge learning (tokenizer training)
+# --------------------------------------------------------------------------
+
+@register("bpe_merge_table", None)   # iterative, data-dependent → rows-only
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus word vocabulary
+    (operators/bpe.py) — one corpus-sized word-count pass, then
+    vocabulary-sized rounds (weighted pair counts via in-row zip_with,
+    greedy left-to-right rewrite via F.aggregate, eager checkpoint per
+    round). Exact equivalence with a pure-Python reference BPE is pinned
+    in tests/test_bpe.py."""
+    from .operators import bpe
+    return bpe.bpe_merge_table(_docs(spark, sf_dir), "text", n_merges=8)
+
+
+# --------------------------------------------------------------------------
+# E73 — count-min sketch tables (portable, mergeable, oracle-exact)
+# --------------------------------------------------------------------------
+
+_CMS_BUCKET_SQL = ("(('0x' || substr(md5(tok || ':' || r), 1, 8))::BIGINT"
+                   " % 256)")
+
+
+@register("doc_token_cms", f"""
+    WITH pos AS (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    rows_ AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(r))
+    SELECT r AS row, {_CMS_BUCKET_SQL} AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pos CROSS JOIN rows_
+    GROUP BY 1, 2
+""")
+def doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of the corpus token stream as a (row, bucket, n)
+    TABLE (operators/sketches.py::cms_table) — built with the portable
+    md5 bucket hash, so unlike HLL blobs the sketch itself is
+    oracle-exact. Mergeable cellwise (cms_merge) — the same no-rescan
+    rollup property as the HLL columns, but for FREQUENCIES."""
+    from .operators import sketches
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    return sketches.cms_table(toks, "tok", depth=4, width=256)
+
+
+@register("doc_token_cms_estimates", f"""
+    WITH pos AS (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    rows_ AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(r)),
+    cms AS (SELECT r, {_CMS_BUCKET_SQL} AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pos CROSS JOIN rows_ GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT tok FROM pos),
+    cells AS (SELECT p.tok, c.n
+              FROM probe p CROSS JOIN rows_ v
+              JOIN cms c ON c.r = v.r
+                 AND c.bucket = (('0x' || substr(md5(p.tok || ':' || v.r),
+                                                 1, 8))::BIGINT % 256))
+    SELECT tok, CAST(min(n) AS BIGINT) AS est_count
+    FROM cells GROUP BY tok
+""")
+def doc_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency estimates for every distinct token from the CMS
+    table (min over the d probed cells — ≥ truth, ≤ truth + εN). The
+    1024-row sketch broadcasts to the probe side; the estimate is exact
+    integer arithmetic end-to-end, so even the APPROXIMATION is
+    oracle-hashable. Over-estimation vs exact counts is bounded in
+    tests/test_sketches.py."""
+    from .operators import sketches
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    cms = sketches.cms_table(toks, "tok", depth=4, width=256)
+    return sketches.cms_estimate(cms, toks, "tok", depth=4, width=256)
