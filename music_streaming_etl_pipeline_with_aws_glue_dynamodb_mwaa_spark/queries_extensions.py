@@ -3313,3 +3313,40 @@ def doc_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("tok"))
     cms = sketches.cms_table(toks, "tok", depth=4, width=256)
     return sketches.cms_estimate(cms, toks, "tok", depth=4, width=256)
+
+
+# --------------------------------------------------------------------------
+# E74 — feature-hashed linear quality classifier (train + apply in-engine)
+# --------------------------------------------------------------------------
+
+@register("doc_quality_classifier", """
+    WITH raw AS (SELECT doc_id, (lang = 'en') AS label,
+                        unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    tok AS (SELECT doc_id, label,
+                   (('0x' || substr(md5('q:' || tok), 1, 8))::BIGINT % 4096)
+                       AS bucket
+            FROM raw),
+    w AS (SELECT bucket,
+                 ((sum(CASE WHEN label THEN 1 ELSE 0 END) + 1) * 1000000)
+                   // (count(*) + 2) - 500000 AS w
+          FROM tok GROUP BY bucket),
+    s AS (SELECT t.doc_id, count(*) AS n_tokens, sum(w.w) AS margin_num
+          FROM tok t JOIN w USING (bucket) GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(margin_num AS BIGINT) AS margin_num,
+           CAST(margin_num AS DOUBLE) / (n_tokens * 500000) AS margin,
+           margin_num > 0 AS keep
+    FROM s
+""")
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier, trained in-engine on the
+    proxy label lang='en' and applied to every document
+    (operators/classify.py). Weights are Laplace-smoothed positive rates
+    in exact integer arithmetic — even the learned MODEL is
+    oracle-hashable, unlike float SGD. Margin is one IEEE division; the
+    keep gate is a pure integer predicate."""
+    from .operators import classify
+    docs = _docs(spark, sf_dir)
+    return classify.quality_classifier(docs, F.col("lang") == "en",
+                                       width=4096)
