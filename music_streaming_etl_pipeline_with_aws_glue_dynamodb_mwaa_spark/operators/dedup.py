@@ -102,14 +102,17 @@ def _exact_jaccard_for_pairs(candidates: DataFrame, df: DataFrame,
     )
 
 
-def _jaccard_via_postings(candidates: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs computed FROM THE POSTINGS
-    themselves — no re-shingling of raw text. |A∩B| is a count over the
-    (pair ⋈ postings-of-A ⋈ postings-of-B) equi-join chain, |A| and |B|
-    come from a postings groupBy. Cost: one shuffle of sum(|A|) posting
-    rows over the candidate set plus a composite-key hash join — every
-    row is (ids, shingle), never a multi-KB array. With the postings
-    already checkpointed by the caller this re-reads them for free."""
+def _overlap_counts(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact set-overlap counts for candidate pairs computed FROM THE
+    POSTINGS themselves — no re-shingling of raw text. Returns
+    (doc_a, doc_b, _c, _na, _nb): |A∩B| is a count over the (pair ⋈
+    postings-of-A ⋈ postings-of-B) equi-join chain, |A| and |B| come from
+    a postings groupBy. Cost: one shuffle of sum(|A|) posting rows over
+    the candidate set plus a composite-key hash join — every row is
+    (ids, shingle), never a multi-KB array. With the postings already
+    checkpointed by the caller this re-reads them for free. Every
+    similarity in the family (Jaccard, containment, overlap coefficient)
+    is one arithmetic projection of these three exact integers."""
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     pa = sh.select(F.col("_id").alias("doc_a"), "_shingle")
     pb = sh.select(F.col("_id").alias("doc_b"), "_shingle")
@@ -120,7 +123,11 @@ def _jaccard_via_postings(candidates: DataFrame, sh: DataFrame) -> DataFrame:
             .join(sizes.withColumnRenamed("_id", "doc_a")
                        .withColumnRenamed("_n", "_na"), "doc_a")
             .join(sizes.withColumnRenamed("_id", "doc_b")
-                       .withColumnRenamed("_n", "_nb"), "doc_b")
+                       .withColumnRenamed("_n", "_nb"), "doc_b"))
+
+
+def _jaccard_via_postings(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+    return (_overlap_counts(candidates, sh)
             .select("doc_a", "doc_b",
                     (F.col("_c").cast("double")
                      / (F.col("_na") + F.col("_nb") - F.col("_c")))
@@ -532,6 +539,60 @@ def embedding_near_dup_pairs_blocked(emb: DataFrame, id_col: str, vec_col: str,
         .applyInPandas(score_block,
                        f"doc_a {id_type}, doc_b {id_type}, cosine double")
     )
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                      n: int = 3, threshold: float = 0.8,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """DIRECTED near-dup pairs by set containment
+    C(A→B) = |S(A)∩S(B)| / |S(A)| ≥ threshold — the asymmetric measure
+    that catches a short document swallowed whole by a longer one
+    (quotation, page-within-crawl, truncated mirror), where symmetric
+    Jaccard is diluted to |A|/|B| and slips under any useful band.
+    The standard corpus policy consumes this as "drop doc_a, keep doc_b".
+
+    Returns (doc_a, doc_b, containment, n_a, n_b), doc_a ≠ doc_b, both
+    directions possible; containment is ONE IEEE division of exact
+    integers (oracle-hashable), n_a/n_b are the distinct-shingle sizes.
+
+    Spark-first shape — the prefix-filter candidate step adapts the
+    AllPairs bound to containment: if |A∩B| ≥ t·|A| then among A's
+    ``|A| − floor(t·|A|) + 1`` globally-RAREST shingles at least one is
+    in B (no assumption on |B| — containment has no length-ratio prune,
+    which is exactly why the quadratic hot-shingle risk sits on the B
+    side and ``max_shingle_df`` is the documented escape valve for
+    boilerplate-heavy corpora). Candidates = A-prefix postings ⋈ B-full
+    postings on the shingle; verification = exact overlap counts over
+    the full postings (``_overlap_counts``), never a doc×doc product.
+    """
+    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=False)
+    docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
+    joinable = sh
+    if max_shingle_df is not None:
+        joinable = sh.join(docfreq.filter(F.col("_df") <= max_shingle_df)
+                           .select("_shingle"), "_shingle")
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
+                                          F.col("_shingle").asc())
+    wsz = Window.partitionBy("_id")
+    prefix = (joinable.join(docfreq, "_shingle")
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_sz", F.count(F.lit(1)).over(wsz))
+              .filter(F.col("_rn") <= F.col("_sz")
+                      - F.floor(F.lit(threshold) * F.col("_sz")) + 1)
+              .select("_id", "_shingle"))
+    a, b = prefix.alias("a"), joinable.alias("b")
+    candidates = (
+        a.join(b, (F.col("a._shingle") == F.col("b._shingle"))
+               & (F.col("a._id") != F.col("b._id")))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct())
+    counts = _overlap_counts(candidates, sh)
+    return (counts.select(
+                "doc_a", "doc_b",
+                (F.col("_c").cast("double") / F.col("_na"))
+                .alias("containment"),
+                F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"))
+            .filter(F.col("containment") >= threshold))
 
 
 def shared_ngram_pairs(df: DataFrame, id_col: str, text_col: str, *,

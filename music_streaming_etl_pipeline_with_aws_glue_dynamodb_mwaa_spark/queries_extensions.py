@@ -3350,3 +3350,36 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return classify.quality_classifier(docs, F.col("lang") == "en",
                                        width=4096)
+
+
+# --------------------------------------------------------------------------
+# E75 — directed containment near-dup pairs (asymmetric overlap)
+# --------------------------------------------------------------------------
+
+@register("neardup_containment_pairs", """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS s
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / x.n AS containment,
+           CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b
+    FROM common
+    JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE CAST(c AS DOUBLE) / x.n >= 0.8
+""")
+def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed trigram-shingle containment at the 0.8 band
+    (operators/dedup.py::containment_pairs) — the asymmetric
+    short-doc-inside-long-doc detector symmetric Jaccard misses; the
+    containment-adapted prefix filter keeps candidate generation off the
+    doc x doc product. C >= J always, so this is a superset of the 0.8
+    jaccard pairs, directed."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                   n=3, threshold=0.8)

@@ -191,3 +191,36 @@ def test_minhash_incremental_equals_full_on_new_touching_pairs(spark):
     want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in full
             if r["doc_a"] in new_ids or r["doc_b"] in new_ids}
     assert inc == want and len(want) > 0
+
+
+def test_containment_short_doc_inside_long(spark):
+    """A short doc fully quoted inside a long one: containment fires where
+    Jaccard is diluted below any useful band."""
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + " " + " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different words here now")],
+        "doc_id long, text string")
+    pairs = dedup.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    got = [(r["doc_a"], r["doc_b"], r["containment"]) for r in pairs.collect()]
+    assert got == [(1, 2, 1.0)]  # directed: 1 contained in 2, never 2 in 1
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.collect() == []  # symmetric measure misses it
+
+
+def test_containment_prefix_filter_matches_brute_force(spark):
+    """Prefix-filtered candidates lose no pair vs the all-postings join."""
+    docs = _docs(spark)
+    fast = {(r["doc_a"], r["doc_b"]) for r in dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8).collect()}
+    # brute force: overlap counts over ALL candidate pairs sharing a shingle
+    sh = dedup._shingled(docs, "doc_id", "text", 3)
+    a = sh.select(F.col("_id").alias("doc_a"), "_shingle")
+    b = sh.select(F.col("_id").alias("doc_b"), "_shingle")
+    cand = (a.join(b, "_shingle").filter("doc_a != doc_b")
+            .select("doc_a", "doc_b").distinct())
+    brute = {(r["doc_a"], r["doc_b"])
+             for r in dedup._overlap_counts(cand, sh)
+             .filter(F.col("_c").cast("double") / F.col("_na") >= 0.8)
+             .collect()}
+    assert fast == brute and brute, "fixture must contain containment pairs"
