@@ -77,12 +77,69 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     return vocab.withColumn("_syms", merged)
 
 
+def _learn_bpe_local(counts: dict[str, int], n_merges: int,
+                     min_pair_count: int) -> list[dict]:
+    """Driver-local merge loop over a collected (word, count) dict — the
+    classic Sennrich trainer. Bit-identical to the distributed loop (same
+    greedy fold, same (count desc, a, b) tie-break); equality is pinned
+    in tests/test_bpe.py."""
+    syms = {w: list(w) + [EOW] for w in counts}
+    merges: list[dict] = []
+    for step in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, cnt in counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] = pc.get(p, 0) + cnt
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_pair_count:
+            break
+        merges.append({"step": step, "left": a, "right": b,
+                       "pair_count": cnt})
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+#: collect the (word, count) vocab to the driver and run the merge loop
+#: locally below this distinct-word count — each distributed round costs
+#: two vocabulary jobs (argmax + rewrite checkpoint), so a small-vocab
+#: corpus pays ~2·n_merges job latencies for work a dict loop does in
+#: milliseconds. A 200k-word vocab is ~10 MB of driver memory (bounded);
+#: web-scale vocabularies exceed the cap and take the distributed loop.
+DRIVER_VOCAB_MAX = 200_000
+
+
 def learn_bpe(docs: DataFrame, text_col: str = "text", *,
-              n_merges: int = 8, min_pair_count: int = 2) -> list[dict]:
+              n_merges: int = 8, min_pair_count: int = 2,
+              driver_vocab_max: int = DRIVER_VOCAB_MAX) -> list[dict]:
     """Learn ``n_merges`` BPE merges; returns the ordered merge table as
     dicts: {step, left, right, pair_count}. Stops early when no pair
-    reaches ``min_pair_count``."""
-    vocab = (word_vocab(docs, text_col)
+    reaches ``min_pair_count``.
+
+    The corpus-sized vocab pass is always distributed; the merge LOOP
+    adaptively runs on the driver when the vocab fits ``driver_vocab_max``
+    (one job instead of 2·n_merges — same adaptive-threshold pattern as
+    cluster.connected_components' bounded union-find), falling back to
+    the distributed round loop beyond it. Both paths produce identical
+    merge tables (pinned in tests)."""
+    counts_df = word_vocab(docs, text_col)
+    if driver_vocab_max:
+        head = counts_df.limit(driver_vocab_max + 1).collect()
+        if len(head) <= driver_vocab_max:
+            return _learn_bpe_local({r["word"]: r["count"] for r in head},
+                                    n_merges, min_pair_count)
+    vocab = (counts_df
              .withColumn("_syms",
                          F.concat(F.split(F.col("word"), ""),
                                   F.array(F.lit(EOW))))
@@ -117,3 +174,81 @@ def bpe_merge_table(docs: DataFrame, text_col: str = "text", *,
     return spark.createDataFrame(
         [(m["step"], m["left"], m["right"], m["pair_count"])
          for m in merges], schema)
+
+
+# --------------------------------------------------------------------------
+# Encoding (tokenizer APPLY): replay the learned merges over the vocab,
+# then map the corpus token stream through the encoded vocabulary.
+# --------------------------------------------------------------------------
+
+#: broadcast the encoded vocab into the corpus join below this row count
+#: (zipf vocabularies of even web-scale corpora sit well under it; a
+#: larger one falls back to a word-keyed shuffle join automatically).
+BROADCAST_VOCAB_MAX = 2_000_000
+
+
+def encode_words(words: DataFrame, merges: list[dict], *,
+                 word_col: str = "word",
+                 checkpoint_every: int = 8) -> DataFrame:
+    """(word, pieces): apply an ordered merge table (``learn_bpe`` output)
+    to every distinct word. Replaying merges in learned order with the
+    same greedy left-to-right fold as the trainer reproduces the
+    trainer's final symbolization exactly — rank-order encode and
+    replay-encode coincide for a self-consistent merge table.
+
+    Vocab-sized, pure JVM expressions; every ``checkpoint_every`` rounds
+    the frame is checkpointed so plan depth stays bounded (the
+    iterative-loop discipline of learn_bpe/pagerank — M chained
+    array-folds would otherwise nest into one mega-expression).
+    """
+    enc = (words.select(F.col(word_col).alias("word")).distinct()
+           .withColumn("_syms", F.concat(F.split(F.col("word"), ""),
+                                         F.array(F.lit(EOW)))))
+    for i, m in enumerate(merges):
+        enc = _apply_merge(enc, m["left"], m["right"])
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+    return enc.select("word", F.col("_syms").alias("pieces"))
+
+
+def encode_docs(docs: DataFrame, merges: list[dict], *,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Tokenize every document with a learned merge table. Returns
+    (id, pos, word, pieces) — one row per token OCCURRENCE, ``pos`` the
+    0-based word position, ``pieces`` the BPE units.
+
+    The corpus never sees the merge loop: the DISTINCT word vocab is
+    encoded once (vocab-sized), then the token stream maps through ONE
+    equi-join on the word — broadcast while the vocab is small, plain
+    hash join beyond ``BROADCAST_VOCAB_MAX``. This is the only shape
+    that survives a 100 TB corpus: per-token re-encoding would replay
+    the merge fold per occurrence instead of per distinct word.
+    """
+    toks = docs.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "word")) \
+        .filter(F.col("word") != "")
+    # EAGER: the vocab feeds both the size probe and the join — one
+    # materialization, not a replay of the merge folds per consumer
+    vocab = encode_words(toks.select("word"), merges).localCheckpoint()
+    if vocab.count() <= BROADCAST_VOCAB_MAX:
+        vocab = F.broadcast(vocab)
+    return toks.join(vocab, "word").select(id_col, "pos", "word", "pieces")
+
+
+def doc_bpe_stats(docs: DataFrame, merges: list[dict], *,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document tokenization profile under a learned merge table:
+    (id, n_words, n_pieces, pieces_per_word) — the fertility /
+    compression metric tokenizer work tracks per corpus slice.
+    ``pieces_per_word`` is ONE IEEE division of exact longs."""
+    enc = encode_docs(docs, merges, id_col=id_col, text_col=text_col)
+    return (enc.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.size("pieces")).cast("long").alias("n_pieces"))
+            .select(id_col, "n_words", "n_pieces",
+                    (F.col("n_pieces").cast("double")
+                     / F.col("n_words").cast("double"))
+                    .alias("pieces_per_word")))

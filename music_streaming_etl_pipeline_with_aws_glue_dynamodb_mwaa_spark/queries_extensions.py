@@ -3383,3 +3383,22 @@ def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard pairs, directed."""
     return dedup.containment_pairs(_docs(spark, sf_dir), "doc_id", "text",
                                    n=3, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# E76 — BPE tokenizer APPLY (vocab-level encode + corpus map-through)
+# --------------------------------------------------------------------------
+
+@register("doc_bpe_stats", None)   # learned merges: iterative → rows-only
+def doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenization profile (n_words, n_pieces,
+    pieces_per_word) under a corpus-trained 8-merge BPE table
+    (operators/bpe.py::doc_bpe_stats). The corpus is tokenized by
+    encoding the DISTINCT word vocab once and broadcast-joining it back —
+    the merge fold runs per distinct word, never per occurrence.
+    Encode/replay equivalence vs a pure-Python reference is pinned in
+    tests/test_bpe.py."""
+    from .operators import bpe
+    docs = _docs(spark, sf_dir)
+    merges = bpe.learn_bpe(docs, "text", n_merges=8)
+    return bpe.doc_bpe_stats(docs, merges)

@@ -84,3 +84,67 @@ def test_bpe_merge_table_frame(spark):
     out = bpe.bpe_merge_table(df, "text", n_merges=3).collect()
     assert [r["step"] for r in out] == [0, 1, 2]
     assert all(r["pair_count"] >= 2 for r in out)
+
+
+def _ref_encode(word, merges):
+    s = list(word) + [bpe.EOW]
+    for _, a, b, _c in merges:
+        out = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        s = out
+    return s
+
+
+def test_encode_words_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = bpe.learn_bpe(df, "text", n_merges=6)
+    ref_merges = _ref_bpe(TEXTS, 6)
+    words = sorted({w for t in TEXTS for w in t.split(" ")})
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["pieces"]
+           for r in bpe.encode_words(wdf, merges, checkpoint_every=3).collect()}
+    for w in words:
+        assert got[w] == _ref_encode(w, ref_merges), w
+        # pieces always reassemble the word + EOW marker
+        assert "".join(got[w]) == w + bpe.EOW
+
+
+def test_encode_docs_and_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest widest")],
+        "doc_id long, text string")
+    merges = bpe.learn_bpe(df, "text", n_merges=4)
+    enc = bpe.encode_docs(df, merges)
+    rows = {(r["doc_id"], r["pos"]): (r["word"], r["pieces"])
+            for r in enc.collect()}
+    assert rows[(1, 0)][0] == "low" and rows[(1, 2)][0] == "lower"
+    assert len(rows) == 5
+    stats = {r["doc_id"]: r for r in bpe.doc_bpe_stats(df, merges).collect()}
+    assert stats[1]["n_words"] == 3 and stats[2]["n_words"] == 2
+    char_level = {1: sum(len(w) + 1 for w in ["low", "low", "lower"]),
+                  2: sum(len(w) + 1 for w in ["newest", "widest"])}
+    for doc_id, r in stats.items():
+        assert r["pieces_per_word"] == r["n_pieces"] / r["n_words"]
+        # merges must compress below char-level, never below 1 piece/word
+        assert r["n_words"] <= r["n_pieces"] < char_level[doc_id]
+
+
+def test_encode_empty_merge_table(spark):
+    """No merges → every word is its raw character stream + EOW."""
+    df = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
+    out = {r["word"]: r["pieces"]
+           for r in bpe.encode_docs(df, []).collect()}
+    assert out == {"ab": ["a", "b", bpe.EOW], "c": ["c", bpe.EOW]}
+
+
+def test_local_and_distributed_loops_agree(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    local = bpe.learn_bpe(df, "text", n_merges=6)  # vocab under the cap
+    dist = bpe.learn_bpe(df, "text", n_merges=6, driver_vocab_max=0)
+    assert local == dist == [
+        {"step": s, "left": a, "right": b, "pair_count": c}
+        for s, a, b, c in _ref_bpe(TEXTS, 6)]
