@@ -42,7 +42,8 @@ BROADCAST_NODES_MAX = 2_000_000
 
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iterations: int = 10,
-             broadcast_ranks: bool | None = None) -> DataFrame:
+             broadcast_ranks: bool | None = None,
+             symmetric: bool = False) -> DataFrame:
     """PageRank over a directed edge list (parallel edges collapse to one).
 
     Returns (node, rank), ranks summing to ~1.0. Dangling nodes (no
@@ -59,6 +60,13 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     join side every round. At web scale ranks no longer fit an executor →
     the shuffled join path, where ``links`` keeps a stable partitioning
     and only the (node-sized) rank frame moves.
+
+    ``symmetric=True``: caller guarantees every edge appears in BOTH
+    directions (similarity graphs, bipartite co-occurrence unions). Then
+    src-set = dst-set = node-set, no node dangles and none lacks
+    in-edges — the node-union distinct, the dangling probe, and the
+    zero-in anti-join (three fact-sized setup jobs plus a per-round
+    union) are all provably no-ops and are skipped.
     """
     # EAGER checkpoints for every frame the loop (or multiple setup
     # consumers) reuses: a lazy plan here re-executes its whole subtree per
@@ -67,33 +75,40 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     # sized distinct four times dominated the operator's wall time.
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct().localCheckpoint())
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select("dst")).distinct()
-             .localCheckpoint())
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    if symmetric:
+        nodes = (out_deg.select(F.col("src").alias("node"))
+                 .localCheckpoint())
+    else:
+        nodes = (e.select(F.col("src").alias("node"))
+                 .union(e.select("dst")).distinct()
+                 .localCheckpoint())
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     if broadcast_ranks is None:
         broadcast_ranks = n <= BROADCAST_NODES_MAX
 
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     links = (e.join(out_deg, "src")
              .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
              .localCheckpoint())
-    # dangling = nodes that never appear as src; EAGER — consumed by the
-    # has_dangling probe now and by every round's mass aggregate later
-    # (≥2 consumers across separate actions ⇒ materialize once)
-    dangling = nodes.join(links.select("src").distinct(),
-                          nodes["node"] == F.col("src"), "left_anti") \
-                    .localCheckpoint()
-    has_dangling = dangling.limit(1).count() > 0
-    # zero_in = nodes with no in-edges — STATIC across rounds, so hoist
-    # it out of the loop: each round then rebuilds ranks as
-    # (transformed contribs) ∪ (zero_in at the teleport floor) instead of
-    # re-joining the full node set against contribs — one fewer join and
-    # one fewer broadcast per round.
-    zero_in = nodes.join(links.select(F.col("dst").alias("node")).distinct(),
-                         "node", "left_anti").localCheckpoint()
+    if symmetric:
+        has_dangling, dangling, zero_in = False, None, None
+    else:
+        # dangling = nodes that never appear as src; EAGER — consumed by
+        # the has_dangling probe now and by every round's mass aggregate
+        # later (≥2 consumers across separate actions ⇒ materialize once)
+        dangling = nodes.join(links.select("src").distinct(),
+                              nodes["node"] == F.col("src"), "left_anti") \
+                        .localCheckpoint()
+        has_dangling = dangling.limit(1).count() > 0
+        # zero_in = nodes with no in-edges — STATIC across rounds, so
+        # hoist it out of the loop: each round then rebuilds ranks as
+        # (transformed contribs) ∪ (zero_in at the teleport floor)
+        # instead of re-joining the full node set against contribs.
+        zero_in = nodes.join(links.select(F.col("dst").alias("node"))
+                             .distinct(), "node", "left_anti") \
+                       .localCheckpoint()
 
     # Superseded checkpoints (each round's `ranks`, and `e` once links/
     # nodes exist) are freed by Spark's ContextCleaner when their last
@@ -108,8 +123,10 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                     .select(links["dst"].alias("node"),
                             (F.col("rank") * F.col("_w")).alias("_c"))
                     .groupBy("node").agg(F.sum("_c").alias("_in")))
-        new_ranks = contribs.select("node", F.col("_in").alias("_in")) \
-            .unionAll(zero_in.select("node", F.lit(0.0).alias("_in")))
+        new_ranks = contribs.select("node", F.col("_in").alias("_in"))
+        if zero_in is not None:
+            new_ranks = new_ranks.unionAll(
+                zero_in.select("node", F.lit(0.0).alias("_in")))
         if has_dangling:
             # dangling mass as a broadcast 1-row aggregate cross-joined
             # into the round's plan — NOT a separate driver action: the

@@ -54,6 +54,22 @@ def test_pagerank_symmetric_graph_uniform(spark):
         assert r["rank"] == pytest.approx(1.0 / 3, rel=1e-9)
 
 
+def test_pagerank_symmetric_fast_path_matches_general(spark):
+    # irregular undirected graph (star + path): symmetric=True must agree
+    # with the general path exactly — it only skips provably-idle setup
+    fwd = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+    edges = fwd + [(d, s) for s, d in fwd]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    general = {r["node"]: r["rank"]
+               for r in graph.pagerank(df, iterations=12).collect()}
+    fast = {r["node"]: r["rank"]
+            for r in graph.pagerank(df, iterations=12,
+                                    symmetric=True).collect()}
+    assert set(fast) == set(general)
+    for node in general:
+        assert fast[node] == pytest.approx(general[node], rel=1e-12)
+
+
 # --------------------------------------------------------------------------
 # triangle_count
 # --------------------------------------------------------------------------
