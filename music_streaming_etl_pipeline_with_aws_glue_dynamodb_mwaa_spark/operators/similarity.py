@@ -518,3 +518,92 @@ def pool_embeddings(df: DataFrame, group_col: str, *,
             out_col, F.when(nrm > 0, F.transform(out_col, lambda x: x / nrm))
                       .otherwise(F.col(out_col)))
     return out.select(group_col, out_col, "n_vecs")
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (dimensionality reduction)
+# --------------------------------------------------------------------------
+
+def _jl_matrix(dim: int, out_dim: int, seed: int) -> np.ndarray:
+    """Deterministic sparse-sign JL matrix (Achlioptas 2003): entries
+    ±1/√out_dim with equal probability — dot products are preserved in
+    expectation with variance O(1/out_dim), and the ±1 structure keeps
+    the matmul branch-free."""
+    rs = np.random.RandomState(seed)
+    return (rs.randint(0, 2, size=(dim, out_dim)).astype(np.float64) * 2
+            - 1) / np.sqrt(out_dim)
+
+
+def project_embeddings(emb: DataFrame, *, dim: int, out_dim: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42,
+                       out_col: str = "proj") -> DataFrame:
+    """(id, proj): JL-project every embedding to ``out_dim`` dims — the
+    cheap front-end for candidate generation / clustering / sketching
+    when the native dimension makes exact scoring the bottleneck.
+
+    One Arrow-batched pass (numpy matmul against the broadcast (d, k)
+    matrix — KBs), no shuffle; same (dim, out_dim, seed) ⇒ identical
+    projection on any engine, so a corpus projected at ingest and
+    queries projected at query time land in the same space. Numpy
+    parity + distortion bounds pinned in tests/test_similarity.py.
+    """
+    mat = _jl_matrix(dim, out_dim, seed)
+
+    @F.pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)   # (batch, d)
+        return pd.Series(list(m @ mat))                    # (batch, k)
+
+    return emb.select(F.col(id_col), proj(F.col(vec_col)).alias(out_col))
+
+
+def cosine_topk_jl(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+                   dim: int, out_dim: int = 16, rerank_factor: int = 4,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k via project-then-rerank: score all pairs in the
+    ``out_dim``-dim JL space (out_dim/dim of the exact flops), keep
+    ``rerank_factor·k`` candidates per query, then EXACT cosine re-rank
+    of just those on the full vectors — the classic two-stage retrieval
+    memory/flops trade. Same output schema as ``cosine_topk``; recall
+    vs exact is pinned in tests/test_similarity.py.
+
+    Scale shape: the candidate stage is a map-side broadcast scan over
+    the PROJECTED corpus (8·out_dim B/row instead of 8·dim); the re-rank
+    touches full vectors for only rerank_factor·k·|Q| rows via one
+    semi-join-shaped equi-join.
+    """
+    pc = project_embeddings(emb, dim=dim, out_dim=out_dim, id_col=id_col,
+                            vec_col=vec_col, seed=seed)
+    pq = project_embeddings(
+        queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(vec_col).alias("_qv")),
+        dim=dim, out_dim=out_dim, id_col="_qid", vec_col="_qv", seed=seed)
+    cand = (
+        pc.crossJoin(F.broadcast(
+            pq.select("_qid", F.col("proj").alias("_qp"),
+                      norm_expr("proj").alias("_qn"))))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(F.col("_qid"), F.col(id_col).alias("neighbor_id"),
+                (dot_expr("proj", "_qp")
+                 / (norm_expr("proj") * F.col("_qn"))).alias("_approx")))
+    cand = top_k_per_group(cand, ["_qid"], "_approx", rerank_factor * k,
+                           tie_break=["neighbor_id"]) \
+        .select("_qid", "neighbor_id")
+    # exact re-rank: fetch full vectors for candidates only
+    qfull = queries.select(F.col(query_id_col).alias("_qid"),
+                           F.col(vec_col).alias("_qv"),
+                           norm_expr(vec_col).alias("_qn"))
+    scored = (cand
+              .join(emb.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("_nv"),
+                               norm_expr(vec_col).alias("_nn")),
+                    "neighbor_id")
+              .join(F.broadcast(qfull), "_qid")
+              .select(F.col("_qid").alias(query_id_col), "neighbor_id",
+                      (dot_expr("_nv", "_qv")
+                       / (F.col("_nn") * F.col("_qn"))).alias("cosine")))
+    return top_k_per_group(scored, [query_id_col], "cosine", k,
+                           tie_break=["neighbor_id"])

@@ -3404,3 +3404,21 @@ def doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     merges = bpe.learn_bpe(docs, "text", n_merges=8)
     return bpe.doc_bpe_stats(docs, merges)
+
+
+# --------------------------------------------------------------------------
+# E77 — JL random projection + project-then-rerank ANN
+# --------------------------------------------------------------------------
+
+@register("ann_cosine_topk_jl", None)  # numpy-seeded JL matrix → rows-only
+def ann_cosine_topk_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: score every pair in a 16-dim Johnson-Lindenstrauss
+    projection (1/4 of the exact flops and bytes), keep 4k candidates per
+    query, exact-cosine re-rank on the full 64-dim vectors
+    (operators/similarity.py::cosine_topk_jl). Recall vs brute force and
+    numpy projection parity are pinned in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk_jl(emb, queries, k=10, dim=64,
+                                     out_dim=16, rerank_factor=4)

@@ -213,3 +213,64 @@ def test_pool_embeddings_null_vectors_dont_inflate_counts(spark):
     assert out["g"]["n_vecs"] == 1            # the NULL row didn't count
     assert out["g"]["pooled"] == [2.0, 0.0]
     assert "h" not in out                     # nothing poolable → absent
+
+
+def test_jl_projection_matches_numpy(spark):
+    import numpy as np
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    got = {r["vec_id"]: np.array(r["proj"]) for r in
+           sim.project_embeddings(emb.limit(20), dim=64, out_dim=16)
+           .collect()}
+    mat = sim._jl_matrix(64, 16, 42)
+    for r in rows:
+        want = np.array(r["embedding"], dtype=np.float64) @ mat
+        assert np.allclose(got[r["vec_id"]], want, atol=1e-12)
+
+
+def test_jl_preserves_dot_products_roughly(spark):
+    """JL guarantee sanity: projected pairwise dots track true dots with
+    bounded additive distortion for unit-ish vectors."""
+    import numpy as np
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import similarity as sim
+    rs = np.random.RandomState(0)
+    v = rs.randn(30, 64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    mat = sim._jl_matrix(64, 16, 42)
+    p = v @ mat
+    true = v @ v.T
+    approx = p @ p.T
+    # additive error ~ O(1/sqrt(16)); allow a generous band
+    assert np.abs(true - approx).max() < 0.9
+    assert np.abs(true - approx).mean() < 0.2
+
+
+def test_cosine_topk_jl_recall_on_planted_neighbors(spark):
+    """JL candidate generation preserves GENUINE similarity structure:
+    with planted near-duplicate groups (cosine ≈ 0.97 inside a group vs
+    ≈ 0 across), project-then-rerank recovers the true neighbors. (On
+    pure noise the projected ordering is meaningless by design — the JL
+    additive error ~1/√out_dim dominates a 1/√dim cosine spread; that's
+    a property of the data, not the operator.)"""
+    import numpy as np
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import similarity as sim
+    rs = np.random.RandomState(3)
+    base = rs.randn(40, 64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for g, b in enumerate(base):
+        for j in range(4):                     # 4 members per group
+            v = b + 0.04 * rs.randn(64)   # ‖noise‖≈0.32 ⇒ sibling cos≈0.95
+            rows.append((g * 4 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    k = 3                                      # the 3 siblings
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim.cosine_topk(emb, queries, k=k).collect()}
+    jl = {(r["query_id"], r["neighbor_id"])
+          for r in sim.cosine_topk_jl(emb, queries, k=k, dim=64,
+                                      out_dim=16,
+                                      rerank_factor=4).collect()}
+    assert len(jl & exact) / len(exact) >= 0.95
