@@ -3422,3 +3422,42 @@ def ann_cosine_topk_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding")
     return similarity.cosine_topk_jl(emb, queries, k=10, dim=64,
                                      out_dim=16, rerank_factor=4)
+
+
+# --------------------------------------------------------------------------
+# E78 — engine-native session windows (F.session_window, batch ≡ stream)
+# --------------------------------------------------------------------------
+
+@register("events_session_windows", """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    f AS (SELECT user_id, us, value,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new
+          FROM e),
+    g AS (SELECT user_id, us, value,
+             SUM(new) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f)
+    SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM g GROUP BY user_id, sid
+""")
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows via the built-in F.session_window
+    (streaming/windowed.py::session_windowed_stats) at a 30-minute gap —
+    microsecond-exact boundary semantics pinned against the gaps-and-
+    islands oracle (diff == gap MERGES; session end = last event + gap).
+    The same expression runs incrementally over a stream with watermark
+    state eviction (batch ≡ stream asserted in
+    tests/test_streaming_windowed.py)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    out = windowed.session_windowed_stats(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events", "sum_cents")

@@ -132,3 +132,37 @@ def dense_windowed_counts(events: DataFrame, *,
                     *keys,
                     F.coalesce("n", F.lit(0)).alias("n"),
                     F.coalesce("sum_cents", F.lit(0)).alias("sum_cents")))
+
+
+def session_windowed_stats(events: DataFrame, *,
+                           gap: str = "30 minutes",
+                           watermark: str = "1 hour",
+                           ts_col: str = "ts",
+                           key: str = "user_id") -> DataFrame:
+    """Per-key SESSION windows via the built-in ``F.session_window``:
+    dynamic-length windows that extend while events keep arriving within
+    ``gap`` of the last one and close at the first gap — the engine-native
+    twin of the batch sessionizer (operators/sessions.py) and the
+    COMPLEMENT of streaming/stateful.py's ``applyInPandasWithState``
+    sessionizer (which exists for custom per-session logic the built-in
+    aggregate can't express; this one is pure JVM state, preferable when
+    count/sum/min/max per session is all the pipeline needs).
+
+    Output: key, session_start, session_end, n_events, sum_cents.
+
+    Batch frames run the same expression as a plain aggregation — the
+    batch≡stream contract is asserted in tests/test_streaming_windowed.py
+    against operators/sessions.py's window-function formulation too (three
+    independent implementations, one answer). Streaming state is one row
+    per OPEN session, evicted once the watermark passes the session end.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    sw = F.session_window(F.col(ts_col), gap)
+    return (src.groupBy(sw.alias("_s"), key)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(cents("value")).alias("sum_cents"))
+            .select(key, F.col("_s.start").alias("session_start"),
+                    F.col("_s.end").alias("session_end"),
+                    "n_events", "sum_cents"))

@@ -146,3 +146,42 @@ def test_grid_guard_unknown_and_subsecond_units(spark):
     with pytest.raises(ValueError, match="max_cells"):
         windowed.dense_windowed_counts(ev, window="500 milliseconds",
                                        max_cells=10)
+
+
+def test_session_window_batch_equals_stream_and_sessionizer(spark, tmp_path):
+    """Three formulations, one answer: F.session_window in batch mode,
+    F.session_window over a file stream (complete mode), and the window-
+    function sessionizer from operators/sessions.py."""
+    from pyspark.sql import functions as F
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import sessions, stats
+
+    ev = catalog.load_table(spark, SF, "events")
+    batch_rows = windowed.session_windowed_stats(ev, gap="30 minutes").collect()
+    batch = {tuple(r) for r in batch_rows}
+    assert batch
+
+    src = str(tmp_path / "sess_src")
+    ev.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1) \
+        .parquet(src)
+    out = windowed.session_windowed_stats(stream, gap="30 minutes")
+    q = (out.writeStream.format("memory").queryName("sess_complete")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r)
+           for r in spark.sql("select * from sess_complete").collect()}
+    assert got == batch
+
+    # the batch sessionizer agrees on (user, start, n_events) — its
+    # sessions end AT the last event; session_window ends gap later
+    sess = sessions.sessionize(ev, gap_seconds=1800)
+    ops = (sess.groupBy("user_id", "session_id")
+           .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+           .collect())
+    want = {(r["user_id"], r["start"], r["n"]) for r in ops}
+    have = {(r["user_id"], r["session_start"], r["n_events"])
+            for r in batch_rows}
+    assert have == want
