@@ -3461,3 +3461,45 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_start").alias("session_start_us"),
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events", "sum_cents")
+
+
+# --------------------------------------------------------------------------
+# E79 — in-engine dedup quality evaluation (approximate vs exact)
+# --------------------------------------------------------------------------
+
+@register("neardup_minhash_eval", None)  # evaluates engine-specific sketches
+def neardup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row recall/precision report of the MinHash-LSH pair detector
+    against the exact prefix-filtered Jaccard join at the same 0.8 band —
+    the continuous-monitoring hook a production dedup pipeline runs on a
+    sampled slice to catch sketch-parameter drift (band/row settings that
+    stop matching the corpus' similarity profile). The report runs on a
+    DETERMINISTIC 40% hash-slice of the corpus (the md5 idiom of
+    operators/sampling.py — pair-join cost shrinks quadratically with the
+    slice, and sketch-quality drift is a corpus-wide property a sample
+    sees just as well); exact counts via semi joins, everything stays
+    distributed until the 1-row aggregate."""
+    docs = _docs(spark, sf_dir).filter(
+        F.pmod(F.conv(F.substring(F.md5(F.concat(
+            F.lit("ev:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long"), F.lit(10)) < 4)
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.8) \
+        .select("doc_a", "doc_b").localCheckpoint()
+    approx = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                          n=3, threshold=0.8) \
+        .select("doc_a", "doc_b").localCheckpoint()
+    tp = approx.join(exact, ["doc_a", "doc_b"], "left_semi") \
+        .agg(F.count(F.lit(1)).alias("_c"))
+    n_e = exact.agg(F.count(F.lit(1)).alias("_e"))
+    n_a = approx.agg(F.count(F.lit(1)).alias("_a"))
+    return (tp.crossJoin(n_e).crossJoin(n_a)
+            .select(F.col("_e").alias("n_exact"),
+                    F.col("_a").alias("n_approx"),
+                    F.col("_c").alias("n_common"),
+                    F.when(F.col("_e") > 0,
+                           F.col("_c").cast("double") / F.col("_e"))
+                     .alias("recall"),
+                    F.when(F.col("_a") > 0,
+                           F.col("_c").cast("double") / F.col("_a"))
+                     .alias("precision")))

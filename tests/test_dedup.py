@@ -224,3 +224,18 @@ def test_containment_prefix_filter_matches_brute_force(spark):
              .filter(F.col("_c").cast("double") / F.col("_na") >= 0.8)
              .collect()}
     assert fast == brute and brute, "fixture must contain containment pairs"
+
+
+def test_minhash_eval_report(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import (
+        queries_extensions,  # noqa: F401 — populates the registry
+        queries_reference,
+    )
+    fn, _sql = queries_reference.REGISTRY["neardup_minhash_eval"]
+    r = fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_common"] <= min(r["n_exact"], r["n_approx"])
+    if r["n_exact"]:
+        assert r["recall"] == r["n_common"] / r["n_exact"]
+        assert r["recall"] >= 0.9   # 48x12 bands at the 0.8 design point
+    if r["n_approx"]:
+        assert r["precision"] == r["n_common"] / r["n_approx"]
