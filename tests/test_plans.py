@@ -234,3 +234,32 @@ def test_mixture_apply_is_broadcast_and_corpus_never_shuffles(spark):
     plan = _executed(q("mixture_sample_docs")(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_classifier_is_two_scans_one_broadcast(spark):
+    """Quality classifier: the width-row weight frame must broadcast into
+    the apply join (never a shuffled join of the token stream against
+    weights), and no cartesian anywhere."""
+    plan = _executed(q("doc_quality_classifier")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_candidates_are_equi_joins_only(spark):
+    plan = _executed(q("neardup_containment_pairs")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_stats_zero_exchange(spark):
+    """The in-row run-length formulation must not shuffle at all."""
+    plan = _executed(q("doc_repetition_stats")(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_session_window_single_exchange(spark):
+    """Session windows: one hash exchange on the user key, no join."""
+    plan = _executed(q("events_session_windows")(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
