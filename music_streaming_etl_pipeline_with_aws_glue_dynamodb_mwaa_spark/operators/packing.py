@@ -66,3 +66,32 @@ def packing_stats(packed: DataFrame, *, budget_tokens: int,
         "fill_ratio",
         F.col("total_tokens").cast("double")
         / (F.col("n_bins") * F.lit(budget_tokens)))
+
+
+def shard_by_token_budget(docs: DataFrame, *, shard_tokens: int,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Assign every document to a fixed-token-budget output shard:
+    (id, n_tokens, cum_tokens, shard_id), documents in ``id_col`` order,
+    ``shard_id = (cum_tokens − n_tokens) div shard_tokens`` — a document
+    belongs to the shard its FIRST token falls in, so shards are
+    contiguous id-ranges of ≈``shard_tokens`` tokens: the "cut the corpus
+    into ~1 GB training files" step before a partitioned write.
+
+    The running total is the two-phase parallel global cumsum
+    (operators/ids.py — range-partition + per-partition sums to the
+    driver + local fold), never a single-task unpartitioned window; cost
+    is one range exchange at any corpus size. Exact integer arithmetic
+    end-to-end ⇒ oracle-hashable.
+    """
+    from ..functions.text_funcs import tokens
+    from . import ids
+    sized = docs.select(F.col(id_col),
+                        F.size(tokens(text_col)).cast("long")
+                        .alias("n_tokens"))
+    cum = ids.global_cumsum(sized, [id_col], "n_tokens",
+                            out_col="cum_tokens")
+    return cum.select(
+        id_col, "n_tokens", "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {int(shard_tokens)}")
+        .alias("shard_id"))

@@ -95,3 +95,22 @@ def sample_n_per_group(df: DataFrame, group_cols: list[str], key_col: str,
         F.col(key_col).asc())
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+def leakage_safe_split(df: DataFrame, assignments: DataFrame,
+                       key_col: str, *, cluster_col: str = "component",
+                       train_pct: int = 90, val_pct: int = 5,
+                       salt: str = "") -> DataFrame:
+    """Train/val/test split keyed on the duplicate-CLUSTER id instead of
+    the row id — near-duplicate documents (one connected component of the
+    near-dup graph, ``cluster.cluster_assignments``) land in the SAME
+    split by construction, closing the classic eval-contamination hole
+    where a test document's near-copy sits in train.
+
+    One equi-join of the corpus against the (id, component) frame, then
+    the same md5 bucketing as ``hash_split`` applied to the component id.
+    Appends (component, split)."""
+    joined = df.join(
+        assignments.select(F.col(key_col), F.col(cluster_col)), key_col)
+    return hash_split(joined, cluster_col, train_pct=train_pct,
+                      val_pct=val_pct, salt=salt)

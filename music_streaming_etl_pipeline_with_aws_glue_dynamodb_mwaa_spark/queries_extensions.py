@@ -3503,3 +3503,69 @@ def neardup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("_a") > 0,
                            F.col("_c").cast("double") / F.col("_a"))
                      .alias("precision")))
+
+
+# --------------------------------------------------------------------------
+# E80 — leakage-safe split + token-budget sharding + diversity sampling
+# --------------------------------------------------------------------------
+
+@register("cluster_aware_split", f"""
+    WITH RECURSIVE {_JACCARD_CLUSTER_CTES}
+    SELECT c.doc_id, c.component,
+           CASE WHEN (('0x' || substr(md5(CAST(c.component AS VARCHAR)),
+                                      1, 8))::BIGINT % 100) < 90
+                THEN 'train'
+                WHEN (('0x' || substr(md5(CAST(c.component AS VARCHAR)),
+                                      1, 8))::BIGINT % 100) < 95
+                THEN 'val' ELSE 'test' END AS split
+    FROM comp c
+""")
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof 90/5/5 split: md5 bucketing keyed on the near-dup
+    CLUSTER id (connected components over the exact 0.8 jaccard pairs),
+    so a test document's near-copy can never sit in train
+    (operators/sampling.py::leakage_safe_split). The whole chain —
+    pair join, pointer-jumping CC, split — is oracle-exact."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.8)
+    assigns = cluster.cluster_assignments(docs, pairs, "doc_id")
+    out = sampling.leakage_safe_split(docs.select("doc_id"), assigns,
+                                      "doc_id", train_pct=90, val_pct=5)
+    return out.select("doc_id", "component", "split")
+
+
+@register("shard_docs_equal_tokens", """
+    WITH s AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens
+               FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+               AS cum_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 4000
+                AS BIGINT) AS shard_id
+    FROM s
+""")
+def shard_docs_equal_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget shard assignment (~4000 tokens per output file)
+    via the two-phase parallel global cumsum — the contiguous-range
+    "cut the corpus into equal training files" step; the oracle's
+    single-task window is the semantics it must match bit-for-bit."""
+    return packing.shard_by_token_budget(_docs(spark, sf_dir),
+                                         shard_tokens=4000)
+
+
+@register("diversity_sample_docs", None)  # k-means cluster ids → rows-only
+def diversity_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample: spherical k-means over the
+    embeddings, then the deterministic md5-order top-20 PER CLUSTER
+    (sampling.sample_n_per_group) — the 'cover every mode, over-sample
+    none' selection a curated fine-tuning mix wants, vs frequency-biased
+    uniform sampling. Rows-only (float centroids); the per-group sampler
+    itself is oracle-checked by sample_docs_per_source."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans.kmeans_fit(emb, k=8, max_iter=3, seed=42)
+    assign = kmeans.kmeans_assign(emb, cents)
+    return sampling.sample_n_per_group(
+        assign.select("vec_id", "cluster_id"), ["cluster_id"], "vec_id", 20)

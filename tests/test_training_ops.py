@@ -176,3 +176,42 @@ def test_ngram_counts_small(spark):
     cont = {r["token"]: r["n_left_contexts"]
             for r in ranking.continuation_counts(docs, "text").collect()}
     assert cont == {"b": 1, "a": 1, "c": 1}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import cluster, dedup, sampling
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.8)
+    assigns = cluster.cluster_assignments(docs, pairs, "doc_id")
+    out = sampling.leakage_safe_split(docs.select("doc_id"), assigns,
+                                      "doc_id").collect()
+    assert len(out) == docs.count()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # and the near-dup pairs specifically never straddle
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    for p in pairs.collect():
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+    assert {r["split"] for r in out} >= {"train"}
+
+
+def test_shard_by_token_budget_contiguous_and_bounded(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import packing
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sorted(packing.shard_by_token_budget(docs, shard_tokens=500)
+                 .collect(), key=lambda r: r["doc_id"])
+    # cumsum consistency + shard of the first token
+    acc = 0
+    for r in out:
+        assert r["cum_tokens"] == acc + r["n_tokens"]
+        assert r["shard_id"] == acc // 500
+        acc = r["cum_tokens"]
+    # shards are contiguous id-ranges
+    shards = [r["shard_id"] for r in out]
+    assert shards == sorted(shards)
+    # every full shard holds >= the budget's worth of starts
+    total = out[-1]["cum_tokens"]
+    assert shards[-1] == (total - out[-1]["n_tokens"]) // 500
