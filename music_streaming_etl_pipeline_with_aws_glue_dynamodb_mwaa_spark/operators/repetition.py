@@ -10,24 +10,25 @@ re-expressed over token n-grams (the corpus is a single-space token stream,
 so token-level fractions are the natural analogue of the paper's
 character-level ones).
 
-Spark-first shape: ZERO shuffles. Every statistic the filters need —
+Spark-first shape: a PURE MAP. Every statistic the filters need —
 total / distinct / most-frequent-count / duplicated-mass per n — is a
 function of the multiset of one document's own n-grams, so it computes
-IN-ROW: sort the gram array, then one ``F.aggregate`` run-length fold
-extracts (distinct runs, longest run, duplicated mass) per document. All
-exact integers plus per-column single IEEE divisions, so every output
-column is oracle-hashable bit-for-bit.
+IN-ROW: sort the gram array, find run boundaries by index, zip
+consecutive boundaries into run lengths. All exact integers plus
+per-column single IEEE divisions, so every output column is
+oracle-hashable bit-for-bit.
 
 (The previous formulation exploded ~3·L gram rows per document through a
 two-level groupBy — partition-local after a doc-keyed repartition, but
-still paying the explode fan-out, three hash aggregations, and a join;
-the in-row fold replaced it at ~6× on the bench suite with identical
-output. Per-document work is embarrassingly parallel — the 100 TB shape
-is a pure map over the corpus scan.)
+still paying the explode fan-out and three hash aggregations; the in-row
+form replaced it at ~1.6× measured under a noop full-evaluation sink,
+identical output. Per-document work is embarrassingly parallel — the
+100 TB shape is a map over the corpus scan, no key exchange ever.)
 
-Scale posture: no exchange at any size; skew is bounded by the longest
-single document (a 1 GB doc is a data bug, not a plan bug) — the sort is
-O(L log L) per doc in a codegen'd expression.
+Scale posture: no key exchange at any size (only an adaptive round-robin
+split when the scan has fewer partitions than cores); skew is bounded by
+the longest single document (a 1 GB doc is a data bug, not a plan bug) —
+the sort is O(L log L) per doc.
 """
 
 from __future__ import annotations
@@ -54,78 +55,74 @@ def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
 
     Documents shorter than n tokens surface with zero counts and NULL
     fractions rather than dropping out.
+
+    Implementation notes (both measured at sf0.1, noop sink):
+
+    - run detection is INDEX-based (filter a position sequence where the
+      sorted array changes, then zip_with consecutive run-start positions
+      into run lengths) rather than an ``F.aggregate`` run-length fold
+      with a struct accumulator — higher-order lambdas are interpreted,
+      and per-element struct allocation made the fold ~2.2× slower;
+    - every intermediate (sorted array, run starts, run lengths) is
+      STAGED as a named column before the next lambda touches it —
+      subexpression elimination does not reach inside lambda bodies, so
+      referencing ``sort_array(...)`` directly inside ``filter``'s
+      lambda re-sorts PER ELEMENT (measured: the un-staged form was
+      ~100× slower, O(L² log L) per doc);
+    - the operator is a pure map, so when the scan yields fewer splits
+      than cores (one fat parquet file — the local bench case) the input
+      is round-robin repartitioned first; at lake scale the scan already
+      has more splits than cores and no exchange is added.
     """
-    cols: list[Column] = [
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    d = docs.select(
         F.col(id_col),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-    ]
-    stat_names = []
+        *[F.sort_array(_ngrams(text_col, n)).alias(f"_s{n}") for n in ns])
+    starts_cols = []
     for n in ns:
-        s = _run_length_stats(F.sort_array(_ngrams(text_col, n)))
-        cols.append(s.alias(f"_s{n}"))
-        stat_names.append(n)
-    counted = docs.select(*cols)
-    out_cols: list[Column] = [F.col(id_col), "n_tokens"]
-    for n in stat_names:
         s = F.col(f"_s{n}")
-        out_cols += [s["total"].alias(f"total_{n}g"),
-                     s["distinct"].alias(f"distinct_{n}g"),
-                     s["top"].alias(f"top_{n}g"),
-                     s["dup"].alias(f"dup_{n}g")]
-    frac_cols = []
-    for n in stat_names:
-        total = F.col(f"_s{n}")["total"]
+        sz = F.size(s)
+        seq = F.when(sz > 0, F.sequence(F.lit(1), sz)) \
+               .otherwise(F.array().cast("array<int>"))
+        starts = F.filter(seq, lambda i: (i == 1) | (
+            F.element_at(s, i) != F.element_at(s, i - 1)))
+        starts_cols.append(starts.alias(f"_st{n}"))
+    d2 = d.select(id_col, "n_tokens",
+                  *[F.col(f"_s{n}") for n in ns], *starts_cols)
+    run_cols = []
+    for n in ns:
+        st = F.col(f"_st{n}")
+        sz = F.size(F.col(f"_s{n}"))
+        ends = F.concat(F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                        F.array((sz + 1).cast("int")))
+        run_cols.append(F.zip_with(st, ends, lambda a, b: b - a)
+                        .alias(f"_r{n}"))
+    d3 = d2.select(id_col, "n_tokens",
+                   *[F.size(f"_s{n}").cast("long").alias(f"_sz{n}")
+                     for n in ns],
+                   *[F.size(f"_st{n}").cast("long").alias(f"_d{n}")
+                     for n in ns],
+                   *run_cols)
+    out_cols: list[Column] = [F.col(id_col), "n_tokens"]
+    frac_cols: list[Column] = []
+    for n in ns:
+        total = F.col(f"_sz{n}")
+        top = F.coalesce(F.array_max(f"_r{n}"), F.lit(0)).cast("long")
+        dup = (total - F.size(F.filter(F.col(f"_r{n}"), lambda r: r == 1))
+               ).cast("long")
+        out_cols += [total.alias(f"total_{n}g"),
+                     F.col(f"_d{n}").alias(f"distinct_{n}g"),
+                     top.alias(f"top_{n}g"), dup.alias(f"dup_{n}g")]
         frac_cols += [
-            F.when(total > 0, F.col(f"_s{n}")["top"].cast("double")
-                   / total.cast("double")).alias(f"top_{n}g_frac"),
-            F.when(total > 0, F.col(f"_s{n}")["dup"].cast("double")
-                   / total.cast("double")).alias(f"dup_{n}g_frac"),
+            F.when(total > 0, top.cast("double") / total.cast("double"))
+             .alias(f"top_{n}g_frac"),
+            F.when(total > 0, dup.cast("double") / total.cast("double"))
+             .alias(f"dup_{n}g_frac"),
         ]
-    return counted.select(*out_cols, *frac_cols)
-
-
-def _run_length_stats(sorted_grams: Column) -> Column:
-    """(total, distinct, top, dup) of a SORTED array, as one run-length
-    fold: equal elements are adjacent, so a single ``F.aggregate`` pass
-    tracking (previous element, current run length) yields the distinct
-    count (number of runs), the most-frequent count (longest run), and
-    the duplicated mass (Σ run lengths > 1) — the finish lambda flushes
-    the last open run. NULL-prev on the first element falls through the
-    equality test into the new-run branch; an empty array returns all
-    zeros. Exact longs throughout."""
-    zero = F.lit(0).cast("long")
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"), zero.alias("run"),
-        zero.alias("distinct"), zero.alias("top"), zero.alias("dup"))
-
-    def step(acc, x):
-        closed = _close_run(acc)
-        return F.when(
-            x == acc["prev"],
-            F.struct(acc["prev"].alias("prev"),
-                     (acc["run"] + 1).alias("run"),
-                     acc["distinct"].alias("distinct"),
-                     acc["top"].alias("top"), acc["dup"].alias("dup"))
-        ).otherwise(
-            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("run"),
-                     (acc["distinct"] + 1).alias("distinct"),
-                     closed["top"].alias("top"), closed["dup"].alias("dup")))
-
-    folded = F.aggregate(sorted_grams, acc0, step, _close_run)
-    return F.struct(
-        F.size(sorted_grams).cast("long").alias("total"),
-        folded["distinct"].alias("distinct"),
-        folded["top"].alias("top"), folded["dup"].alias("dup"))
-
-
-def _close_run(acc: Column) -> Column:
-    """Fold the accumulator's open run into top/dup."""
-    return F.struct(
-        acc["prev"].alias("prev"), acc["run"].alias("run"),
-        acc["distinct"].alias("distinct"),
-        F.greatest(acc["top"], acc["run"]).alias("top"),
-        (acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(0))
-        .alias("dup"))
+    return d3.select(*out_cols, *frac_cols)
 
 
 def repetition_gate(docs: DataFrame, *, id_col: str = "doc_id",

@@ -252,10 +252,13 @@ def test_containment_candidates_are_equi_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_repetition_stats_zero_exchange(spark):
-    """The in-row run-length formulation must not shuffle at all."""
+def test_repetition_stats_no_key_exchange(spark):
+    """The in-row formulation never shuffles on a key (the only allowed
+    exchange is the adaptive round-robin split of an under-partitioned
+    scan) and never joins or aggregates."""
     plan = _executed(q("doc_repetition_stats")(spark, SF_SMOKE))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan
 
 
 def test_session_window_single_exchange(spark):
