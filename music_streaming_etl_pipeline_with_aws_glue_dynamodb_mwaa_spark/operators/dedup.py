@@ -630,3 +630,44 @@ def shared_ngram_pairs(df: DataFrame, id_col: str, text_col: str, *,
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared_grams"))
             .filter(F.col("n_shared_grams") >= min_shared))
+
+
+# --------------------------------------------------------------------------
+# Incremental exact dedup (ingest-time shape)
+# --------------------------------------------------------------------------
+
+_US = "\x1f"   # unit separator: collision-proof multi-column concat
+
+
+def fingerprint_index(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(fp): distinct md5 fingerprints of ``cols`` — the tiny persisted
+    index an ingest pipeline keeps instead of rescanning the corpus.
+    Multi-column keys join on the unit separator (the ``merge.table_diff``
+    idiom) so ("a","b c") never collides with ("a b","c")."""
+    return df.select(_fp_expr(cols).alias("fp")).distinct()
+
+
+def _fp_expr(cols: list[str]):
+    return F.md5(F.concat_ws(_US, *[F.col(c).cast("string") for c in cols]))
+
+
+def dedup_exact_incremental(batch: DataFrame, index: DataFrame,
+                            keys: list[str],
+                            order_by: list[str]) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-deduped corpus,
+    touching only the batch and the fingerprint index — the ingest-time
+    twin of ``dedup_exact`` (same shape as the MinHash incremental path:
+    the corpus contributes index rows, never a rescan):
+
+    1. within-batch keep-first (``dedup_exact`` semantics), then
+    2. LEFT ANTI against the corpus fingerprint index.
+
+    At 100 TB the index is |distinct keys| × 16 B and joins as a plain
+    hash join keyed on the fingerprint; the batch is the only
+    fact-shaped input. Equivalence with full-recompute ``dedup_exact``
+    over corpus ∪ batch is pinned in tests/test_dedup.py.
+    """
+    within = dedup_exact(batch, keys, order_by)
+    return (within.withColumn("_fp", _fp_expr(keys))
+            .join(index, F.col("_fp") == index["fp"], "left_anti")
+            .drop("_fp"))

@@ -3569,3 +3569,57 @@ def diversity_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans.kmeans_assign(emb, cents)
     return sampling.sample_n_per_group(
         assign.select("vec_id", "cluster_id"), ["cluster_id"], "vec_id", 20)
+
+
+# --------------------------------------------------------------------------
+# E81 — ingest-time exact dedup + media payload dedup
+# --------------------------------------------------------------------------
+
+@register("dedup_incremental_new_docs", """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    idx AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+    within AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY text
+                                           ORDER BY doc_id) AS rn
+            FROM batch b)
+      WHERE rn = 1)
+    SELECT w.doc_id, w.text, w.lang, w.source, w.n_chars
+    FROM within w
+    WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = md5(w.text))
+""")
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup: the odd-doc_id half plays the NEW batch,
+    the even half the already-ingested corpus, which contributes only its
+    16-byte-per-key fingerprint index (operators/dedup.py::
+    dedup_exact_incremental) — within-batch keep-first then LEFT ANTI on
+    the fingerprint, zero corpus rescan. Full-recompute equivalence is
+    pinned in tests/test_dedup.py."""
+    docs = _docs(spark, sf_dir)
+    corpus_half = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.fingerprint_index(corpus_half, ["text"])
+    return dedup.dedup_exact_incremental(batch, idx, ["text"], ["doc_id"])
+
+
+@register("media_dedup_by_payload", f"""
+    WITH {_MEDIA_FIXTURE_SQL}
+    SELECT media_id, kind, mime, md5(hex(payload)) AS payload_md5
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(hex(payload))
+                                       ORDER BY media_id) AS rn
+          FROM media)
+    WHERE rn = 1
+""")
+def media_dedup_by_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup on the payload CONTENT digest (not metadata) —
+    keep-first per md5(payload) over genuinely binary blobs; the digest
+    is computed JVM-side and the blob itself never partitions a shuffle
+    (dedup_exact's fingerprint idiom applies to binary as to text).
+    Output projects the digest, not the blob."""
+    media = _media_fixture(spark, sf_dir)
+    kept = dedup.dedup_exact(
+        media.withColumn("_d", F.md5(F.hex("payload"))), ["_d"],
+        ["media_id"])
+    return kept.select("media_id", "kind", "mime",
+                       F.col("_d").alias("payload_md5"))
