@@ -342,3 +342,35 @@ def test_event_transitions_tie_broken_by_id(spark):
     got = [(r["from_event"], r["to_event"])
            for r in funnel.event_transitions(ev).collect()]
     assert got == [("y", "x")]                  # id 1 first, then id 2
+
+
+def test_repetition_stats_property_vs_python(spark):
+    """Randomized cross-check of the index-based run-length formulation
+    against a Counter reference (hypothesis-style, fixed seed)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "dd", "e"]
+    rows = []
+    for i in range(60):
+        length = rng.randrange(0, 15)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition.repetition_stats(df, ns=(1, 2, 3)).collect()}
+    for i, text in rows:
+        toks = text.split(" ")
+        for n in (1, 2, 3):
+            grams = [" ".join(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)] \
+                if len(toks) >= n and text != "" else []
+            # NB: "" splits to [""] — one empty token, same as the engine
+            if text == "" and n == 1:
+                grams = [""]
+            c = Counter(grams)
+            r = got[i]
+            assert r[f"total_{n}g"] == sum(c.values()), (i, n)
+            assert r[f"distinct_{n}g"] == len(c), (i, n)
+            assert r[f"top_{n}g"] == (max(c.values()) if c else 0), (i, n)
+            assert r[f"dup_{n}g"] == sum(v for v in c.values() if v > 1), (i, n)
