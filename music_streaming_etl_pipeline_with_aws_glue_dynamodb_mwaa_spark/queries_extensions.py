@@ -3623,3 +3623,136 @@ def media_dedup_by_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["media_id"])
     return kept.select("media_id", "kind", "mime",
                        F.col("_d").alias("payload_md5"))
+
+
+# --------------------------------------------------------------------------
+# E82 — TPC-H Q18/Q21/Q22 optimizer showcases (adapted to the testdata
+# schema: no l_commitdate/l_receiptdate, so Q21 keeps the plan SHAPE —
+# exists + not-exists self-correlations — over returnflag instead)
+# --------------------------------------------------------------------------
+
+_QTY_CENTS = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+
+
+@register("tpch_q18_large_orders", f"""
+    WITH q AS (SELECT l_orderkey,
+                      CAST(sum({_QTY_CENTS}) AS BIGINT) AS qty_cents
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+               AS total_cents,
+           q.qty_cents
+    FROM q
+    JOIN orders o   ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE q.qty_cents > 30000
+    ORDER BY total_cents DESC, o_orderkey LIMIT 100
+""")
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING aggregate runs
+    BEFORE any join — only qualifying orderkeys (a tiny set) ever reach
+    the orders/customer joins, instead of aggregating the full 3-way
+    product. Exact cents, deterministic top-100."""
+    l = catalog.load_table(spark, sf_dir, "lineitem")
+    q = (l.groupBy("l_orderkey")
+         .agg(F.sum(stats.cents("l_quantity")).alias("qty_cents"))
+         .filter(F.col("qty_cents") > 30000))
+    o = catalog.load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+                stats.cents("o_totalprice").alias("total_cents"))
+    c = catalog.load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name")
+    return (q.join(o, q["l_orderkey"] == o["o_orderkey"])
+            .join(c, F.col("o_custkey") == c["c_custkey"])
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "total_cents", "qty_cents")
+            .orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
+            .limit(100))
+
+
+@register("tpch_q21_waiting_supplier", """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+                   AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+""")
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 plan shape (the sole-blamed-supplier pattern): one
+    fact-sized scan drives a LEFT SEMI (another supplier touched the
+    order) and a LEFT ANTI (no OTHER supplier also returned) against two
+    key-projected replays of the same scan — correlated EXISTS/NOT EXISTS
+    as hash semi/anti joins on the orderkey, never per-row subqueries.
+    Supplier dim broadcasts; deterministic top-20."""
+    l = catalog.load_table(spark, sf_dir, "lineitem")
+    l1 = (l.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey"))
+    o = catalog.load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = catalog.load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    l2 = l.select(F.col("l_orderkey").alias("_ok2"),
+                  F.col("l_suppkey").alias("_sk2"))
+    l3 = (l.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("_ok3"),
+                  F.col("l_suppkey").alias("_sk3")))
+    cand = (l1.join(o, l1["l_orderkey"] == o["o_orderkey"], "left_semi")
+            .join(l2, (l1["l_orderkey"] == l2["_ok2"])
+                  & (l1["l_suppkey"] != l2["_sk2"]), "left_semi")
+            .join(l3, (l1["l_orderkey"] == l3["_ok3"])
+                  & (l1["l_suppkey"] != l3["_sk3"]), "left_anti"))
+    return (cand.join(F.broadcast(s),
+                      cand["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name"))
+            .limit(20))
+
+
+@register("tpch_q22_global_sales_opportunity", """
+    WITH pos AS (SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                            AS bal_cents, c_custkey, c_nationkey
+                 FROM customer),
+    thr AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pos WHERE bal_cents > 0)
+    SELECT p.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(p.bal_cents) AS BIGINT) AS total_bal_cents
+    FROM pos p, thr
+    WHERE p.bal_cents * thr.n > thr.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY p.c_nationkey
+""")
+def tpch_q22_global_sales_opportunity(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (untapped rich customers): the global-average
+    threshold is a 1-row aggregate broadcast into the scan's filter —
+    compared in EXACT integer space (bal·n > Σbal avoids the
+    order-dependent float average entirely) — then NOT EXISTS against
+    orders as a LEFT ANTI on the custkey."""
+    c = catalog.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        stats.cents("c_acctbal").alias("bal_cents"))
+    thr = (c.filter(F.col("bal_cents") > 0)
+           .agg(F.sum("bal_cents").alias("_s"),
+                F.count(F.lit(1)).alias("_n")))
+    o = (catalog.load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= "1998-01-01")
+         .select("o_custkey"))
+    rich = (c.crossJoin(F.broadcast(thr))
+            .filter(F.col("bal_cents") * F.col("_n") > F.col("_s"))
+            .join(o, c["c_custkey"] == o["o_custkey"], "left_anti"))
+    return (rich.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("bal_cents").alias("total_bal_cents")))

@@ -266,3 +266,30 @@ def test_session_window_single_exchange(spark):
     plan = _executed(q("events_session_windows")(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Join" not in plan
+
+
+def test_q18_aggregates_before_joins(spark):
+    """Q18 shape: the HAVING aggregate must sit BELOW the joins (only
+    qualifying orderkeys join), and the final top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _executed(q("tpch_q18_large_orders")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.index("HashAggregate")
+    join_pos = plan.index("Join")
+    assert join_pos < agg_pos  # joins appear ABOVE the aggregate in the tree
+
+
+def test_q21_exists_chain_is_semi_anti_hash_joins(spark):
+    plan = _executed(q("tpch_q21_waiting_supplier")(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_threshold_is_broadcast_scalar(spark):
+    """The global-average threshold must reach the filter as a broadcast
+    1-row aggregate, and the no-recent-orders predicate as a LEFT ANTI."""
+    plan = _executed(q("tpch_q22_global_sales_opportunity")(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
