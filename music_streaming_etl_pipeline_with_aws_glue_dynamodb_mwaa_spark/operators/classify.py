@@ -69,10 +69,15 @@ def train_hashed_weights(train: DataFrame, label: Column, *,
                          width: int = 4096) -> DataFrame:
     """Per-bucket integer weights from a proxy-labeled training frame.
 
-    Returns (bucket, w): w = ((pos+1)·SCALE) div (pos+neg+2) − SCALE/2 —
-    Laplace-smoothed positive rate, centered, all-BIGINT. Buckets that
-    never occur in training are absent (they score 0 via the apply-side
-    left join — the centered prior).
+    Returns (bucket, w):
+        w = ((pos_b+1)·SCALE) div (n_b+2) − ((POS+1)·SCALE) div (N+2)
+    — the Laplace-smoothed positive rate of the bucket, centered at the
+    CORPUS BASE RATE (not at ½: with an imbalanced prior, ½-centering
+    drives every uninformative bucket to the majority sign and the
+    margin gate collapses to the prior), all-BIGINT. Buckets absent from
+    training score 0 via the apply-side left join — the base-rate prior.
+    The base rate is a 1-row aggregate broadcast into the width-row
+    weight projection.
     """
     toks = train.select(label.cast("boolean").alias("_label"),
                         F.explode(tokens(text_col)).alias("_tok")) \
@@ -80,11 +85,15 @@ def train_hashed_weights(train: DataFrame, label: Column, *,
                         .alias("bucket"))
     pos = F.sum(F.when(F.col("_label"), F.lit(1)).otherwise(F.lit(0)))
     n = F.count(F.lit(1))
-    return toks.groupBy("bucket").agg(
-        ((pos + 1) * F.lit(SCALE)).cast("long").alias("_num"),
-        (n + 2).cast("long").alias("_den")) \
-        .select("bucket",
-                (F.expr("_num div _den") - F.lit(SCALE // 2)).alias("w"))
+    totals = toks.agg(((pos + 1) * F.lit(SCALE)).cast("long").alias("_tn"),
+                      (n + 2).cast("long").alias("_td"))
+    return (toks.groupBy("bucket")
+            .agg(((pos + 1) * F.lit(SCALE)).cast("long").alias("_num"),
+                 (n + 2).cast("long").alias("_den"))
+            .crossJoin(F.broadcast(totals))
+            .select("bucket",
+                    (F.expr("_num div _den") - F.expr("_tn div _td"))
+                    .alias("w")))
 
 
 def score_docs(docs: DataFrame, weights: DataFrame, *,
@@ -94,9 +103,11 @@ def score_docs(docs: DataFrame, weights: DataFrame, *,
 
     Returns (id, n_tokens, margin_num, margin, keep):
     margin_num = Σ_occurrences w[bucket(tok)] (exact int64, absent
-    buckets contribute 0), margin = margin_num / (n_tokens · SCALE/2)
-    ∈ [−1, 1] (ONE IEEE division), keep = margin_num > 0 (pure integer
-    predicate — the gate is hash-exact even where doubles wouldn't be).
+    buckets contribute 0), margin = margin_num / (n_tokens · SCALE/2) —
+    a ONE-IEEE-division normalization to ~[−2, 2] (how far above the
+    corpus base rate the doc's average token runs), keep =
+    margin_num > 0 (pure integer predicate — the gate is hash-exact
+    even where doubles wouldn't be).
     """
     toks = docs.select(F.col(id_col).alias("_id"),
                        F.explode(tokens(text_col)).alias("_tok")) \

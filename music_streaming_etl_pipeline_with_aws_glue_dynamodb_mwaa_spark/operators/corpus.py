@@ -84,3 +84,81 @@ def build_corpus_transitive(docs: DataFrame, *, id_col: str = "doc_id",
     pairs = ngram_jaccard_pairs(uniq, id_col, text_col, n=n,
                                 threshold=jaccard_threshold)
     return _cluster.dedup_clusters(uniq, pairs, id_col)
+
+
+def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
+                      *, id_col: str = "doc_id", text_col: str = "text",
+                      min_tokens: int = 20, max_tokens: int = 10_000,
+                      classifier_label=None,
+                      jaccard_threshold: float = 0.8,
+                      split_jaccard_threshold: float = 0.5,
+                      max_top_2g_frac: float = 0.20,
+                      max_dup_3g_frac: float = 0.20,
+                      shard_tokens: int | None = None,
+                      split_pcts: tuple[int, int] = (90, 5)) -> DataFrame:
+    """The FULL curation chain, one declarative graph — the integration
+    every production corpus build runs, composed entirely from this
+    repo's audited operators:
+
+    1. heuristic quality gate (text.quality_score),
+    2. repetition gate (Gopher top-bigram / dup-trigram fractions),
+    3. optional learned quality classifier (classify.quality_classifier,
+       proxy label column → keep margin > 0),
+    4. exact dedup (keep-first),
+    5. transitive near-dup clustering — one representative per cluster,
+    6. optional benchmark decontamination (left_anti on n-gram overlap),
+    7. leakage-safe train/val/test split keyed on the near-dup CLUSTER id
+       at a LOOSER band (``split_jaccard_threshold``) than the dedup cut:
+       hard dups are already gone, but 0.5-0.8-similar survivors still
+       leak eval signal if they straddle splits — keying the split on the
+       loose-band component closes that,
+    8. optional fixed-token-budget shard assignment.
+
+    Returns the surviving docs with (component, split[, n_tokens,
+    cum_tokens, shard_id]) appended. Every stage is a DataFrame→DataFrame
+    operator, so Catalyst sees ONE plan per action; the near-dup stage
+    reuses the prefix-filtered Jaccard machinery, and the heavy fan-out
+    points keep their documented materialization barriers.
+    """
+    from .classify import quality_classifier
+    from .cluster import cluster_assignments, dedup_clusters
+    from .dedup import dedup_exact, ngram_jaccard_pairs
+    from .packing import shard_by_token_budget
+    from .repetition import repetition_gate
+    from .sampling import leakage_safe_split
+    from .decontam import decontaminate
+
+    good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
+                         max_tokens=max_tokens).filter("keep") \
+        .select(id_col)
+    kept = docs.join(good, id_col)
+    rep = repetition_gate(kept, id_col=id_col, text_col=text_col,
+                          max_top_2g_frac=max_top_2g_frac,
+                          max_dup_3g_frac=max_dup_3g_frac) \
+        .filter("keep").select(id_col)
+    kept = kept.join(rep, id_col)
+    if classifier_label is not None:
+        cls = quality_classifier(kept, classifier_label, id_col=id_col,
+                                 text_col=text_col) \
+            .filter("keep").select(id_col)
+        kept = kept.join(cls, id_col)
+    uniq = dedup_exact(kept, [text_col], [id_col]) \
+        .localCheckpoint(eager=False)
+    pairs = ngram_jaccard_pairs(uniq, id_col, text_col, n=3,
+                                threshold=jaccard_threshold)
+    reps = dedup_clusters(uniq, pairs, id_col).localCheckpoint(eager=False)
+    if benchmark is not None:
+        reps = decontaminate(reps, benchmark, id_col=id_col,
+                             text_col=text_col)
+    pairs_split = ngram_jaccard_pairs(reps, id_col, text_col, n=3,
+                                      threshold=split_jaccard_threshold)
+    assigns = cluster_assignments(reps, pairs_split, id_col)
+    out = leakage_safe_split(reps, assigns, id_col,
+                             train_pct=split_pcts[0],
+                             val_pct=split_pcts[1])
+    if shard_tokens is not None:
+        shards = shard_by_token_budget(out.select(id_col, text_col),
+                                       shard_tokens=shard_tokens,
+                                       id_col=id_col, text_col=text_col)
+        out = out.join(shards, id_col)
+    return out

@@ -3329,9 +3329,12 @@ def doc_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (('0x' || substr(md5('q:' || tok), 1, 8))::BIGINT % 4096)
                        AS bucket
             FROM raw),
+    base AS (SELECT ((sum(CASE WHEN label THEN 1 ELSE 0 END) + 1)
+                     * 1000000) // (count(*) + 2) AS b
+             FROM tok),
     w AS (SELECT bucket,
                  ((sum(CASE WHEN label THEN 1 ELSE 0 END) + 1) * 1000000)
-                   // (count(*) + 2) - 500000 AS w
+                   // (count(*) + 2) - (SELECT b FROM base) AS w
           FROM tok GROUP BY bucket),
     s AS (SELECT t.doc_id, count(*) AS n_tokens, sum(w.w) AS margin_num
           FROM tok t JOIN w USING (bucket) GROUP BY t.doc_id)
@@ -3756,3 +3759,34 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession,
     return (rich.groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.sum("bal_cents").alias("total_bal_cents")))
+
+
+# --------------------------------------------------------------------------
+# E83 — hopping (sliding) event-time windows
+# --------------------------------------------------------------------------
+
+@register("events_hopping_counts", """
+    WITH c AS (SELECT event_type, ts,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    k AS (SELECT * FROM (VALUES (0), (1)) AS v(k)),
+    w AS (SELECT event_type, cents,
+                 make_timestamp(((epoch_us(ts) // 10800000000) - k.k)
+                                * 10800000000) AS win_start
+          FROM c CROSS JOIN k
+          WHERE ((epoch_us(ts) // 10800000000) - k.k) * 10800000000
+                + 21600000000 > epoch_us(ts))
+    SELECT win_start, win_start + INTERVAL 6 HOUR AS win_end, event_type,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY 1, 2, 3
+""")
+def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING 6-hour windows sliding every 3 hours (each event lands in
+    window/slide = 2 windows — the documented replication trade of
+    sliding windows): the same streaming-capable aggregate as
+    events_windowed_counts with a slide. The oracle replicates Spark's
+    window assignment with exact integer-µs epoch math (slot k ∈ {0,1},
+    membership ts < start + width)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return windowed.windowed_event_counts(ev, window="6 hours",
+                                          slide="3 hours")

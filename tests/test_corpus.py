@@ -70,3 +70,48 @@ def test_transitive_equals_greedy_on_pair_only_corpus(spark):
     t = sorted(r["doc_id"] for r in
                corpus.build_corpus_transitive(docs).collect())
     assert g == t
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """Integration: the full curation chain over the real smoke corpus,
+    with every stage's contract spot-checked on the output."""
+    from pyspark.sql import functions as F
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import corpus, dedup, repetition, text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.orderBy("doc_id").limit(3) \
+        .select(F.col("doc_id").alias("bench_id"),
+                F.col("text").alias("bench_text"))
+    out = corpus.curation_pipeline(
+        docs, bench.withColumnRenamed("bench_id", "doc_id")
+                   .withColumnRenamed("bench_text", "text"),
+        classifier_label=F.col("lang") == "en",
+        shard_tokens=1000)
+    rows = out.collect()
+    assert rows, "pipeline must keep something"
+    ids = {r["doc_id"] for r in rows}
+    # survivors: no exact text dups
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))
+    # no 0.8-near-dups among survivors
+    surv = out.select("doc_id", "text")
+    assert dedup.ngram_jaccard_pairs(surv, "doc_id", "text",
+                                     n=3, threshold=0.8).count() == 0
+    # every survivor passed the gates
+    gates = repetition.repetition_gate(surv).collect()
+    assert all(g["keep"] for g in gates)
+    q = text.quality_score(surv, min_tokens=20, max_tokens=10_000).collect()
+    assert all(r["keep"] for r in q)
+    # benchmark docs themselves were decontaminated away
+    bench_ids = {r["bench_id"] for r in bench.collect()}
+    assert not (ids & bench_ids)
+    # split + shards present and well-formed
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        assert r["shard_id"] == (r["cum_tokens"] - r["n_tokens"]) // 1000
+    # loose-band near-dups never straddle splits
+    pairs = dedup.ngram_jaccard_pairs(surv, "doc_id", "text",
+                                      n=3, threshold=0.5).collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    for p in pairs:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
