@@ -61,14 +61,18 @@ _PRIORITY = [
     # round-2 families with no driver row yet — one or two reps each
     "sessionize_events", "session_stats", "asof_purchase_click",
     "events_value_bands", "funnel_conversion", "lineitem_rollup",
-    "orders_status_pivot", "lineitem_grouping_sets", "events_value_histogram",
+    "orders_status_pivot",
     "orders_merge_upsert", "orders_table_diff", "user_state_history",
     "orders_cdc_apply", "events_user_rolling_7d", "lineitem_qty_price_corr",
-    "events_value_moments", "orders_quality_report",
+    "orders_quality_report",
     "doc_token_heavy_hitters", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q10_returned_items", "regional_revenue",
-    "doc_term_stats", "events_windowed_counts", "docs_global_row_numbers",
+    "tpch_q4_order_priority", "tpch_q10_returned_items",
+    "events_windowed_counts", "docs_global_row_numbers",
     "doc_repetition_stats",
+    # round-3 flagships (new operator families added this round)
+    "doc_quality_classifier", "neardup_containment_pairs",
+    "events_session_windows", "cluster_aware_split",
+    "tpch_q18_large_orders",
 ]
 
 

@@ -75,5 +75,9 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "funnel_conversion", "lineitem_rollup", "orders_merge_upsert",
         "user_state_history", "orders_cdc_apply", "events_user_rolling_7d",
         "orders_quality_report", "tpch_q3_shipping_priority",
+        # round-3 flagship families
+        "doc_quality_classifier", "neardup_containment_pairs",
+        "events_session_windows", "cluster_aware_split",
+        "tpch_q18_large_orders",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
