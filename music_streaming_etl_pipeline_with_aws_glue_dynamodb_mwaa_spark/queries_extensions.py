@@ -3790,3 +3790,36 @@ def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     return windowed.windowed_event_counts(ev, window="6 hours",
                                           slide="3 hours")
+
+
+# --------------------------------------------------------------------------
+# E85 — spark.sql surface parity (the whole engine reachable from SQL)
+# --------------------------------------------------------------------------
+
+_SQL_NATION_REVENUE = """
+    SELECT n.n_name,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(100 - floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cbp,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+"""
+
+
+@register("sql_nation_revenue", _SQL_NATION_REVENUE)
+def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL consumption path: catalog.create_temp_views registers the
+    tables (through the same type-normalizing loader as the DataFrame
+    API), then the ENTIRE query is one spark.sql string — and because the
+    oracle runs the IDENTICAL text on DuckDB, this row also certifies
+    cross-engine ANSI-SQL portability of the dialect subset the engine
+    exposes. Catalyst plans it exactly like the DataFrame twin (broadcast
+    dims, pushed dates, partial aggs)."""
+    catalog.create_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_NATION_REVENUE)

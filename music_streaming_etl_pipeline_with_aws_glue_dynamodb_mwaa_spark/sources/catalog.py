@@ -89,3 +89,20 @@ def songs_from_part(part: DataFrame) -> DataFrame:
         F.col("p_type").alias("track_genre"),
         F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("duration_ms"),
     )
+
+
+def create_temp_views(spark: SparkSession, sf_dir: str,
+                      *, prefix: str = "") -> list[str]:
+    """Register every testdata table as a session temp view (through
+    ``load_table``, so version-dependent type normalization — the events
+    TIMESTAMP(NANOS) handling — applies to the SQL surface too). Returns
+    the view names. With this, the whole engine is reachable from
+    ``spark.sql`` — the API surface a SQL-first consumer of the reference
+    expects alongside the DataFrame operators."""
+    names = []
+    for t in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(
+                f"{prefix}{t}")
+            names.append(f"{prefix}{t}")
+    return names

@@ -81,3 +81,32 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "tpch_q18_large_orders",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
+
+
+def test_sql_surface_views_and_parity(spark):
+    """create_temp_views exposes every table to spark.sql through the
+    normalizing loader; the pure-SQL query equals its DataFrame twin."""
+    from pyspark.sql import functions as F
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog as cat
+
+    names = cat.create_temp_views(spark, "/root/testdata/sf0.001")
+    assert set(names) >= {"lineitem", "orders", "customer", "nation",
+                          "events", "documents"}
+    # events view carries the normalized timestamp type, not raw longs
+    assert dict(spark.table("events").dtypes)["ts"].startswith("timestamp")
+    sql_rows = {tuple(r) for r in entrymod.queries()["sql_nation_revenue"](
+        spark, "/root/testdata/sf0.001").collect()}
+    l, o = spark.table("lineitem"), spark.table("orders")
+    c, n = spark.table("customer"), spark.table("nation")
+    cents = lambda col: F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+    df_rows = {tuple(r) for r in (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+         .filter((F.col("o_orderdate") >= "1997-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+         .join(c, o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+         .groupBy("n_name")
+         .agg(F.sum(cents("l_extendedprice")
+                    * (F.lit(100) - cents("l_discount"))).alias("revenue_cbp"),
+              F.count(F.lit(1)).alias("n_lines"))).collect()}
+    assert sql_rows == df_rows and sql_rows
