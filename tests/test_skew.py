@@ -71,3 +71,39 @@ def test_two_phase_count_distinct_ignores_nulls(spark):
                  skew.two_phase_count_distinct(df, ["k"], "v").collect()}
     assert direct == {"a": 1, "b": 0, "c": 1}
     assert rewritten == direct  # including the all-NULL group at 0
+
+
+def test_aqe_skew_join_engages_on_hot_key(spark):
+    """Scale hygiene: with AQE skew-join on (session.py defaults), a join
+    whose left side is dominated by one hot key must show AQE splitting
+    the skewed partition (`skew=true` in the final adaptive plan) — the
+    runtime backstop behind the explicit salting operators."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 200_000).select(
+            (F.when(F.col("id") % 10 == 0, F.col("id"))
+             .otherwise(F.lit(7))).alias("k"),
+            F.concat(F.lit("x" * 32), F.col("id")).alias("pad"))
+        dim = spark.range(0, 200_001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        joined = hot.join(dim, "k")
+        # execute THIS DataFrame's QueryExecution (count() would build a
+        # different one) so the adaptive plan finalizes before inspection
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
