@@ -3823,3 +3823,685 @@ def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims, pushed dates, partial aggs)."""
     catalog.create_temp_views(spark, sf_dir)
     return spark.sql(_SQL_NATION_REVENUE)
+
+
+# --------------------------------------------------------------------------
+# E86 — TPC-H Q5/Q6/Q7/Q8 optimizer showcases (region-bound star joins,
+# scan-only conditional aggregate, two-sided nation pairing, market share).
+# Same exact-integer money conventions as E56/E66 (cents / cbp); where the
+# testdata lacks a TPC-H column (partsupp, shipmode) the query is the same
+# optimizer SHAPE over the columns that exist, documented per query.
+# --------------------------------------------------------------------------
+
+@register("tpch_q5_local_supplier_volume", f"""
+    SELECT n.n_name, CAST(sum({_REV_CBP_SQL}) AS BIGINT) AS revenue_cbp
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY revenue_cbp DESC, n_name
+""")
+def tpch_q5_local_supplier_volume(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-way region-bound star.
+    Region→nation→supplier is collapsed to ONE broadcast-able dim before
+    it ever touches the fact table, the year filter is pushed to the
+    orders scan, and the "local" c_nationkey = s_nationkey condition
+    rides the customer join as an equi-residual — never a post-join
+    filter over an exploded row set."""
+    r = catalog.load_table(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n = catalog.load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name", "n_regionkey")
+    s = catalog.load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    # dim collapse: suppliers in the region, already carrying n_name
+    sn = (s.join(F.broadcast(n.join(F.broadcast(r),
+                                    n["n_regionkey"] == r["r_regionkey"])
+                 .select("n_nationkey", "n_name")),
+                 s["s_nationkey"] == F.col("n_nationkey")))
+    o = (catalog.load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1997-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+         .select("o_orderkey", "o_custkey"))
+    c = catalog.load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    l = catalog.load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", _rev_cbp().alias("_rev"))
+    return (l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(sn), l["l_suppkey"] == sn["s_suppkey"])
+            .join(c, (o["o_custkey"] == c["c_custkey"])
+                  & (c["c_nationkey"] == sn["s_nationkey"]))
+            .groupBy("n_name")
+            .agg(F.sum("_rev").alias("revenue_cbp"))
+            .orderBy(F.col("revenue_cbp").desc(), F.col("n_name")))
+
+
+@register("tpch_q6_forecast_revenue", """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_ccp,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+""")
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical scan-only
+    aggregate — every predicate (date range, discount band, quantity
+    cap) is pushed into the parquet scan, zero joins, one partial+final
+    agg. The discount band compares in integer cents (floats like 0.07
+    are not exactly representable; ``BETWEEN 0.05 AND 0.07`` on raw
+    doubles is engine-trap territory), and revenue is exact
+    cent·centipoint integers."""
+    li = (catalog.load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")
+                  & stats.cents("l_discount").between(5, 7)
+                  & (F.col("l_quantity") < 24)))
+    return li.agg(
+        F.sum(stats.cents("l_extendedprice")
+              * stats.cents("l_discount")).alias("revenue_ccp"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@register("tpch_q7_volume_shipping", f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_REV_CBP_SQL}) AS BIGINT) AS revenue_cbp
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+""")
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two trading nations): the
+    disjunctive nation-pair predicate is NOT applied post-join — each
+    side is pre-filtered to the 2-nation universe (supplier and customer
+    dims shrink by 25× before broadcast), and only the cross-pair
+    residual (reject 1–1 and 2–2) evaluates at join time."""
+    pair = ("NATION_1", "NATION_2")
+    n = catalog.load_table(spark, sf_dir, "nation") \
+        .filter(F.col("n_name").isin(*pair))
+    s = (catalog.load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("_snk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("_snk"))
+         .select("s_suppkey", "supp_nation"))
+    c = (catalog.load_table(spark, sf_dir, "customer")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("_cnk"),
+                                    F.col("n_name").alias("cust_nation"))),
+               F.col("c_nationkey") == F.col("_cnk"))
+         .select("c_custkey", "cust_nation"))
+    o = catalog.load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    l = (catalog.load_table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= "1997-01-01")
+                 & (F.col("l_shipdate") < "1999-01-01"))
+         .select("l_orderkey", "l_suppkey",
+                 F.year("l_shipdate").cast("long").alias("l_year"),
+                 _rev_cbp().alias("_rev")))
+    return (l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+            .join(o, l["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum("_rev").alias("revenue_cbp"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register("tpch_q8_market_share", f"""
+    WITH base AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               {_REV_CBP_SQL} AS rev,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+                AS BIGINT) AS nation_cbp,
+           CAST(sum(rev) AS BIGINT) AS total_cbp,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+                AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+""")
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 8-way join where every dim side
+    pre-shrinks before broadcast (type-filtered part, region-bound
+    customer nations), the market-share numerator is a conditional sum
+    in the SAME single agg pass as the denominator, and the share is one
+    IEEE division of exact longs."""
+    p = (catalog.load_table(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    r = catalog.load_table(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    nat = catalog.load_table(spark, sf_dir, "nation")
+    cust_nat = (nat.join(F.broadcast(r),
+                         nat["n_regionkey"] == r["r_regionkey"])
+                .select(F.col("n_nationkey").alias("_cnk")))
+    c = (catalog.load_table(spark, sf_dir, "customer")
+         .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("_cnk"))
+         .select("c_custkey"))
+    s = (catalog.load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(nat.select(F.col("n_nationkey").alias("_snk"),
+                                      F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("_snk"))
+         .select("s_suppkey", "supp_nation"))
+    o = (catalog.load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+         .select("o_orderkey", "o_custkey",
+                 F.year("o_orderdate").cast("long").alias("o_year")))
+    l = catalog.load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+                _rev_cbp().alias("_rev"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3",
+                        F.col("_rev")).otherwise(F.lit(0))
+    agg = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+           .join(o, l["l_orderkey"] == o["o_orderkey"])
+           .join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+           .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+           .groupBy("o_year")
+           .agg(F.sum(nation_rev).alias("nation_cbp"),
+                F.sum("_rev").alias("total_cbp")))
+    return (agg.select(
+        "o_year", "nation_cbp", "total_cbp",
+        (F.col("nation_cbp").cast("double")
+         / F.col("total_cbp").cast("double")).alias("mkt_share"))
+        .orderBy("o_year"))
+
+
+# --------------------------------------------------------------------------
+# E87 — TPC-H Q12/Q13/Q15/Q17/Q19: priority×lateness matrix, left-join
+# count distribution, argmax-by-scalar, correlated-avg decorrelation,
+# disjunctive pushdown. Q12's shipmode/receiptdate columns don't exist in
+# the testdata, so lateness is derived from shipdate − orderdate (same
+# conditional-agg-over-join shape); everything else is the TPC-H shape
+# verbatim over the columns that exist.
+# --------------------------------------------------------------------------
+
+@register("tpch_q12_late_shipments", """
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l.l_shipdate >= o.o_orderdate
+                              + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+""")
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode lateness matrix, adapted: the
+    testdata has no l_shipmode/l_receiptdate, so "late" = shipped ≥60
+    days after order date): the priority bucketing and the lateness
+    flag are BOTH conditional expressions inside one agg pass over the
+    year-filtered join — no per-bucket scans, no second pass."""
+    o = catalog.load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = (catalog.load_table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= "1997-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01"))
+         .select("l_orderkey", "l_shipdate"))
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    prio = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                  "high").otherwise("low")
+    late = F.when(F.col("l_shipdate")
+                  >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                  1).otherwise(0)
+    return (j.groupBy(prio.alias("priority_class"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(late).alias("late_lines"))
+            .orderBy("priority_class"))
+
+
+@register("tpch_q13_customer_order_counts", """
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+""")
+def tpch_q13_customer_order_counts(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join so
+    zero-order customers survive with c_count = 0 (count(o_orderkey)
+    skips the null-extended rows — the classic outer-join-count trap,
+    handled), the join-side filter stays in the ON clause (a WHERE would
+    silently turn the join inner), then a second tiny agg over the
+    1-row-per-customer result. Scale shape: the big join shuffles on
+    custkey once; the distribution agg is k-row."""
+    c = catalog.load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (catalog.load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@register("tpch_q15_top_supplier", f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum({_REV_CBP_SQL}) AS BIGINT) AS total_cbp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_cbp
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cbp = (SELECT max(total_cbp) FROM revenue)
+    ORDER BY s.s_suppkey
+""")
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the scalar-subquery max is a 1-row
+    aggregate of the (persisted) quarterly revenue view, broadcast back
+    as a filter — the revenue agg computes ONCE, not once for the view
+    and once for the subquery (the naive double-evaluation trap). Exact
+    integer revenue makes the ties-in-max semantics portable."""
+    rev = (catalog.load_table(spark, sf_dir, "lineitem")
+           .filter((F.col("l_shipdate") >= "1997-01-01")
+                   & (F.col("l_shipdate") < "1997-04-01"))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(_rev_cbp()).alias("total_cbp")))
+    rev.persist()
+    mx = rev.agg(F.max("total_cbp").alias("_mx"))
+    s = catalog.load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    out = (rev.crossJoin(F.broadcast(mx))
+           .filter(F.col("total_cbp") == F.col("_mx"))
+           .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+           .select("s_suppkey", "s_name", "total_cbp")
+           .orderBy("s_suppkey"))
+    return out
+
+
+@register("tpch_q17_small_quantity_revenue", """
+    WITH agg AS (SELECT l_partkey,
+                        CAST(sum(floor(l_quantity * 100 + 0.5)) AS BIGINT)
+                            AS sum_qty_cents,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM lineitem GROUP BY 1)
+    SELECT CAST(sum(floor(l.l_extendedprice * 100 + 0.5)) AS BIGINT)
+               AS total_price_cents,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(floor(l.l_extendedprice * 100 + 0.5)) AS DOUBLE) / 700.0
+               AS avg_yearly_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN agg a  ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 10
+      AND CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * 5 * a.n
+          < a.sum_qty_cents
+""")
+def tpch_q17_small_quantity_revenue(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    subquery ``l_quantity < 0.2 * avg(l_quantity per part)`` is
+    DECORRELATED into one per-part pre-aggregate joined back on partkey
+    — never a re-scan per row. The threshold compares as exact integers:
+    qty < 0.2·(sum/n) ⇔ qty_cents·5·n < sum_qty_cents (no float avg).
+    p_container doesn't exist in the testdata; p_size ≤ 10 stands in as
+    the second part-side predicate (same shape: the brand filter shrinks
+    part BEFORE the fact join; the per-part agg runs on the full fact
+    but reduces to ≤ #parts rows before its join)."""
+    p = (catalog.load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+         .select("p_partkey"))
+    li = catalog.load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", stats.cents("l_quantity").alias("_qc"),
+                stats.cents("l_extendedprice").alias("_pc"))
+    agg = (li.groupBy("l_partkey")
+           .agg(F.sum("_qc").alias("sum_qty_cents"),
+                F.count(F.lit(1)).alias("n"))
+           .withColumnRenamed("l_partkey", "_ak"))
+    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+         .join(agg, li["l_partkey"] == agg["_ak"])
+         .filter(F.col("_qc") * 5 * F.col("n") < F.col("sum_qty_cents")))
+    out = j.agg(F.sum("_pc").alias("total_price_cents"),
+                F.count(F.lit(1)).alias("n_lines"))
+    return out.select(
+        "total_price_cents", "n_lines",
+        (F.col("total_price_cents").cast("double") / F.lit(700.0))
+        .alias("avg_yearly_cents"))
+
+
+@register("tpch_q19_discounted_revenue", f"""
+    SELECT CAST(sum({_REV_CBP_SQL}) AS BIGINT) AS revenue_cbp,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""")
+def tpch_q19_discounted_revenue(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, the disjunctive-predicate
+    showcase): the OR-of-ANDs mixes part- and lineitem-side columns, so
+    no single branch can push whole — but the DERIVED single-side
+    implicates CAN and do: part pre-filters to the 3-brand size-capped
+    union and lineitem to the quantity envelope [1,30] BEFORE the join,
+    with the exact disjunction as the join residual. That turns "join
+    everything then filter" into two pushed scans + a small hash
+    join."""
+    qty = F.col("l_quantity")
+    li = (catalog.load_table(spark, sf_dir, "lineitem")
+          .filter((qty >= 1) & (qty <= 30))
+          .select("l_partkey", "l_quantity", _rev_cbp().alias("_rev")))
+    p = (catalog.load_table(spark, sf_dir, "part")
+         .filter(((F.col("p_brand") == "Brand#12")
+                  & F.col("p_size").between(1, 5))
+                 | ((F.col("p_brand") == "Brand#23")
+                    & F.col("p_size").between(1, 10))
+                 | ((F.col("p_brand") == "Brand#34")
+                    & F.col("p_size").between(1, 15)))
+         .select("p_partkey", "p_brand"))
+    branch = (((F.col("p_brand") == "Brand#12") & (qty >= 1) & (qty <= 11))
+              | ((F.col("p_brand") == "Brand#23") & (qty >= 10) & (qty <= 20))
+              | ((F.col("p_brand") == "Brand#34") & (qty >= 20) & (qty <= 30)))
+    return (li.join(F.broadcast(p),
+                    (li["l_partkey"] == p["p_partkey"]) & branch)
+            .agg(F.sum("_rev").alias("revenue_cbp"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+# --------------------------------------------------------------------------
+# E88 — TPC-H Q2/Q9/Q11/Q16/Q20 shapes, adapted: the testdata has no
+# partsupp table, so the part↔supplier relation is DERIVED as
+# SELECT DISTINCT l_partkey, l_suppkey FROM lineitem (the same many-to-
+# many bridge), ps_supplycost is replaced by the part's retail price, and
+# each query keeps its defining optimizer challenge (correlated min,
+# profit roll-up, global-share HAVING, bridge distinct-count, nested
+# semi-join chain).
+# --------------------------------------------------------------------------
+
+_PART_SUPP_SQL = "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+
+
+def _part_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived part↔supplier bridge (stand-in for TPC-H partsupp)."""
+    return (catalog.load_table(spark, sf_dir, "lineitem")
+            .select("l_partkey", "l_suppkey").distinct())
+
+
+@register("tpch_q2_min_cost_supplier", f"""
+    WITH ps AS {_PART_SUPP_SQL},
+    cand AS (
+        SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name, s.s_acctbal,
+               n.n_name,
+               CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM part p
+        JOIN ps         ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+          AND p.p_type = 'STANDARD'),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                     ORDER BY bal_cents, s_suppkey) AS rn
+        FROM cand)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+""")
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part; adapted — the
+    correlated MIN is over s_acctbal through the derived bridge): the
+    ``WHERE cost = (SELECT min(cost) ... same part)`` correlated
+    subquery is a rank-1 window on the candidate set (WindowGroupLimit
+    prunes per-partition before the shuffle), never a per-part rescan.
+    Region→nation→supplier collapses to one broadcast dim; ties break
+    deterministically on (bal_cents, suppkey)."""
+    r = catalog.load_table(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    n = catalog.load_table(spark, sf_dir, "nation")
+    s = (catalog.load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(
+             n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+             .select("n_nationkey", "n_name")),
+             F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name",
+                 stats.cents("s_acctbal").alias("bal_cents")))
+    p = (catalog.load_table(spark, sf_dir, "part")
+         .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+         .select("p_partkey", "p_type"))
+    ps = _part_supp(spark, sf_dir)
+    cand = (ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+            .join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"]))
+    w = Window.partitionBy("p_partkey").orderBy("bal_cents", "s_suppkey")
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(20))
+
+
+@register("tpch_q9_product_type_profit", """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                    - CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                    // 100) AS BIGINT) AS profit_cbp
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+""")
+def tpch_q9_product_type_profit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; adapted —
+    ps_supplycost doesn't exist, so unit cost is the part's retail
+    price: profit = revenue − qty·retail): the p_name LIKE filter
+    shrinks part FIRST (it's the only selective predicate, and it can't
+    push below the join from the fact side), dims broadcast, and profit
+    stays in exact integer cent-basis-points — qty_cents·retail_cents is
+    cent², so it divides by 100 with BIGINT `div` semantics (both
+    engines truncate toward zero on positive operands) to land on the
+    cbp scale before the roll-up."""
+    p = (catalog.load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").contains("gear"))
+         .select("p_partkey", stats.cents("p_retailprice").alias("_rc")))
+    s = catalog.load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    n = catalog.load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    o = catalog.load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", F.year("o_orderdate").cast("long")
+                .alias("o_year"))
+    l = catalog.load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+                _rev_cbp().alias("_rev"),
+                stats.cents("l_quantity").alias("_qc"))
+    return (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+            .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+            .join(o, l["l_orderkey"] == o["o_orderkey"])
+            .withColumn("_profit",
+                        F.col("_rev") - F.expr("CAST(_qc * _rc AS BIGINT)"
+                                               " div 100"))
+            .groupBy("nation", "o_year")
+            .agg(F.sum("_profit").alias("profit_cbp"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+@register("tpch_q11_important_stock", f"""
+    WITH ps AS {_PART_SUPP_SQL},
+    v AS (SELECT ps.l_partkey AS p_partkey,
+                 CAST(sum(CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM ps
+          JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          JOIN part p     ON p.p_partkey = ps.l_partkey
+          WHERE n.n_name = 'NATION_5'
+          GROUP BY 1)
+    SELECT p_partkey, value_cents
+    FROM v
+    WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT)
+                                FROM v)
+    ORDER BY value_cents DESC, p_partkey
+""")
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: parts whose nation-local value
+    exceeds a FRACTION of the global total; adapted — value =
+    Σ retail_cents over the derived bridge): the global total is a 1-row
+    agg of the SAME persisted per-part aggregate (no double
+    evaluation), broadcast into an exact-integer HAVING
+    (value·1000 > total avoids the float fraction entirely)."""
+    ps = _part_supp(spark, sf_dir)
+    n5 = (catalog.load_table(spark, sf_dir, "nation")
+          .filter(F.col("n_name") == "NATION_5").select("n_nationkey"))
+    s = (catalog.load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n5), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    p = catalog.load_table(spark, sf_dir, "part") \
+        .select("p_partkey", stats.cents("p_retailprice").alias("_rc"))
+    v = (ps.join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"],
+                 "left_semi")
+         .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+         .groupBy("p_partkey")
+         .agg(F.sum("_rc").alias("value_cents")))
+    v.persist()
+    total = v.agg(F.sum("value_cents").alias("_t"))
+    return (v.crossJoin(F.broadcast(total))
+            .filter(F.col("value_cents") * 1000 > F.col("_t"))
+            .select("p_partkey", "value_cents")
+            .orderBy(F.col("value_cents").desc(), F.col("p_partkey")))
+
+
+@register("tpch_q16_supplier_part_counts", f"""
+    WITH ps AS {_PART_SUPP_SQL},
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def tpch_q16_supplier_part_counts(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier count by part attributes; adapted — the
+    bridge is derived, "customer complaints" becomes negative account
+    balance): the NOT IN subquery is a LEFT ANTI join (null-safe by
+    construction — s_suppkey is non-null), the part filter is all
+    single-side pushable, and the distinct-count groups by the part
+    attributes AFTER the bridge join."""
+    ps = _part_supp(spark, sf_dir)
+    bad = (catalog.load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = (catalog.load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#45")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"],
+                    "left_anti")
+            .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     F.col("p_size")))
+
+
+@register("tpch_q20_dominant_suppliers", """
+    WITH hot AS (SELECT p_partkey FROM part WHERE p_name LIKE 'hot%'),
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(floor(l_quantity * 100 + 0.5)) AS BIGINT) AS qty_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM hot)
+        GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS tot_c
+            FROM shipped GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM shipped sh
+    JOIN tot t      ON t.l_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE sh.qty_c * 2 > t.tot_c
+    ORDER BY s.s_suppkey
+""")
+def tpch_q20_dominant_suppliers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding excess stock of a part family;
+    adapted — availqty becomes shipped quantity, and the 50% threshold
+    finds DOMINANT suppliers: a supplier qualifies if it shipped more
+    than half of a hot part's yearly volume): the nested-subquery chain
+    decorrelates into per-(part,supplier) and per-part aggregates
+    sharing one persisted frame — the half-total compare is exact
+    integers (qty·2 > total), and the final DISTINCT is over suppliers,
+    not the bridge."""
+    hot = (catalog.load_table(spark, sf_dir, "part")
+           .filter(F.col("p_name").startswith("hot")).select("p_partkey"))
+    li = (catalog.load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .join(F.broadcast(hot), F.col("l_partkey") == hot["p_partkey"],
+                "left_semi"))
+    shipped = (li.groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(stats.cents("l_quantity")).alias("qty_c")))
+    shipped.persist()
+    tot = (shipped.groupBy(F.col("l_partkey").alias("_pk"))
+           .agg(F.sum("qty_c").alias("tot_c")))
+    s = catalog.load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name", "s_nationkey")
+    n = catalog.load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    return (shipped.join(tot, F.col("l_partkey") == F.col("_pk"))
+            .filter(F.col("qty_c") * 2 > F.col("tot_c"))
+            .select("l_suppkey").distinct()
+            .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+            .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+            .select("s_suppkey", "s_name", "n_name")
+            .orderBy("s_suppkey"))
