@@ -199,3 +199,55 @@ def doc_lm_scores(docs: DataFrame, id_col: str, text_col: str, *,
     return per_doc.select(
         F.col("_id").alias(id_col), "n_bigrams", "sum_logprob",
         (F.col("sum_logprob") / F.col("n_bigrams")).alias("mean_logprob"))
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: lexical ∪ semantic candidate lists fused by
+# Reciprocal Rank Fusion (Cormack et al., SIGIR'09: score = Σ 1/(k+rank)).
+# --------------------------------------------------------------------------
+
+def lexical_topn(docs: DataFrame, id_col: str, text_col: str,
+                 terms: list[str], n: int) -> DataFrame:
+    """Top-n docs by query-term frequency → ``(id, lex_rank)``.
+
+    tf is an in-row higher-order filter over the token array (no explode,
+    no shuffle); the top-n is orderBy+limit = TakeOrderedAndProject
+    (per-partition partial top-n, never a global sort), and the rank
+    window then runs over only n rows. Ties break on id, so the cut is
+    deterministic. tf=0 docs never enter the list — at corpus scale an
+    inverted index (doc_term_stats filtered to the query terms) replaces
+    the scan, same output contract.
+    """
+    tf = F.size(F.filter(tokens(text_col), lambda t: t.isin(*terms)))
+    top = (docs.select(F.col(id_col), tf.alias("_tf"))
+           .filter(F.col("_tf") > 0)
+           .orderBy(F.col("_tf").desc(), F.col(id_col))
+           .limit(n))
+    w = Window.orderBy(F.col("_tf").desc(), F.col(id_col))
+    return top.select(F.col(id_col),
+                      F.row_number().over(w).alias("lex_rank"))
+
+
+def hybrid_rrf(lex: DataFrame, sem: DataFrame, id_col: str, *,
+               k: int = 20, rrf_k: int = 60) -> DataFrame:
+    """Fuse two ranked candidate lists with Reciprocal Rank Fusion.
+
+    ``lex``: (id, lex_rank); ``sem``: (id, sem_rank). Full-outer on the
+    doc id (a doc can appear in either list alone — its missing side
+    contributes 0, the standard RRF convention), score =
+    1/(rrf_k+lex_rank) + 1/(rrf_k+sem_rank) — each term ONE IEEE division
+    of exact integers and one addition in fixed order, so the fused score
+    hashes bit-identically cross-engine. Both inputs are top-n lists
+    (bounded), so the join and final top-k are n-row — the heavy lifting
+    happened inside each retriever.
+    """
+    lexr = lex.select(F.col(id_col), "lex_rank")
+    semr = sem.select(F.col(id_col), "sem_rank")
+    fused = (lexr.join(semr, id_col, "full_outer")
+             .select(id_col, "lex_rank", "sem_rank",
+                     (F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("sem_rank")),
+                                   F.lit(0.0))).alias("rrf_score")))
+    return (fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+            .limit(k))

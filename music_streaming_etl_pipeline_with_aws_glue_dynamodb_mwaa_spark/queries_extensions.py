@@ -14,8 +14,12 @@ Hash-comparability notes:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators import (
     asof,
@@ -48,9 +52,10 @@ from .operators import (
     similarity,
     text,
 )
+from .operators import validate
 from .queries_reference import register
 from .streaming import joins, windowed
-from .sources import catalog
+from .sources import catalog, io
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4505,3 +4510,141 @@ def tpch_q20_dominant_suppliers(spark: SparkSession,
             .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
             .select("s_suppkey", "s_name", "n_name")
             .orderBy("s_suppkey"))
+
+
+# --------------------------------------------------------------------------
+# E89 — hybrid retrieval: lexical top-n ∪ semantic top-n fused by
+# Reciprocal Rank Fusion (Cormack et al., SIGIR'09). The RAG-stack
+# retrieval pattern: BM25-ish keyword list + embedding list, one fused
+# ranking. Oracle-exact because each RRF term is one IEEE division of
+# exact integer ranks added in fixed order.
+# --------------------------------------------------------------------------
+
+_RRF_TERMS = ("spark", "join", "window")
+
+
+@register("hybrid_rrf_topk", f"""
+    WITH lex AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY tf DESC, doc_id) AS INTEGER) AS lex_rank
+        FROM (SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('spark', 'join', 'window')))
+                         AS tf
+              FROM documents) WHERE tf > 0
+        QUALIFY lex_rank <= 100),
+    sem AS (
+        SELECT vec_id AS doc_id, CAST(row_number() OVER (
+                   ORDER BY cosine DESC, vec_id) AS INTEGER) AS sem_rank
+        FROM (SELECT e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[])))
+                         AS cosine
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              WHERE e.vec_id <> 0)
+        QUALIFY sem_rank <= 100)
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+           coalesce(1.0 / (60 + lex_rank), 0.0)
+               + coalesce(1.0 / (60 + sem_rank), 0.0) AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+""")
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: lexical term-frequency top-100 ∪ exact-cosine
+    top-100 for query vector 0, RRF-fused (k=60), top-20. Each
+    retriever bounds its own cost (TakeOrderedAndProject / broadcast-
+    query scoring with WindowGroupLimit); the fusion join is 100-row."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    lex = ranking.lexical_topn(docs, "doc_id", "text",
+                               list(_RRF_TERMS), n=100)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    sem = (similarity.cosine_topk(emb, q, k=100)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("sem_rank")))
+    return ranking.hybrid_rrf(lex, sem, "doc_id", k=20, rrf_k=60)
+
+
+# --------------------------------------------------------------------------
+# E90 — JSONL source/sink (the LLM-corpus interchange format): explicit-
+# schema PERMISSIVE scan with corrupt-record routing, same validation
+# contract as the CSV path (S1/S2/S9). Fixture: the documents table
+# written through the engine's own JSONL sink + two hand-planted bad
+# lines (one malformed JSON, one type mismatch).
+# --------------------------------------------------------------------------
+
+_JSONL_DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+_JSONL_BAD_LINES = [
+    '{"doc_id": 1, "lang": "en", unquoted}',
+    '{"doc_id": "not_a_number", "lang": "en", "source": "web",'
+    ' "n_chars": 12, "text": "hello world"}',
+]
+
+
+def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
+                       "jsonl_docs_v1",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    marker = os.path.join(fix, "_READY")
+    if not os.path.exists(marker):
+        docs = catalog.load_table(spark, sf_dir, "documents")
+        io.write_jsonl(
+            docs.select(*[f.name for f in _JSONL_DOCS_SCHEMA.fields]),
+            os.path.join(fix, "good"))
+        os.makedirs(os.path.join(fix, "bad"), exist_ok=True)
+        with open(os.path.join(fix, "bad", "planted.jsonl"), "w") as fh:
+            fh.writelines(ln + "\n" for ln in _JSONL_BAD_LINES)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return os.path.join(fix, "*", "*")
+
+
+@register("jsonl_scan_roundtrip", """
+    SELECT doc_id, lang, source, n_chars, text FROM documents
+""")
+def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → engine JSONL sink → PERMISSIVE scan → validation split;
+    the good side must equal the original projection bit-for-bit while
+    the planted malformed lines route to the bad side. JSON is splittable
+    per line, so the scan parallelizes like CSV — schema-explicit, no
+    inference pass."""
+    raw = io.read_jsonl(spark, _jsonl_fixture(spark, sf_dir),
+                        _JSONL_DOCS_SCHEMA)
+    good, _ = validate.split_valid_invalid(raw, ["doc_id", "text"])
+    return good.drop(io.CORRUPT_COL)
+
+
+@register("jsonl_scan_corrupt_routing", """
+    SELECT * FROM (VALUES
+        ('{"doc_id": 1, "lang": "en", unquoted}',
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+        ('{"doc_id": "not_a_number", "lang": "en", "source": "web", "n_chars": 12, "text": "hello world"}',
+         CAST(NULL AS BIGINT), 'en', 'web', CAST(12 AS BIGINT),
+         'hello world'))
+        AS t(_corrupt_record, doc_id, lang, source, n_chars, text)
+""")
+def jsonl_scan_corrupt_routing(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """S9-side of the JSONL scan: a malformed line surfaces all-null with
+    the raw text in ``_corrupt_record``; a type-mismatched field nulls
+    only that field, salvages the rest, and still flags the row (both
+    probed behaviors pinned here against a VALUES oracle)."""
+    raw = io.read_jsonl(spark, _jsonl_fixture(spark, sf_dir),
+                        _JSONL_DOCS_SCHEMA)
+    _, bad = validate.split_valid_invalid(raw, ["doc_id", "text"])
+    return bad.select(io.CORRUPT_COL, "doc_id", "lang", "source",
+                      "n_chars", "text")

@@ -126,3 +126,38 @@ def archive_files(paths: list[str], archive_dir: str) -> list[str]:
         shutil.move(p, dest)
         out.append(dest)
     return out
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType, *,
+               keep_corrupt: bool = True) -> DataFrame:
+    """JSON-Lines scan with explicit schema — the lingua franca of LLM
+    corpus interchange (one JSON object per line, splittable, appendable).
+
+    Same PERMISSIVE contract as ``read_csv``: a syntactically malformed
+    line lands all-null with the raw text in ``_corrupt_record``; a
+    type-mismatched field nulls that field, salvages the rest, and still
+    flags the row in ``_corrupt_record`` (probed on Spark 4.1); a merely
+    MISSING field is null and NOT corrupt (JSON is schema-on-read —
+    absence is legal). Validation downstream decides which nulls are
+    fatal, exactly as with CSV.
+
+    Never ``inferSchema`` at scale: inference is a full extra pass over
+    100 TB and can flip types between runs; the schema is the contract.
+    """
+    sch = schema
+    if keep_corrupt and CORRUPT_COL not in [f.name for f in schema.fields]:
+        sch = T.StructType(list(schema.fields)
+                           + [T.StructField(CORRUPT_COL, T.StringType(), True)])
+    return (
+        spark.read.schema(sch)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-Lines sink (one object per line per row; nulls omitted by
+    Spark's JSON writer, which PERMISSIVE reads back as null — lossless
+    for the scan contract above)."""
+    df.write.mode(mode).json(path)
