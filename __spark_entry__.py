@@ -59,9 +59,12 @@ _PRIORITY = [
     # LLM-pipeline headline families (already green in r2, keep guarded)
     "dedup_exact_text", "ann_cosine_topk",
     # round-2 families with no driver row yet — one or two reps each
-    "sessionize_events", "session_stats", "asof_purchase_click",
+    "sessionize_events", "asof_purchase_click",
     "events_value_bands", "funnel_conversion", "lineitem_rollup",
-    "orders_status_pivot",
+    # round-3 continuation: new source format + retrieval fusion
+    # (session_stats / orders_status_pivot rotate out — their families stay
+    # repped by sessionize_events / lineitem_rollup and the full oracle run)
+    "jsonl_scan_roundtrip", "hybrid_rrf_topk",
     "orders_merge_upsert", "orders_table_diff", "user_state_history",
     "orders_cdc_apply", "events_user_rolling_7d", "lineitem_qty_price_corr",
     "orders_quality_report",

@@ -4,13 +4,15 @@ Media payloads ride as opaque ``binary`` columns with typed metadata beside
 them (schemas.MEDIA): the payload stays compressed/columnar, metadata prunes
 partitions without touching bytes — the only layout that survives 100 TB.
 
-The decode step is STUBBED: image/audio libraries are not in this
-environment, so ``decode`` raises ``NotImplementedError`` unless
-``fake=True`` substitutes a deterministic byte-derived feature vector. What
-IS real and tested is the Spark-side machinery every real decoder would ride
-on: the schema, the ``mapInPandas`` Arrow-batch iterator (bounded memory —
-batches stream, payloads never accumulate), the UDF signature, and the
-byte-level metadata extraction (pure JVM expressions).
+Decode is REAL for uncompressed containers — 24-bit BMP and 16-bit PCM WAV
+are parsed/encoded with struct+numpy only (``bmp_decode``/``wav_decode``,
+round-trip-tested), driving real resize (nearest-neighbour) and real
+feature extraction (per-channel/sample statistics). Compressed formats
+(png/jpeg/mp4) have no decoder in this environment: ``decode`` raises
+``NotImplementedError`` there (the PIL/av hook), and ``fake=True``
+substitutes a deterministic byte-derived stand-in so the Spark-side
+machinery — schema, ``mapInPandas`` Arrow-batch iterator (bounded memory),
+UDF signatures, JVM metadata extraction — stays testable on any payload.
 """
 
 from __future__ import annotations
@@ -210,3 +212,217 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL decode for uncompressed container formats (no external libs needed):
+# 24-bit BMP (BITMAPINFOHEADER, bottom-up, 4-byte row padding) and 16-bit
+# PCM WAV (canonical 44-byte header). struct + numpy only. Compressed
+# formats (png/jpeg/mp4) still raise — that hook is where PIL/av plug in.
+# --------------------------------------------------------------------------
+
+import struct
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real 24-bit BMP file."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    # BMP stores bottom-up BGR with padded rows
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return header + info + rows.tobytes()
+
+
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=data_off)
+    bgr = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
+
+
+def wav_encode(samples: np.ndarray, *, rate: int = 8000) -> bytes:
+    """Encode an int16 mono sample array as a canonical PCM WAV file."""
+    pcm = samples.astype("<i2").tobytes()
+    return (struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+            + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate,
+                          rate * 2, 2, 16)
+            + struct.pack("<4sI", b"data", len(pcm)) + pcm)
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV into (int16 sample array, sample_rate). Walks the
+    RIFF chunk list (some writers insert LIST/fact chunks before data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV fmt={fmt} channels={ch} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz % 2)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, rate
+
+
+def decode_media(payload: bytes, kind: str):
+    """Magic-byte-sniffing decode: real for BMP and PCM WAV, raises for
+    compressed formats (PIL/av hook). Returns (h,w,3) uint8 for images,
+    (samples, rate) for audio."""
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decode(payload)
+    return decode(payload, kind)  # unchanged stub hook for the rest
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resample via pure index math (PIL NEAREST twin:
+    src = floor((dst + 0.5) * src_size / dst_size))."""
+    h, w = pixels.shape[:2]
+    ys = ((np.arange(height) + 0.5) * h / height).astype(np.int64).clip(0, h - 1)
+    xs = ((np.arange(width) + 0.5) * w / width).astype(np.int64).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def real_media_fixture(docs: DataFrame, *, img_w: int = 16,
+                       img_h: int = 12, n_samples: int = 256) -> DataFrame:
+    """MEDIA frame whose payloads are REAL decodable files: doc_id-seeded
+    deterministic pixel/sample content, BMP for even ids, WAV for odd.
+    mapInPandas (Arrow-batched) because file encoding is inherently
+    imperative — but the per-row cost is O(payload) and memory is one
+    batch, so the shape survives any corpus size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": [], "mime": [],
+                   "width": [], "height": [], "duration_ms": []}
+            for did in pdf["doc_id"]:
+                rng = np.random.RandomState(int(did) % (2**31))
+                if did % 2 == 0:
+                    px = rng.randint(0, 256, size=(img_h, img_w, 3),
+                                     dtype=np.int64).astype(np.uint8)
+                    out["payload"].append(bmp_encode(px))
+                    out["kind"].append("image")
+                    out["mime"].append("image/bmp")
+                    out["width"].append(img_w)
+                    out["height"].append(img_h)
+                    out["duration_ms"].append(None)
+                else:
+                    smp = rng.randint(-32768, 32767, size=n_samples,
+                                      dtype=np.int64).astype(np.int16)
+                    out["payload"].append(wav_encode(smp))
+                    out["kind"].append("audio")
+                    out["mime"].append("audio/wav")
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["duration_ms"].append(n_samples * 1000 // 8000)
+                out["media_id"].append(int(did))
+            yield pd.DataFrame(out)
+
+    schema = ("media_id long, kind string, payload binary, mime string, "
+              "width int, height int, duration_ms long")
+    return docs.select("doc_id").mapInPandas(fn, schema)
+
+
+def resize_images_real(media: DataFrame, *, width: int,
+                       height: int) -> DataFrame:
+    """REAL image resize: BMP → decode → nearest-neighbour → re-encode.
+    Same contract as resize_images but the pixels actually move; non-image
+    rows pass through untouched."""
+    out_schema = ("media_id long, kind string, payload binary, mime string, "
+                  "width int, height int")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                data = bytes(payload) if payload is not None else b""
+                if kind == "image" and data[:2] == b"BM":
+                    px = resize_nearest(bmp_decode(data), width, height)
+                    payloads.append(bmp_encode(px))
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    payloads.append(data)
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "payload": payloads, "mime": pdf["mime"],
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+            })
+
+    return media.mapInPandas(fn, out_schema)
+
+
+def extract_media_features_real(media: DataFrame) -> DataFrame:
+    """REAL feature extraction over decodable payloads: images → per-channel
+    mean/std + dims; audio → mean/std/rms/peak + duration. 8-dim vector
+    (zero-padded), same schema as the fake path so downstream similarity
+    search is source-agnostic."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                data = bytes(payload) if payload is not None else b""
+                decoded = decode_media(data, kind)
+                if isinstance(decoded, tuple):          # audio
+                    smp, rate = decoded
+                    x = smp.astype(np.float64) / 32768.0
+                    v = [float(x.mean()), float(x.std()),
+                         float(np.sqrt((x * x).mean())),
+                         float(np.abs(x).max()),
+                         len(x) / rate, 0.0, 0.0, 0.0]
+                else:                                    # image
+                    px = decoded.astype(np.float64) / 255.0
+                    v = [float(px[..., 0].mean()), float(px[..., 1].mean()),
+                         float(px[..., 2].mean()), float(px.std()),
+                         px.shape[1] / 4096.0, px.shape[0] / 4096.0,
+                         0.0, 0.0]
+                feats.append(np.asarray(v[:FEATURE_DIM], dtype=np.float64))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "byte_len": pdf["payload"].map(
+                    lambda p: len(p) if p is not None else 0),
+                "content_md5": pdf["payload"].map(
+                    lambda p: hashlib.md5(
+                        bytes(p) if p is not None else b"").hexdigest()),
+                "feature": feats,
+            })
+
+    return media.mapInPandas(fn, _FEATURES_SCHEMA)

@@ -4648,3 +4648,37 @@ def jsonl_scan_corrupt_routing(spark: SparkSession,
     _, bad = validate.split_valid_invalid(raw, ["doc_id", "text"])
     return bad.select(io.CORRUPT_COL, "doc_id", "lang", "source",
                       "n_chars", "text")
+
+
+# --------------------------------------------------------------------------
+# E91 — REAL media decode path: BMP/WAV payloads actually parsed (struct+
+# numpy codecs, no media libs), resized, and featurized. Python-encoded
+# bytes aren't DuckDB-reproducible → rows-only, with bit-level numpy
+# parity pinned in tests/test_media_codecs.py.
+# --------------------------------------------------------------------------
+
+@register("media_decode_features_real", None)  # python-encoded payloads → rows-only
+def media_decode_features_real(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Real decode→featurize over real files: deterministic BMP/WAV blobs
+    (doc_id-seeded), magic-byte dispatch, per-channel/sample statistics as
+    an 8-dim vector. Output projects hashable cells (json feature, md5
+    digest) per the driver-hasher contract."""
+    media = multimodal.real_media_fixture(_docs(spark, sf_dir))
+    feats = multimodal.extract_media_features_real(media)
+    return feats.select("media_id", "kind", "byte_len", "content_md5",
+                        F.to_json("feature").alias("feature_json"))
+
+
+@register("media_resize_real", None)  # python-encoded payloads → rows-only
+def media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP resize (decode → nearest-neighbour → re-encode) with the
+    payload digested to a hashable cell; audio rows pass through with
+    null dims. byte_len pins the re-encoded file size (8×6 24-bit BMP =
+    54 + 6·((8·3+pad)=24) = 198 bytes)."""
+    media = multimodal.real_media_fixture(_docs(spark, sf_dir))
+    out = multimodal.resize_images_real(media, width=8, height=6)
+    return out.select(
+        "media_id", "kind", "width", "height",
+        F.octet_length("payload").alias("byte_len"),
+        F.md5(F.hex("payload")).alias("payload_digest"))
