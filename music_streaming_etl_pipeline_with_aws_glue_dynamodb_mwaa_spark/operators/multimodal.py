@@ -352,7 +352,11 @@ def real_media_fixture(docs: DataFrame, *, img_w: int = 16,
 
     schema = ("media_id long, kind string, payload binary, mime string, "
               "width int, height int, duration_ms long")
-    return docs.select("doc_id").mapInPandas(fn, schema)
+    # the source table is often one parquet file → one task; encode work
+    # must spread across the executor cores (round-robin is fine — the
+    # payload is a pure function of doc_id)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).mapInPandas(fn, schema)
 
 
 def resize_images_real(media: DataFrame, *, width: int,

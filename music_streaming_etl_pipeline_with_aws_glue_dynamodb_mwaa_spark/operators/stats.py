@@ -338,3 +338,69 @@ def mad_outliers(df: DataFrame, keys: list[str], value_col: str, *,
                         F.col("_dev").cast("double")
                         > F.lit(float(k)) * F.col("mad_cents"))
             .drop("_rn2", "_n", "_dev"))
+
+
+def sliding_distinct_count(df: DataFrame, entity_col: str, ts_col: str, *,
+                           window_days: int = 30) -> DataFrame:
+    """EXACT rolling N-day distinct entities per day (MAU/WAU) —
+    ``(report_day, active)`` for every day in the observed range.
+
+    A RANGE-frame ``countDistinct`` window is unsupported (and would hold
+    per-frame state anyway), and re-scanning 30 days per report day is 30
+    fact scans. The scalable exact formulation inverts it: dedup to
+    (entity, active_day) — the only fact-sized pass — then each active day
+    CONTRIBUTES to the ≤ ``window_days`` report days it falls inside
+    (an in-row integer ``sequence`` explode: bounded ×window_days blowup
+    of the already-deduped table), and one distinct-agg per report day
+    finishes. Two key shuffles total, both on collapsed tables; day
+    arithmetic stays in integer epoch-days so the explode is a pure int
+    range. The approximate path at lake scale is the HLL daily-sketch
+    rollup (operators/sketches.py) — same answer shape, no explode.
+    """
+    epoch = F.lit("1970-01-01")
+    act = (df.select(F.col(entity_col).alias("_e"),
+                     F.datediff(F.to_date(ts_col), epoch).alias("_d"))
+           .distinct())
+    bounds = df.agg(
+        F.datediff(F.max(F.to_date(ts_col)), epoch).alias("_mx"))
+    slots = act.select(
+        "_e", F.explode(F.sequence(
+            F.col("_d"), F.col("_d") + F.lit(window_days - 1))).alias("_s"))
+    return (slots.crossJoin(F.broadcast(bounds))
+            .filter(F.col("_s") <= F.col("_mx"))
+            .groupBy("_s")
+            .agg(F.countDistinct("_e").alias("active"))
+            .select(F.date_add(F.to_date(epoch), F.col("_s").cast("int"))
+                    .alias("report_day"), "active"))
+
+
+def decayed_sum(df: DataFrame, keys: list[str], value_col: str,
+                ts_col: str, *, horizon_days: int = 30) -> DataFrame:
+    """Exponential time-decay score per key (half-life = 1 day):
+    ``score = Σ value·2^(−age_days)`` over the trailing horizon.
+
+    The float form is order-dependent under parallel summation, so the
+    roll-up happens in EXACT integer space: each event contributes
+    ``value_cents · 2^(horizon − age)`` (a bit-shift of exact longs,
+    age ∈ [0, horizon]), summed as BIGINT, and the score is ONE IEEE
+    division by 2^horizon at the end — hash-identical on any engine, any
+    partitioning. Overflow envelope: cents ≤ 10^6 · 2^30 ≈ 10^15 per row,
+    ~10^3 rows/key at test scale → well inside int64; a larger horizon
+    trades to DECIMAL(38,0), same playbook as group_corr.
+    One scan, one key shuffle (partial aggs map-side).
+    """
+    mx = df.agg(F.max(F.to_date(ts_col)).alias("_mx"))
+    scaled = F.lit(2 ** horizon_days).cast("long")
+    out = (df.crossJoin(F.broadcast(mx))
+           .withColumn("_age", F.datediff(F.col("_mx"), F.to_date(ts_col)))
+           .filter(F.col("_age").between(0, horizon_days))
+           .withColumn("_w", F.expr(
+               f"shiftleft(CAST(1 AS BIGINT), "
+               f"CAST({int(horizon_days)} - _age AS INT))"))
+           .groupBy(*keys)
+           .agg(F.sum(cents(value_col) * F.col("_w"))
+                .alias("decay_scaled")))
+    return out.select(
+        *keys, "decay_scaled",
+        (F.col("decay_scaled").cast("double") / scaled.cast("double"))
+        .alias("decay_score"))

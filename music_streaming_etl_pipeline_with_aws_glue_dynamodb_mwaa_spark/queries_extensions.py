@@ -4682,3 +4682,59 @@ def media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", "width", "height",
         F.octet_length("payload").alias("byte_len"),
         F.md5(F.hex("payload")).alias("payload_digest"))
+
+
+# --------------------------------------------------------------------------
+# E92 — exact sliding-window distinct actives (MAU) via the inverted
+# contribute-to-window explode; E93 — exponential time-decay scoring in
+# exact shifted-integer space. Both oracle-exact.
+# --------------------------------------------------------------------------
+
+@register("events_wau_sliding_7d", """
+    WITH act AS (SELECT DISTINCT user_id,
+                        (CAST(ts AS DATE) - DATE '1970-01-01') AS d
+                 FROM events),
+    mx AS (SELECT max(CAST(ts AS DATE) - DATE '1970-01-01') AS m
+           FROM events),
+    slots AS (SELECT act.user_id, s.s
+              FROM act, LATERAL (SELECT unnest(generate_series(
+                                     act.d, act.d + 6)) AS s) s)
+    SELECT DATE '1970-01-01' + CAST(s AS INTEGER) AS report_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active
+    FROM slots, mx WHERE s <= mx.m
+    GROUP BY 1
+""")
+def events_wau_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users for EVERY day, exact: dedup to
+    (user, day), in-row integer sequence explode (each active day feeds
+    its ≤7 report days), one distinct-agg per report day. The
+    approximate twin at lake scale is the daily-HLL rollup
+    (events_monthly_users_sketch_rollup)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return stats.sliding_distinct_count(ev, "user_id", "ts",
+                                        window_days=7)
+
+
+@register("events_user_decay_score", """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+    e AS (SELECT user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 (SELECT m FROM mx) - CAST(ts AS DATE) AS age
+          FROM events)
+    SELECT user_id,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << (30 - age))) AS BIGINT)
+               AS decay_scaled,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << (30 - age))) AS DOUBLE)
+               / 1073741824.0 AS decay_score
+    FROM e WHERE age BETWEEN 0 AND 30
+    GROUP BY user_id
+""")
+def events_user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value (half-life 1 day, 30-day
+    horizon): the float recurrence is order-dependent, so each event
+    contributes cents·2^(horizon−age) as an exact shifted long and the
+    score is ONE division by 2^30 — bit-identical under any
+    partitioning."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return stats.decayed_sum(ev, ["user_id"], "value", "ts",
+                             horizon_days=30)
