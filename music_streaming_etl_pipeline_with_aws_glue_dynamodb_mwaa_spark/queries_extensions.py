@@ -4738,3 +4738,56 @@ def events_user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     return stats.decayed_sum(ev, ["user_id"], "value", "ts",
                              horizon_days=30)
+
+
+# --------------------------------------------------------------------------
+# E94 — Python UDAF surface (§2.10): Gini concentration of user spend per
+# event type. The sorted numerator runs as an Arrow GROUPED_AGG pandas
+# UDF in exact int64; count and sum ride the SAME agg as JVM built-ins;
+# G = num/(n·sum) is one IEEE division → oracle-exact even through the
+# Python aggregate.
+# --------------------------------------------------------------------------
+
+@register("user_spend_gini", """
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM per_user)
+    SELECT event_type,
+           CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+               AS gini
+    FROM ranked GROUP BY event_type
+""")
+def user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is spend across users, per event type (Gini):
+    per-user roll-up (one key shuffle), then the pandas-UDAF numerator and
+    the JVM count/sum partials aggregate the SAME persisted frame (Spark
+    disallows mixing a GROUPED_AGG pandas UDF with built-in aggregates in
+    one pass) and re-join on the k-row key. Ties make the sorted numerator
+    order-invariant, so the Python aggregate is bit-portable."""
+    from .functions.udafs import gini_numerator
+    ev = catalog.load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("event_type", "user_id")
+                .agg(F.sum(stats.cents("value")).alias("cents")))
+    per_user.persist()
+    num = (per_user.groupBy("event_type")
+           .agg(gini_numerator("cents").alias("gini_num")))
+    tot = (per_user.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_users"),
+                F.sum("cents").alias("total_cents")))
+    agg = num.join(F.broadcast(tot), "event_type")
+    return agg.select(
+        "event_type", "gini_num", "n_users", "total_cents",
+        (F.col("gini_num").cast("double")
+         / (F.col("n_users").cast("double")
+            * F.col("total_cents").cast("double"))).alias("gini"))

@@ -74,3 +74,23 @@ def test_decayed_sum_drops_events_past_horizon(spark):
     assert set(out) == {1, 3}
     assert out[1] == 400 * (1 << 2)              # age 0 → shift 2
     assert out[3] == (3200 + 6400) * (1 << 2)
+
+
+def test_gini_udaf_matches_numpy_reference(spark):
+    import numpy as np
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.functions.udafs import gini_numerator
+
+    vals = [5, 1, 1, 3, 10, 0, 7]
+    df = spark.createDataFrame([("a", v) for v in vals] + [("b", 4)],
+                               ["k", "cents"])
+    out = {r["k"]: r["num"] for r in
+           df.groupBy("k").agg(gini_numerator("cents").alias("num"))
+           .collect()}
+    x = np.sort(np.array(vals, dtype=np.int64))
+    i = np.arange(1, len(x) + 1)
+    assert out["a"] == int(((2 * i - len(x) - 1) * x).sum())
+    assert out["b"] == 0  # single-member group: (2·1−1−1)·x = 0
+    # classic identity: all-equal distribution → gini numerator 0
+    eq = spark.createDataFrame([("c", 7)] * 5, ["k", "cents"])
+    got = eq.groupBy("k").agg(gini_numerator("cents").alias("num")).collect()
+    assert got[0]["num"] == 0
