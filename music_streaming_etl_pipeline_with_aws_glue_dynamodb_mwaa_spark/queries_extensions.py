@@ -4791,3 +4791,68 @@ def user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gini_num").cast("double")
          / (F.col("n_users").cast("double")
             * F.col("total_cents").cast("double"))).alias("gini"))
+
+
+# --------------------------------------------------------------------------
+# E95 — schema evolution: files written under drifting schemas read back
+# as ONE widened table (mergeSchema scan; unionByName at the DataFrame
+# level). Fixture: documents split into an early 2-column batch and a
+# late 5-column batch, written separately.
+# --------------------------------------------------------------------------
+
+def _evolving_fixture(spark: SparkSession, sf_dir: str) -> str:
+    fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
+                       "evolving_docs_v1",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    marker = os.path.join(fix, "_READY")
+    if not os.path.exists(marker):
+        docs = catalog.load_table(spark, sf_dir, "documents")
+        early = docs.filter(F.col("doc_id") % 2 == 0) \
+            .select("doc_id", "text")
+        late = docs.filter(F.col("doc_id") % 2 == 1) \
+            .select("doc_id", "text", "lang", "source", "n_chars")
+        early.write.mode("overwrite").parquet(os.path.join(fix, "b1"))
+        late.write.mode("overwrite").parquet(os.path.join(fix, "b2"))
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return fix
+
+
+@register("parquet_schema_evolution", """
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 2 = 1 THEN lang END    AS lang,
+           CASE WHEN doc_id % 2 = 1 THEN source END  AS source,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+    FROM documents
+""")
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema scan over a lake directory whose early files predate
+    the lang/source/n_chars columns: one widened frame, nulls where a
+    file lacks the column — bit-equal to the oracle's CASE projection of
+    the source table. The glob spans both batches in ONE scan node."""
+    fix = _evolving_fixture(spark, sf_dir)
+    return io.read_parquet_evolving(spark, os.path.join(fix, "b*")) \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register("union_by_name_evolution", """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS schema_version
+    FROM documents
+""")
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-level evolution: two drifted batches union BY NAME
+    (positional union would misalign), missing columns null-filled, with
+    a provenance column recording which schema version each row came
+    from."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    early = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select("doc_id", F.lit(1).cast("long")
+                     .alias("schema_version")))
+    late = (docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", F.lit(2).cast("long")
+                    .alias("schema_version")))
+    return io.union_evolving([early, late]) \
+        .select("doc_id", "lang", "schema_version")

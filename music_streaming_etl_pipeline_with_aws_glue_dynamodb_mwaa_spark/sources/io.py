@@ -161,3 +161,28 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     Spark's JSON writer, which PERMISSIVE reads back as null — lossless
     for the scan contract above)."""
     df.write.mode(mode).json(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across files written under DIFFERENT schema versions
+    (columns added over time): ``mergeSchema`` unions the footers into one
+    widened schema; files lacking a column surface nulls for it.
+
+    Scale note: schema merging reads every file footer at planning time —
+    fine per-partition, expensive across 10⁶ files; production lakes pin
+    the merged schema in a catalog and pass it explicitly (the
+    ``read_parquet`` path). This entry point is for the ingestion edge
+    where drift is still being discovered.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def union_evolving(frames: list[DataFrame]) -> DataFrame:
+    """DataFrame-level schema evolution: union batches whose schemas
+    drifted (later batches added columns) by NAME, null-filling columns a
+    batch lacks — positional union would silently misalign. The widened
+    schema is the union of all inputs'."""
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -173,3 +173,28 @@ def test_jsonl_corrupt_lines_route_to_bad(spark):
     assert any(r["text"] == "hello world" and r["doc_id"] is None
                for r in bad)
     assert all(raw for raw in by_raw)
+
+
+# -- schema evolution -------------------------------------------------------
+
+def test_merge_schema_single_scan_and_null_fill(spark):
+    df = q("parquet_schema_evolution")(spark, SF_SMOKE)
+    plan = _executed(df)
+    assert plan.count("Scan parquet") == 1  # one widened scan, not a union
+    rows = df.collect()
+    early = [r for r in rows if r["doc_id"] % 2 == 0]
+    late = [r for r in rows if r["doc_id"] % 2 == 1]
+    assert early and late
+    assert all(r["lang"] is None and r["n_chars"] is None for r in early)
+    assert all(r["lang"] is not None for r in late)
+
+
+def test_union_by_name_never_positional(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import io as sio
+    a = spark.createDataFrame([(1, "x")], ["id", "s"])
+    b = spark.createDataFrame([("y", 2)], ["s", "id"])  # reversed order
+    out = sio.union_evolving([a, b]).collect()
+    assert {(r["id"], r["s"]) for r in out} == {(1, "x"), (2, "y")}
+    c = spark.createDataFrame([(3,)], ["id"])           # missing column
+    out2 = sio.union_evolving([a, c]).collect()
+    assert {(r["id"], r["s"]) for r in out2} == {(1, "x"), (3, None)}
