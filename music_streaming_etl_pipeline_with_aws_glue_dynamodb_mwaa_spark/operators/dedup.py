@@ -495,20 +495,28 @@ def embedding_near_dup_pairs_blocked(emb: DataFrame, id_col: str, vec_col: str,
     (pairwise vs sequential summation), so this variant registers rows-only;
     exactness vs the expression path is asserted in tests/test_dedup.py.
     """
-    tasks = [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                       F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
                       .cast("int").alias("_blk"))
-    task_df = spark.createDataFrame(tasks, "bi int, bj int")
-    # each row joins every task that references its block, tagged with the
-    # side it plays there (a row in block b is side-a of tasks (b, *) and
-    # side-b of tasks (*, b); the diagonal task gets it once as side-a)
+    # each row must reach every task that references its block, tagged with
+    # the side it plays there (a row in block b is side-a of tasks (b, *)
+    # and side-b of tasks (*, b); the diagonal task gets it once as side-a).
+    # The task list is pre-exploded per participating block so the
+    # replication is a broadcast EQUI-join — the naive formulation
+    # (_blk = bi OR _blk = bj) has no hash strategy and plans as a
+    # BroadcastNestedLoopJoin that scans all k·(k+1)/2 tasks per row.
+    task_rows = []
+    for bi in range(n_blocks):
+        for bj in range(bi, n_blocks):
+            task_rows.append((bi, bi, bj, True))
+            if bi != bj:
+                task_rows.append((bj, bi, bj, False))
+    task_df = spark.createDataFrame(
+        task_rows, "block int, bi int, bj int, _is_a boolean")
     replicated = (
-        base.join(task_df, (F.col("_blk") == F.col("bi"))
-                  | (F.col("_blk") == F.col("bj")))
-        .select("bi", "bj", "_id", "_v",
-                (F.col("_blk") == F.col("bi")).alias("_is_a"))
+        base.join(F.broadcast(task_df), F.col("_blk") == F.col("block"))
+        .select("bi", "bj", "_id", "_v", "_is_a")
     )
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:

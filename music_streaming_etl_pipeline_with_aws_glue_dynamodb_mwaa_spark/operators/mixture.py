@@ -158,3 +158,37 @@ def mixture_schedule(docs: DataFrame,
                 plan.select(group_col, "keep_threshold_32")), group_col)
             .filter(bucket < F.col("keep_threshold_32"))
             .drop("keep_threshold_32"))
+
+
+def temperature_weights(alpha_halves: int = 1) -> F.Column:
+    """Temperature-sampling weight column for ``mixture_allocations``:
+    weight ∝ total_tokens^α with α = (1/2)^alpha_halves — the standard
+    multilingual rebalancing (mT5/XLM-R style: α < 1 upsamples small
+    sources relative to their share).
+
+    α is restricted to 1/2, 1/4, … because those compose from ``sqrt``,
+    which IEEE-754 requires to be correctly rounded — so the weights are
+    bit-identical on any engine, unlike ``pow(x, 0.3)`` (libm-dependent).
+    ``floor`` lands them on exact integers for the BIGINT allocation
+    arithmetic; totals ≥ ~10⁴ tokens keep the quantization under 1%.
+    """
+    if alpha_halves < 1:
+        raise ValueError("alpha_halves >= 1 (use weight=total_tokens for α=1)")
+    c = F.col("total_tokens").cast("double")
+    for _ in range(alpha_halves):
+        c = F.sqrt(c)
+    return F.floor(c).cast("long")
+
+
+def temperature_mixture_plan(docs: DataFrame, *, budget_tokens: int,
+                             alpha_halves: int = 1,
+                             group_col: str = "source",
+                             text_col: str = "text") -> DataFrame:
+    """k-row temperature mixture plan: allocations and sampler thresholds
+    with weight = floor(total_tokens^(1/2^alpha_halves)). Flattening the
+    distribution (α<1) is what keeps low-resource sources represented
+    when the budget is far below the corpus size. Compose with
+    ``mixture_schedule``'s sampler to apply."""
+    return mixture_allocations(docs, temperature_weights(alpha_halves),
+                               budget_tokens=budget_tokens,
+                               group_col=group_col, text_col=text_col)

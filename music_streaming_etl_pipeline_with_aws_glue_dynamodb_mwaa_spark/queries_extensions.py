@@ -4856,3 +4856,37 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("schema_version")))
     return io.union_evolving([early, late]) \
         .select("doc_id", "lang", "schema_version")
+
+
+# --------------------------------------------------------------------------
+# E96 — temperature-scaled mixture plan (mT5/XLM-R α-sampling): weights ∝
+# total_tokens^0.5 via correctly-rounded sqrt → bit-portable integers.
+# --------------------------------------------------------------------------
+
+@register("mixture_plan_temperature", """
+    WITH totals AS (
+        SELECT source,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                    AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+    w AS (SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)))
+                         AS BIGINT) AS weight
+          FROM totals)
+    SELECT source, total_tokens, n_docs, weight,
+           (weight * CAST(20000 AS BIGINT))
+               // nullif(sum(weight) OVER (), 0) AS alloc_tokens,
+           least(CAST(4294967296 AS BIGINT),
+                 (weight * CAST(20000 AS BIGINT) * 4294967296)
+                     // nullif(sum(weight) OVER () * total_tokens, 0))
+               AS keep_threshold_32
+    FROM w
+""")
+def mixture_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture plan at α=0.5: source weights flatten from raw
+    token share toward uniform (small sources upsample), allocations and
+    md5-sampler thresholds in exact BIGINT division. The whole plan is a
+    k-row aggregate; applying it is the shuffle-free map-side sampler."""
+    docs = _docs(spark, sf_dir)
+    return mixture.temperature_mixture_plan(docs, budget_tokens=20000,
+                                            alpha_halves=1)
