@@ -133,3 +133,22 @@ def merge_aggregates(parts: list[DataFrame], keys: list[str],
         out = out.unionByName(p.select(*cols))
     return out.groupBy(*keys).agg(
         *[_MERGE_FNS[fn](c).alias(c) for c, fn in sorted(merge_spec.items())])
+
+
+def incremental_join_refresh(materialized: DataFrame, delta_left: DataFrame,
+                             right: DataFrame, on: str | list[str], *,
+                             how: str = "inner") -> DataFrame:
+    """Incremental maintenance of a stored JOIN view under an insert-only
+    left delta: ``(A ∪ ΔA) ⋈ B  =  M ∪ (ΔA ⋈ B)`` — only the delta joins,
+    the materialized result streams through untouched (delta-join IVM, the
+    insert-only case of classic view-maintenance algebra; updates/deletes
+    compose this with ``apply_changelog``'s rank-1 upsert on the view key).
+
+    Column contract: ``materialized`` must carry exactly the join's output
+    columns (it IS a prior output of this join). Refresh cost is
+    |ΔA| ⋈ B + |M| pass-through — never a rescan of A; with B broadcast
+    (dims) or bucketed (facts), the refresh plan has ZERO shuffles over
+    historical data.
+    """
+    fresh = delta_left.join(right, on, how)
+    return materialized.unionByName(fresh.select(*materialized.columns))

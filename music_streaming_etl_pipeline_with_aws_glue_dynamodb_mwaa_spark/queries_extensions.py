@@ -4890,3 +4890,52 @@ def mixture_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return mixture.temperature_mixture_plan(docs, budget_tokens=20000,
                                             alpha_halves=1)
+
+
+# --------------------------------------------------------------------------
+# E97 — incremental JOIN-view maintenance (delta join): the stored view
+# refreshes from an insert-only delta without rescanning the snapshot.
+# Fixture: the orders⋈customer view for 90% of orders is materialized to
+# parquet ONCE; the registered query joins only the 10% delta and unions.
+# --------------------------------------------------------------------------
+
+def _ivm_fixture(spark: SparkSession, sf_dir: str) -> str:
+    fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
+                       "ivm_orders_cust_v1",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    marker = os.path.join(fix, "_READY")
+    if not os.path.exists(marker):
+        o = catalog.load_table(spark, sf_dir, "orders") \
+            .filter(F.col("o_orderkey") % 10 != 0)
+        c = catalog.load_table(spark, sf_dir, "customer") \
+            .select("c_custkey", "c_name", "c_mktsegment")
+        m = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .select("o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice", "c_name", "c_mktsegment"))
+        m.write.mode("overwrite").parquet(os.path.join(fix, "view"))
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return os.path.join(fix, "view")
+
+
+@register("orders_join_view_refresh", """
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+           c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def orders_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join IVM: the stored 90% view + (10% delta ⋈ broadcast dim),
+    unioned — equals the full join bit-for-bit (the oracle recomputes it
+    whole). The refresh plan's only join input is the delta scan (pushed
+    ``o_orderkey % 10 = 0`` filter); the view parquet streams through
+    join-free."""
+    view = io.read_parquet(spark, _ivm_fixture(spark, sf_dir))
+    delta = (catalog.load_table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderkey") % 10 == 0)
+             .select("o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"))
+    dim = F.broadcast(
+        catalog.load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name",
+                "c_mktsegment"))
+    return merge.incremental_join_refresh(view, delta, dim, "o_custkey")

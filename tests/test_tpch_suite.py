@@ -198,3 +198,21 @@ def test_union_by_name_never_positional(spark):
     c = spark.createDataFrame([(3,)], ["id"])           # missing column
     out2 = sio.union_evolving([a, c]).collect()
     assert {(r["id"], r["s"]) for r in out2} == {(1, "x"), (3, None)}
+
+
+# -- incremental join-view maintenance --------------------------------------
+
+def test_ivm_refresh_only_joins_the_delta(spark):
+    df = q("orders_join_view_refresh")(spark, SF_SMOKE)
+    plan = _executed(df)
+    # exactly ONE join (delta ⋈ dim) — the materialized view unions in
+    # join-free; the delta predicate reaches the orders scan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("SortMergeJoin") == 0
+    assert "o_orderkey" in plan
+    # refresh equals the full recompute (the oracle also pins this)
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
+    o = catalog.load_table(spark, SF_SMOKE, "orders")
+    c = catalog.load_table(spark, SF_SMOKE, "customer")
+    full = o.join(c, o["o_custkey"] == c["c_custkey"])
+    assert df.count() == full.count()
