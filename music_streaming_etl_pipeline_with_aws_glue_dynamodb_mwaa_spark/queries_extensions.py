@@ -4939,3 +4939,57 @@ def orders_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("o_custkey"), "c_name",
                 "c_mktsegment"))
     return merge.incremental_join_refresh(view, delta, dim, "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# E98 — a query that EXECUTES through Structured Streaming and still meets
+# the DuckDB oracle: readStream over the events parquet →
+# Trigger.AvailableNow incremental windowed aggregation → memory sink →
+# the finished table is the returned DataFrame. Same oracle SQL as the
+# batch twin, so batch ≡ stream is certified by the driver gate itself,
+# not just by pytest.
+# --------------------------------------------------------------------------
+
+_STREAMED_WINDOW_SQL = """
+    WITH c AS (SELECT event_type, ts,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    w AS (SELECT event_type, cents,
+                 make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+                     AS win_start
+          FROM c)
+    SELECT win_start, win_start + INTERVAL 6 HOUR AS win_end, event_type,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY 1, 2, 3
+"""
+
+_STREAM_RUN_SEQ = [0]
+
+
+@register("events_windowed_counts_streamed", _STREAMED_WINDOW_SQL)
+def events_windowed_counts_streamed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The 6-hour tumbling aggregate run INCREMENTALLY: file-stream source
+    over the same parquet, stateful windowed agg, complete-mode memory
+    sink drained with AvailableNow. Complete mode emits every window's
+    final state, and all files arrive before the watermark advances, so
+    the result equals the batch plan bit-for-bit — which the shared
+    oracle SQL then verifies. State held during the run: one row per
+    (window, event_type), independent of input volume."""
+    import os as _os
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    # the file-stream source needs a DIRECTORY base path; select the one
+    # table file out of sf_dir with a glob filter
+    raw = (spark.readStream.schema(sch)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed.windowed_event_counts(raw)
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"_ewc_streamed_{_STREAM_RUN_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
