@@ -4993,3 +4993,54 @@ def events_windowed_counts_streamed(spark: SparkSession,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# E98b — driver-certified STREAM-STREAM join: the same interval-join
+# function executed as a watermarked stream×stream inner join (append
+# mode, AvailableNow) against the batch twin's oracle SQL.
+# --------------------------------------------------------------------------
+
+@register("purchase_click_interval_streamed", """
+    WITH p AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, ts, user_id FROM events
+          WHERE event_type = 'click')
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           c.event_id AS r_event_id, c.ts AS r_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+""")
+def purchase_click_interval_streamed(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """purchase_click_interval executed as a genuine stream-stream join:
+    both sides are watermarked file streams, inner matches emit eagerly
+    (append mode), watermarks bound the join state; AvailableNow drains
+    the source so the emitted set is complete — and hash-matches the
+    batch oracle. joins.time_interval_join routes to the raw range
+    predicate Structured Streaming derives its state retention from."""
+    import os as _os
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sch = spark.read.parquet(
+        _os.path.join(sf_dir, "events.parquet")).schema
+
+    def stream():
+        raw = (spark.readStream.schema(sch)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
+
+    purchases = (stream().filter(F.col("event_type") == "purchase")
+                 .select("event_id", "ts", "user_id", "value"))
+    clicks = (stream().filter(F.col("event_type") == "click")
+              .select("event_id", "ts", "user_id"))
+    out = joins.time_interval_join(purchases, clicks, "user_id",
+                                   lower_seconds=3600, upper_seconds=0)
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"_pci_streamed_{_STREAM_RUN_SEQ[0]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
