@@ -54,3 +54,30 @@ def get_spark(app_name: str = "music-streaming-engine", *, cpus: int | None = No
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def enable_runtime_bloom_filters(spark, *,
+                                 application_side_min_scan: str = "10GB",
+                                 creation_side_max: str = "10MB") -> None:
+    """Turn on Spark's runtime bloom-filter join pruning: for a shuffle
+    join with a selective filter on one side, the optimizer injects
+    ``bloom_filter_agg`` over that side's join keys and pushes
+    ``might_contain`` into the OTHER side's scan — rows that cannot match
+    are dropped before the shuffle (semi-join reduction without writing
+    one).
+
+    Thresholds gate when it pays: the application side must be big enough
+    to be worth pre-filtering (``application_side_min_scan``) and the
+    creation side small enough that building the filter is cheap
+    (``creation_side_max``). Defaults here are production-shaped; tests
+    lower the scan threshold to force injection at toy scale
+    (tests/test_tpch_suite.py pins the mechanism works on this Spark).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                   "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_max)
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold", application_side_min_scan)

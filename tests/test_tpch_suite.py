@@ -216,3 +216,52 @@ def test_ivm_refresh_only_joins_the_delta(spark):
     c = catalog.load_table(spark, SF_SMOKE, "customer")
     full = o.join(c, o["o_custkey"] == c["c_custkey"])
     assert df.count() == full.count()
+
+
+# -- scan-level pruning mechanisms ------------------------------------------
+
+def test_partitioned_sink_prunes_partitions_on_read(spark, tmp_path):
+    """The engine's own partitioned sink (S8) must yield reads that touch
+    ONLY the filtered partition: PartitionFilters on the scan, one path
+    of five."""
+    from pyspark.sql import functions as F
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import io as sio
+    df = spark.range(100).withColumn(
+        "listen_date", F.concat(F.lit("2024-01-0"),
+                                (F.col("id") % 5 + 1).cast("string")))
+    sio.write_parquet(df, str(tmp_path / "lake"),
+                      partition_by=["listen_date"])
+    rd = spark.read.parquet(str(tmp_path / "lake")) \
+        .filter(F.col("listen_date") == "2024-01-03")
+    plan = _executed(rd)
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters" in scan_line
+    assert "listen_date" in scan_line.split("PartitionFilters")[1]
+    assert rd.count() == 20
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
+    """session.enable_runtime_bloom_filters: a selective dim filter must
+    materialize as bloom_filter_agg + might_contain pushed into the fact
+    side of a shuffle join."""
+    from pyspark.sql import functions as F
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import session as S
+    big = spark.range(100_000).withColumn("k", F.col("id") % 1000)
+    small = spark.range(1000).withColumn("k", F.col("id"))
+    big.write.mode("overwrite").parquet(str(tmp_path / "big"))
+    small.write.mode("overwrite").parquet(str(tmp_path / "small"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        S.enable_runtime_bloom_filters(spark,
+                                       application_side_min_scan="0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        b = spark.read.parquet(str(tmp_path / "big"))
+        s = spark.read.parquet(str(tmp_path / "small")) \
+            .filter(F.col("id") < 20)
+        plan = _executed(b.join(s, "k"))
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
