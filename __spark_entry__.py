@@ -52,7 +52,10 @@ _PRIORITY = [
     "csv_scan_roundtrip", "csv_scan_corrupt_routing", "scan_project_filter",
     "events_daily_agg", "lineitem_agg_salted",
     "events_unique_users_skew_robust", "events_props_extract",
-    "daily_genre_kpis_approx",
+    # streaming execution certified by the gate (rotated in for
+    # daily_genre_kpis_approx, whose family stays covered by the full
+    # oracle run and the exact twin at position 1)
+    "events_windowed_counts_streamed",
     # projections/oracles fixed in round 3 — need fresh driver rows
     "media_resize_stamped", "media_feature_extract",
     "embedding_quantize_int8", "pack_documents_512", "packing_stats_512",

@@ -79,8 +79,10 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "doc_quality_classifier", "neardup_containment_pairs",
         "events_session_windows", "cluster_aware_split",
         "tpch_q18_large_orders",
-        # round-3 continuation: new source format + retrieval fusion
+        # round-3 continuation: new source format + retrieval fusion +
+        # gate-certified streaming execution
         "jsonl_scan_roundtrip", "hybrid_rrf_topk",
+        "events_windowed_counts_streamed",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 
