@@ -372,8 +372,13 @@ def resize_images_real(media: DataFrame, *, width: int,
             payloads, ws, hs = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 data = bytes(payload) if payload is not None else b""
-                if kind == "image" and data[:2] == b"BM":
-                    px = resize_nearest(bmp_decode(data), width, height)
+                try:
+                    decodable = kind == "image" and data[:2] == b"BM"
+                    px = (resize_nearest(bmp_decode(data), width, height)
+                          if decodable else None)
+                except Exception:  # noqa: BLE001 — truncated/corrupt BMP:
+                    px = None      # pass the payload through, null dims
+                if px is not None:
                     payloads.append(bmp_encode(px))
                     ws.append(width)
                     hs.append(height)
@@ -395,7 +400,12 @@ def extract_media_features_real(media: DataFrame) -> DataFrame:
     """REAL feature extraction over decodable payloads: images → per-channel
     mean/std + dims; audio → mean/std/rms/peak + duration. 8-dim vector
     (zero-padded), same schema as the fake path so downstream similarity
-    search is source-agnostic."""
+    search is source-agnostic.
+
+    Bad-row routing (same posture as the CSV/JSONL sources — one corrupt
+    payload must never kill a 100 TB job): an undecodable/truncated/
+    unsupported payload yields a NULL feature instead of raising;
+    downstream filters on ``feature IS NULL`` to quarantine."""
     import hashlib
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -403,9 +413,16 @@ def extract_media_features_real(media: DataFrame) -> DataFrame:
             feats = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 data = bytes(payload) if payload is not None else b""
-                decoded = decode_media(data, kind)
+                try:
+                    decoded = decode_media(data, kind)
+                except Exception:  # noqa: BLE001 — route, don't raise
+                    feats.append(None)
+                    continue
                 if isinstance(decoded, tuple):          # audio
                     smp, rate = decoded
+                    if len(smp) == 0:                   # no stats on empty
+                        feats.append(None)
+                        continue
                     x = smp.astype(np.float64) / 32768.0
                     v = [float(x.mean()), float(x.std()),
                          float(np.sqrt((x * x).mean())),

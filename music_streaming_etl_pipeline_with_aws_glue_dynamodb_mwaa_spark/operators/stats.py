@@ -361,8 +361,11 @@ def sliding_distinct_count(df: DataFrame, entity_col: str, ts_col: str, *,
     act = (df.select(F.col(entity_col).alias("_e"),
                      F.datediff(F.to_date(ts_col), epoch).alias("_d"))
            .distinct())
-    bounds = df.agg(
-        F.datediff(F.max(F.to_date(ts_col)), epoch).alias("_mx"))
+    # the bound comes from the DEDUPED frame (max active day ≡ max event
+    # day) — persisting act keeps this a single fact-sized pass: the
+    # 1-row bound and the explode both read the collapsed table
+    act.persist()
+    bounds = act.agg(F.max("_d").alias("_mx"))
     slots = act.select(
         "_e", F.explode(F.sequence(
             F.col("_d"), F.col("_d") + F.lit(window_days - 1))).alias("_s"))

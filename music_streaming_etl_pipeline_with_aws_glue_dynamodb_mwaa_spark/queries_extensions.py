@@ -4594,12 +4594,22 @@ _JSONL_BAD_LINES = [
 ]
 
 
-def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+def _fixture_dir(sf_dir: str, name: str, build) -> str:
+    """Idempotent per-(fixture, sf) scratch dir: ``build(fix)`` runs once,
+    gated by a ``_READY`` marker written last (a crashed build without the
+    marker rebuilds on the next call)."""
     fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
-                       "jsonl_docs_v1",
-                       os.path.basename(os.path.normpath(sf_dir)))
+                       name, os.path.basename(os.path.normpath(sf_dir)))
     marker = os.path.join(fix, "_READY")
     if not os.path.exists(marker):
+        build(fix)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return fix
+
+
+def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    def build(fix: str) -> None:
         docs = catalog.load_table(spark, sf_dir, "documents")
         io.write_jsonl(
             docs.select(*[f.name for f in _JSONL_DOCS_SCHEMA.fields]),
@@ -4607,9 +4617,9 @@ def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(os.path.join(fix, "bad"), exist_ok=True)
         with open(os.path.join(fix, "bad", "planted.jsonl"), "w") as fh:
             fh.writelines(ln + "\n" for ln in _JSONL_BAD_LINES)
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
-    return os.path.join(fix, "*", "*")
+
+    return os.path.join(_fixture_dir(sf_dir, "jsonl_docs_v1", build),
+                        "*", "*")
 
 
 @register("jsonl_scan_roundtrip", """
@@ -4801,11 +4811,7 @@ def user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _evolving_fixture(spark: SparkSession, sf_dir: str) -> str:
-    fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
-                       "evolving_docs_v1",
-                       os.path.basename(os.path.normpath(sf_dir)))
-    marker = os.path.join(fix, "_READY")
-    if not os.path.exists(marker):
+    def build(fix: str) -> None:
         docs = catalog.load_table(spark, sf_dir, "documents")
         early = docs.filter(F.col("doc_id") % 2 == 0) \
             .select("doc_id", "text")
@@ -4813,9 +4819,8 @@ def _evolving_fixture(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id", "text", "lang", "source", "n_chars")
         early.write.mode("overwrite").parquet(os.path.join(fix, "b1"))
         late.write.mode("overwrite").parquet(os.path.join(fix, "b2"))
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
-    return fix
+
+    return _fixture_dir(sf_dir, "evolving_docs_v1", build)
 
 
 @register("parquet_schema_evolution", """
@@ -4900,11 +4905,7 @@ def mixture_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _ivm_fixture(spark: SparkSession, sf_dir: str) -> str:
-    fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
-                       "ivm_orders_cust_v1",
-                       os.path.basename(os.path.normpath(sf_dir)))
-    marker = os.path.join(fix, "_READY")
-    if not os.path.exists(marker):
+    def build(fix: str) -> None:
         o = catalog.load_table(spark, sf_dir, "orders") \
             .filter(F.col("o_orderkey") % 10 != 0)
         c = catalog.load_table(spark, sf_dir, "customer") \
@@ -4913,9 +4914,9 @@ def _ivm_fixture(spark: SparkSession, sf_dir: str) -> str:
              .select("o_orderkey", "o_custkey", "o_orderdate",
                      "o_totalprice", "c_name", "c_mktsegment"))
         m.write.mode("overwrite").parquet(os.path.join(fix, "view"))
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
-    return os.path.join(fix, "view")
+
+    return os.path.join(
+        _fixture_dir(sf_dir, "ivm_orders_cust_v1", build), "view")
 
 
 @register("orders_join_view_refresh", """
@@ -4966,6 +4967,38 @@ _STREAMED_WINDOW_SQL = """
 _STREAM_RUN_SEQ = [0]
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of catalog.load_table(…, 'events'): file-stream
+    source over the same parquet with the SAME version-dependent ts
+    normalization (4.x native timestamp_ntz → reinterpret as UTC
+    instants; 3.x nanosAsLong bigint → µs truncation)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    # the file-stream source needs a DIRECTORY base path; select the one
+    # table file out of sf_dir with a glob filter
+    raw = (spark.readStream.schema(sch)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ts_dtype = dict(raw.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def _drain_to_memory(stream_df: DataFrame, prefix: str,
+                     output_mode: str) -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) through a
+    memory sink and return the finished table."""
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"_{prefix}_{_STREAM_RUN_SEQ[0]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
 @register("events_windowed_counts_streamed", _STREAMED_WINDOW_SQL)
 def events_windowed_counts_streamed(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
@@ -4976,23 +5009,8 @@ def events_windowed_counts_streamed(spark: SparkSession,
     the result equals the batch plan bit-for-bit — which the shared
     oracle SQL then verifies. State held during the run: one row per
     (window, event_type), independent of input volume."""
-    import os as _os
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = _os.path.join(sf_dir, "events.parquet")
-    sch = spark.read.parquet(path).schema
-    # the file-stream source needs a DIRECTORY base path; select the one
-    # table file out of sf_dir with a glob filter
-    raw = (spark.readStream.schema(sch)
-           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = windowed.windowed_event_counts(raw)
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"_ewc_streamed_{_STREAM_RUN_SEQ[0]}"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    agg = windowed.windowed_event_counts(_events_stream(spark, sf_dir))
+    return _drain_to_memory(agg, "ewc_streamed", "complete")
 
 
 # --------------------------------------------------------------------------
@@ -5018,29 +5036,16 @@ def purchase_click_interval_streamed(spark: SparkSession,
     both sides are watermarked file streams, inner matches emit eagerly
     (append mode), watermarks bound the join state; AvailableNow drains
     the source so the emitted set is complete — and hash-matches the
-    batch oracle. joins.time_interval_join routes to the raw range
-    predicate Structured Streaming derives its state retention from."""
-    import os as _os
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    sch = spark.read.parquet(
-        _os.path.join(sf_dir, "events.parquet")).schema
-
-    def stream():
-        raw = (spark.readStream.schema(sch)
-               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-        if dict(raw.dtypes).get("ts") == "timestamp_ntz":
-            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-        return raw
-
-    purchases = (stream().filter(F.col("event_type") == "purchase")
+    batch oracle. joins.time_interval_join expresses the bound as
+    TIMESTAMP ± INTERVAL so Structured Streaming derives state-value
+    watermarks from it and evicts out-of-range rows on a continuous
+    stream."""
+    purchases = (_events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
                  .select("event_id", "ts", "user_id", "value"))
-    clicks = (stream().filter(F.col("event_type") == "click")
+    clicks = (_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
               .select("event_id", "ts", "user_id"))
     out = joins.time_interval_join(purchases, clicks, "user_id",
                                    lower_seconds=3600, upper_seconds=0)
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"_pci_streamed_{_STREAM_RUN_SEQ[0]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(out, "pci_streamed", "append")

@@ -47,12 +47,18 @@ def time_interval_join(left: DataFrame, right: DataFrame, key: str, *,
                         *[F.col(c).alias(f"{right_prefix}{c}")
                           for c in right.columns if c != key])
         rts = f"{right_prefix}{right_ts}"
+        # the time bound is expressed as TIMESTAMP ± INTERVAL, not
+        # unix_micros arithmetic: StreamingJoinHelper can only derive the
+        # state-value watermarks (which rows are safe to evict from each
+        # side's join state) from a direct timestamp-column comparison —
+        # an epoch-integer formulation joins correctly but RETAINS ALL
+        # STATE forever on a continuous stream
         cond = (
             (l[key] == rsel[key])
-            & (F.unix_micros(rsel[rts])
-               >= F.unix_micros(l[left_ts]) - F.lit(lo_us))
-            & (F.unix_micros(rsel[rts])
-               <= F.unix_micros(l[left_ts]) + F.lit(hi_us)))
+            & (rsel[rts]
+               >= l[left_ts] - F.expr(f"INTERVAL {lo_us} MICROSECOND"))
+            & (rsel[rts]
+               <= l[left_ts] + F.expr(f"INTERVAL {hi_us} MICROSECOND")))
         return (l.join(rsel, cond)
                 .drop(rsel[key]))
 

@@ -5,6 +5,8 @@ the oracle can't see."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import queries_reference as qr
@@ -28,9 +30,9 @@ def test_q5_region_dim_broadcast_no_cartesian(spark):
     plan = _executed(q("tpch_q5_local_supplier_volume")(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # year filter reaches the orders scan
-    assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or \
-        plan.count("PushedFilters: [") >= 2
+    # year filter reaches the orders scan as a pushed (non-empty) filter
+    assert re.search(
+        r"PushedFilters: \[[^\]]*o_orderdate", plan)
 
 
 def test_q6_scan_only_no_join_no_shuffle_agg_input(spark):
@@ -46,8 +48,7 @@ def test_q7_nation_pair_prefilters_before_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     # the 2-nation universe filter reaches the nation scan, not post-join
-    assert "n_name" in plan.split("PushedFilters")[-1][:200] or \
-        "In(n_name" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*n_name", plan)
 
 
 def test_q8_share_single_agg_pass(spark):
@@ -64,10 +65,19 @@ def test_q8_share_single_agg_pass(spark):
 def test_q13_left_join_survives_zero_order_customers(spark):
     df = q("tpch_q13_customer_order_counts")(spark, SF_SMOKE)
     dist = {r["c_count"]: r["custdist"] for r in df.collect()}
-    # the testdata at smoke scale has customers with no orders at all —
-    # they must appear in the 0 bucket (outer-join-count trap)
-    assert sum(dist.values()) > 0
-    assert all(c >= 0 for c in dist)
+    # LEFT-join semantics: every customer appears in exactly one bucket
+    # (an inner join would drop customers with no qualifying orders), and
+    # the 0 bucket holds exactly the customers with none — computed from
+    # the data so the assertion binds at any scale factor
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
+    c = catalog.load_table(spark, SF_SMOKE, "customer")
+    o = catalog.load_table(spark, SF_SMOKE, "orders") \
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+    n_cust = c.count()
+    n_with = c.join(o, c["c_custkey"] == o["o_custkey"],
+                    "left_semi").count()
+    assert sum(dist.values()) == n_cust
+    assert dist.get(0, 0) == n_cust - n_with
 
 
 def test_q15_revenue_view_evaluates_once(spark):
@@ -90,11 +100,12 @@ def test_q17_decorrelated_no_rescan_per_row(spark):
 
 def test_q19_disjunction_derives_single_side_pushdowns(spark):
     plan = _executed(q("tpch_q19_discounted_revenue")(spark, SF_SMOKE))
-    # the quantity envelope [1,30] reaches the lineitem scan even though
-    # the full predicate is an OR across tables
-    assert "l_quantity" in plan
-    assert "GreaterThanOrEqual(l_quantity,1" in plan or \
-        "PushedFilters: [" in plan
+    # the quantity envelope [1,30] reaches the lineitem scan as a pushed
+    # filter even though the full predicate is an OR across tables
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity,1", plan)
+    assert re.search(
+        r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_quantity,3", plan)
     assert "CartesianProduct" not in plan
 
 
