@@ -5049,3 +5049,36 @@ def purchase_click_interval_streamed(spark: SparkSession,
     out = joins.time_interval_join(purchases, clicks, "user_id",
                                    lower_seconds=3600, upper_seconds=0)
     return _drain_to_memory(out, "pci_streamed", "append")
+
+
+# --------------------------------------------------------------------------
+# E99 — versioned snapshots + time travel on plain parquet (atomic
+# manifest swap; Delta/Iceberg access pattern without the format).
+# Fixture: v1 = pre-1998 orders, v2 = all orders, committed in order.
+# --------------------------------------------------------------------------
+
+def _versioned_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from .sources import versioned as V
+
+    def build(fix: str) -> None:
+        root = os.path.join(fix, "orders_tbl")
+        o = catalog.load_table(spark, sf_dir, "orders")
+        V.write_snapshot(o.filter(F.col("o_orderdate") < "1998-01-01"),
+                         root)
+        V.write_snapshot(o, root)
+
+    return os.path.join(
+        _fixture_dir(sf_dir, "versioned_orders_v1", build), "orders_tbl")
+
+
+@register("orders_time_travel_v1", """
+    SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+""")
+def orders_time_travel_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reading version 1 of the twice-committed snapshot
+    table returns the pre-1998 state bit-for-bit even though version 2
+    (the full table) is latest — version resolution goes through the
+    atomically-swapped manifest, never directory listing."""
+    from .sources import versioned as V
+    return V.read_snapshot(spark, _versioned_fixture(spark, sf_dir),
+                           version=1)

@@ -1,0 +1,116 @@
+"""Versioned table layout: snapshot writes + time-travel reads + retention,
+on plain parquet — the Delta/Iceberg access pattern without a table format
+dependency.
+
+Layout::
+
+    <root>/v=<N>/part-*.parquet     one immutable directory per version
+    <root>/_manifest.json           {"versions": [N, ...], "latest": N}
+
+Write protocol (crash-safe without a transaction log): the snapshot
+directory writes COMPLETELY first, then the manifest swaps in atomically
+(os.replace of a temp file). Readers resolve versions only through the
+manifest, so a half-written snapshot directory is invisible — the same
+"commit = atomic pointer swap" idea Delta's _delta_log/ serves, reduced to
+one JSON pointer because versions here are whole snapshots, not file
+deltas.
+
+Scale notes: each version is an independent parquet directory → reads are
+ordinary pruned columnar scans; storage is O(snapshot) per version (this
+is the SNAPSHOT pattern — for high-frequency small changes, compose with
+operators/cdc.apply_changelog to materialize a new version from a
+changelog instead of rewriting unchanged data upstream); ``vacuum`` drops
+versions beyond a retention count, never the latest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_manifest.json"
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, _MANIFEST)
+
+
+def _read_manifest(root: str) -> dict:
+    p = _manifest_path(root)
+    if not os.path.exists(p):
+        return {"versions": [], "latest": None}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _swap_manifest(root: str, manifest: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._manifest_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(root))   # atomic on POSIX
+
+
+def write_snapshot(df: DataFrame, root: str) -> int:
+    """Write ``df`` as the next version; returns the new version number.
+
+    The data lands fully before the manifest advances — a crash mid-write
+    leaves an orphan directory that readers never see (and vacuum sweeps).
+    """
+    os.makedirs(root, exist_ok=True)
+    m = _read_manifest(root)
+    version = (m["latest"] or 0) + 1
+    df.write.mode("overwrite").parquet(os.path.join(root, f"v={version}"))
+    m["versions"] = sorted(set(m["versions"]) | {version})
+    m["latest"] = version
+    _swap_manifest(root, m)
+    return version
+
+
+def read_snapshot(spark: SparkSession, root: str, *,
+                  version: int | None = None) -> DataFrame:
+    """Time travel: the table as of ``version`` (default: latest). A
+    requested version must exist in the manifest — orphan or vacuumed
+    directories are not readable state."""
+    m = _read_manifest(root)
+    if m["latest"] is None:
+        raise ValueError(f"no committed versions under {root}")
+    v = m["latest"] if version is None else version
+    if v not in m["versions"]:
+        raise ValueError(f"version {v} not in manifest "
+                         f"(have {m['versions']})")
+    return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
+def versions(root: str) -> list[int]:
+    return list(_read_manifest(root)["versions"])
+
+
+def vacuum(root: str, *, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions (manifest first —
+    a reader holding an old manifest in memory may still race the
+    directory delete, the documented retention trade every lake format
+    shares) plus any orphan ``v=`` directories no manifest references.
+    Returns the removed version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last >= 1 (never vacuum the latest)")
+    m = _read_manifest(root)
+    keep = set(sorted(m["versions"])[-keep_last:])
+    drop = [v for v in m["versions"] if v not in keep]
+    m["versions"] = sorted(keep)
+    _swap_manifest(root, m)
+    for v in drop:
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+    for entry in os.listdir(root):           # orphans from crashed writes
+        if entry.startswith("v="):
+            try:
+                n = int(entry[2:])
+            except ValueError:
+                continue
+            if n not in keep and n not in m["versions"]:
+                shutil.rmtree(os.path.join(root, entry),
+                              ignore_errors=True)
+    return drop
