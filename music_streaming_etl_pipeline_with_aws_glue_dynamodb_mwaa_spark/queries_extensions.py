@@ -5082,3 +5082,138 @@ def orders_time_travel_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import versioned as V
     return V.read_snapshot(spark, _versioned_fixture(spark, sf_dir),
                            version=1)
+
+
+# --------------------------------------------------------------------------
+# E100 — split-leakage audit: count near-dup pairs straddling train/test
+# under (a) the naive per-doc hash split and (b) the cluster-keyed
+# leakage-safe split. The safe scheme's cross-split count is ZERO by
+# construction — and this query makes the driver gate prove it.
+# --------------------------------------------------------------------------
+
+_BUCKET_SQL = ("(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+               " % 100)")
+
+
+@register("split_leakage_audit", f"""
+    WITH RECURSIVE {_JACCARD_CLUSTER_CTES},
+    naive AS (SELECT doc_id,
+                     CASE WHEN {_BUCKET_SQL.format(key='doc_id')} < 90
+                          THEN 'train'
+                          WHEN {_BUCKET_SQL.format(key='doc_id')} < 95
+                          THEN 'val' ELSE 'test' END AS split
+              FROM documents),
+    safe AS (SELECT c.doc_id,
+                    CASE WHEN {_BUCKET_SQL.format(key='c.component')} < 90
+                         THEN 'train'
+                         WHEN {_BUCKET_SQL.format(key='c.component')} < 95
+                         THEN 'val' ELSE 'test' END AS split
+             FROM comp c),
+    audit AS (
+      SELECT 'naive' AS scheme,
+             CAST(count(*) AS BIGINT) AS total_pairs,
+             CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cross_split_pairs
+      FROM jpairs p JOIN naive a ON p.doc_a = a.doc_id
+                    JOIN naive b ON p.doc_b = b.doc_id
+      UNION ALL
+      SELECT 'cluster_safe',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM jpairs p JOIN safe a ON p.doc_a = a.doc_id
+                    JOIN safe b ON p.doc_b = b.doc_id)
+    SELECT * FROM audit
+""")
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit: of the exact 0.8-jaccard near-dup pairs,
+    how many straddle split boundaries under each scheme. The naive
+    per-doc split leaks (near-copies of test docs land in train); the
+    cluster-keyed split reports 0 cross-split pairs — a structural
+    guarantee (both pair endpoints share a component, components key the
+    bucketing), here verified by the oracle rather than asserted."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.8)
+    pairs.persist()
+    assigns = cluster.cluster_assignments(docs, pairs, "doc_id")
+    naive = sampling.hash_split(docs.select("doc_id"), "doc_id",
+                                train_pct=90, val_pct=5)
+    safe = sampling.leakage_safe_split(docs.select("doc_id"), assigns,
+                                       "doc_id", train_pct=90, val_pct=5)
+
+    def audit(split_df: DataFrame, scheme: str) -> DataFrame:
+        a = split_df.select(F.col("doc_id").alias("doc_a"),
+                            F.col("split").alias("_sa"))
+        b = split_df.select(F.col("doc_id").alias("doc_b"),
+                            F.col("split").alias("_sb"))
+        return (pairs.join(a, "doc_a").join(b, "doc_b")
+                .agg(F.lit(scheme).alias("scheme"),
+                     F.count(F.lit(1)).alias("total_pairs"),
+                     F.sum(F.when(F.col("_sa") != F.col("_sb"), 1)
+                           .otherwise(0)).alias("cross_split_pairs"))
+                .select("scheme", "total_pairs", "cross_split_pairs"))
+
+    return audit(naive, "naive").unionByName(
+        audit(safe, "cluster_safe"))
+
+
+# --------------------------------------------------------------------------
+# E101 — corpus data card: per-source report composing token accounting,
+# quality-gate pass rate, exact-dup rate, and language spread in ONE
+# fact pass + one k-row agg. The "datasheet" every curated corpus ships
+# with, as a driver-checked query.
+# --------------------------------------------------------------------------
+
+@register("corpus_data_card", """
+    WITH per_doc AS (
+      SELECT source, lang, md5(text) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 10000
+                   AND CAST(list_aggregate(list_transform(
+                           string_split(text, ' '), t -> length(t)),
+                           'sum') AS DOUBLE)
+                       / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+                   AND len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['the','a','an','and','or','of',
+                            'to','in','is','it','that','for','on','with',
+                            'as','at','by','this'], t))) > 0
+                  THEN 1 ELSE 0 END AS q
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)            AS total_tokens,
+           CAST(sum(q) AS BIGINT)                   AS n_quality_pass,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dupes,
+           CAST(count(DISTINCT lang) AS BIGINT)     AS n_langs,
+           CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_rate,
+           CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)           AS dup_rate
+    FROM per_doc GROUP BY source
+""")
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet: docs, tokens, quality-gate pass count
+    (operators/text.quality_score signals), exact-dup count (rows beyond
+    the first per md5 fingerprint), language spread — exact integers plus
+    two single divisions, one scan, one source-keyed agg."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs, "doc_id", "text") \
+        .select("doc_id", F.col("keep").cast("int").alias("_q"),
+                F.col("n_tokens").cast("long").alias("_nt"))
+    per_doc = (docs.select("doc_id", "source", "lang",
+                           F.md5("text").alias("_fp"))
+               .join(q, "doc_id"))
+    agg = (per_doc.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_nt").alias("total_tokens"),
+                F.sum("_q").alias("n_quality_pass"),
+                (F.count(F.lit(1)) - F.countDistinct("_fp"))
+                .alias("n_exact_dupes"),
+                F.countDistinct("lang").alias("n_langs")))
+    return agg.select(
+        "source", "n_docs", "total_tokens", "n_quality_pass",
+        "n_exact_dupes", "n_langs",
+        (F.col("n_quality_pass").cast("double")
+         / F.col("n_docs").cast("double")).alias("pass_rate"),
+        (F.col("n_exact_dupes").cast("double")
+         / F.col("n_docs").cast("double")).alias("dup_rate"))
