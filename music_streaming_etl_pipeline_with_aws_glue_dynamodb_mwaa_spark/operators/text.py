@@ -273,3 +273,61 @@ def remove_common_segments(docs: DataFrame, id_col: str, text_col: str, *,
         kept_text.alias("clean_text"),
         F.count(F.when(F.col("_drop").isNull(), 1)).alias("n_segs_kept"),
         F.count(F.when(F.col("_drop").isNotNull(), 1)).alias("n_segs_dropped")))
+
+
+def remove_duplicate_spans(docs: DataFrame, id_col: str, text_col: str, *,
+                           k: int = 6, max_docfreq: int = 1) -> DataFrame:
+    """Exact duplicated-SPAN removal at overlapping k-gram granularity
+    (the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" family): any token whose position is covered by a
+    k-gram appearing in more than ``max_docfreq`` distinct documents is
+    cut; the survivors re-join in order.
+
+    Distinct from ``remove_common_segments`` (fixed non-overlapping
+    segments): overlapping k-grams catch duplicated passages at ANY
+    alignment, at the cost of a k× position stream. Returns
+    (doc_id, clean_text, n_tokens_kept, n_tokens_removed).
+
+    Spark-first shape: positions explode narrowly; docfreq is ONE hash
+    agg on the md5 of the gram (16-byte keys, never text); the
+    over-frequent gram set broadcasts back (duplicated grams collapse
+    under distinct — tiny by definition); covered-position spans merge
+    IN-ROW with a sorted higher-order fold, so re-assembly is one
+    doc-keyed agg. No position self-joins anywhere.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # occurrence-preserving k-gram stream with start positions (0-based)
+    # Spark's sequence(0, -1) counts DOWN; short docs must yield an empty
+    # start list, not a phantom [-1] position
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col), F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.concat_ws(
+                    " ", F.slice(toks, s + 1, k)))).alias("_pos", "_g"))
+    grams = grams.withColumn("_h", F.md5("_g")).drop("_g")
+    common = (grams.select("_h", id_col).groupBy("_h")
+              .agg(F.countDistinct(id_col).alias("_df"))
+              .where(F.col("_df") > max_docfreq)
+              .select("_h"))
+    hits = (grams.join(F.broadcast(common), "_h", "left_semi")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_set("_pos")).alias("_starts")))
+    base = docs.select(id_col, toks.alias("_toks"))
+    joined = base.join(hits, id_col, "left")
+    # covered[i] = ∃ start s with s ≤ i < s+k — evaluated per token via
+    # EXISTS over the (sorted, deduped, in-row) start list
+    covered = lambda i: F.exists(          # noqa: E731 — local expression
+        F.coalesce(F.col("_starts"), F.array()),
+        lambda s: (s <= i) & (i < s + k))
+    idx = F.sequence(F.lit(0), F.size("_toks") - 1)
+    kept = F.filter(idx, lambda i: ~covered(i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(
+            kept, lambda i: F.element_at("_toks", i + 1))).alias("clean_text"),
+        F.size(kept).alias("n_tokens_kept"),
+        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"))

@@ -5217,3 +5217,47 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.col("n_docs").cast("double")).alias("pass_rate"),
         (F.col("n_exact_dupes").cast("double")
          / F.col("n_docs").cast("double")).alias("dup_rate"))
+
+
+# --------------------------------------------------------------------------
+# E102 — exact duplicated-span removal (overlapping k-gram coverage, Lee
+# et al. 2022 family): tokens covered by any cross-document duplicated
+# 6-gram are cut at every alignment.
+# --------------------------------------------------------------------------
+
+@register("docs_remove_dup_spans", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p FROM t),
+    g AS (SELECT doc_id, p AS s,
+                 array_to_string(list_slice(tk, p, p + 5), ' ') AS gram
+          FROM pos WHERE p + 5 <= len(tk)),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS d FROM g GROUP BY 1),
+    dup AS (SELECT g.doc_id, g.s FROM g JOIN df USING (gram)
+            WHERE df.d > 1),
+    cov AS (SELECT DISTINCT doc_id, s + i AS p
+            FROM dup, LATERAL (SELECT unnest(range(0, 6)) AS i) u),
+    kept AS (SELECT pos.doc_id, pos.p, pos.tk[pos.p] AS tok
+             FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id
+                                   AND pos.p = cov.p
+             WHERE cov.p IS NULL),
+    res AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT)  AS n_tokens_kept,
+           CAST(len(t.tk) - coalesce(r.n_kept, 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM t LEFT JOIN res r USING (doc_id)
+""")
+def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated passages cut at ANY alignment: positions covered by a
+    cross-document 6-gram (docfreq > 1) drop; survivors re-join in
+    order. Overlapping grams make this strictly stronger than the
+    fixed-segment boilerplate cut (docs_clean_boilerplate); python-
+    reference parity in tests/test_span_dedup.py."""
+    docs = _docs(spark, sf_dir)
+    out = text.remove_duplicate_spans(docs, "doc_id", "text",
+                                      k=6, max_docfreq=1)
+    return out.select("doc_id", "clean_text",
+                      F.col("n_tokens_kept").cast("long"),
+                      F.col("n_tokens_removed").cast("long"))
