@@ -5261,3 +5261,51 @@ def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clean_text",
                       F.col("n_tokens_kept").cast("long"),
                       F.col("n_tokens_removed").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# E103 — driver-certified custom connector: the Python Data Source
+# (spark.read.format("kvstore")) READ path feeding the oracle gate.
+# Fixture: the genre-KPI items load ONCE into the sqlite KV store through
+# the connector's write path; the query reads them back through its
+# partitioned read path.
+# --------------------------------------------------------------------------
+
+from .queries_reference import REGISTRY as _REG
+
+
+def _kvstore_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from .plans.kv_datasource import KVStoreDataSource
+    from .plans.kvstore import KVStore
+
+    def build(fix: str) -> None:
+        os.makedirs(fix, exist_ok=True)
+        store = KVStore(os.path.join(fix, "kv.db"))
+        store.ensure_table("GenreKpis", hash_key="date", range_key="genre")
+        spark.dataSource.register(KVStoreDataSource)
+        items = _REG["kv_genre_kpi_items"][0](spark, sf_dir)
+        (items.write.format("kvstore")
+         .option("path", store.path).option("table", "GenreKpis")
+         .mode("append").save())
+
+    return os.path.join(
+        _fixture_dir(sf_dir, "kvstore_items_v1", build), "kv.db")
+
+
+@register("kvstore_read_genre_kpis",
+          _REG["kv_genre_kpi_items"][1])
+def kvstore_read_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom connector: DynamoDB-shaped items
+    written via format('kvstore') batch upserts, read back via its
+    partitioned Python Data Source reader — and the result still
+    hash-matches the ORIGINAL KPI oracle, certifying both connector
+    directions end-to-end at the driver gate."""
+    from .plans.kv_datasource import KVStoreDataSource
+    path = _kvstore_fixture(spark, sf_dir)
+    spark.dataSource.register(KVStoreDataSource)
+    return (spark.read.format("kvstore")
+            .schema("date string, genre string, listen_count bigint, "
+                    "unique_listeners bigint, total_listening_time double, "
+                    "avg_listen_time_per_user double")
+            .option("path", path).option("table", "GenreKpis")
+            .option("numPartitions", 8).load())
