@@ -114,3 +114,46 @@ def vacuum(root: str, *, keep_last: int = 2) -> list[int]:
                 shutil.rmtree(os.path.join(root, entry),
                               ignore_errors=True)
     return drop
+
+
+def write_snapshot_multi(dfs: dict[str, DataFrame], root: str) -> int:
+    """Atomically commit a consistent snapshot of SEVERAL tables as one
+    version: every table's directory writes completely, then ONE manifest
+    swap publishes them together — readers can never observe table A at
+    v2 with table B still at v1 (the cross-table transaction Delta/
+    Iceberg need a catalog for, served here by the shared pointer).
+
+    Layout: ``<root>/<table>/v=<N>/``, one manifest at the root. Table
+    sets may grow across versions; a table absent from a version simply
+    has no directory there (``read_table`` raises for it).
+    """
+    if not dfs:
+        raise ValueError("need at least one table")
+    os.makedirs(root, exist_ok=True)
+    m = _read_manifest(root)
+    version = (m["latest"] or 0) + 1
+    for name, df in sorted(dfs.items()):
+        df.write.mode("overwrite").parquet(
+            os.path.join(root, name, f"v={version}"))
+    tables = m.get("tables", {})
+    for name in dfs:
+        tables[name] = sorted(set(tables.get(name, [])) | {version})
+    m["tables"] = tables
+    m["versions"] = sorted(set(m["versions"]) | {version})
+    m["latest"] = version
+    _swap_manifest(root, m)
+    return version
+
+
+def read_table(spark: SparkSession, root: str, table: str, *,
+               version: int | None = None) -> DataFrame:
+    """The named table as of ``version`` (default latest committed)."""
+    m = _read_manifest(root)
+    if m["latest"] is None:
+        raise ValueError(f"no committed versions under {root}")
+    v = m["latest"] if version is None else version
+    have = m.get("tables", {}).get(table, [])
+    if v not in have:
+        raise ValueError(
+            f"table {table!r} has no version {v} (have {have})")
+    return spark.read.parquet(os.path.join(root, table, f"v={v}"))

@@ -54,3 +54,27 @@ def test_vacuum_retention_keeps_newest(spark, tmp_path):
         V.read_snapshot(spark, root, version=1)
     with pytest.raises(ValueError):
         V.vacuum(root, keep_last=0)
+
+
+def test_multi_table_commit_is_atomic(spark, tmp_path):
+    """Two tables publish under ONE version pointer; a crash after one
+    table's data lands but before the swap leaves BOTH invisible."""
+    root = str(tmp_path / "multi")
+    v = V.write_snapshot_multi(
+        {"orders": _df(spark, 3), "items": _df(spark, 6)}, root)
+    assert v == 1
+    assert V.read_table(spark, root, "orders").count() == 3
+    assert V.read_table(spark, root, "items").count() == 6
+    # simulated crash: v2 data for ONE table only, no manifest swap
+    _df(spark, 99).write.parquet(os.path.join(root, "orders", "v=2"))
+    assert V.read_table(spark, root, "orders").count() == 3  # still v1
+    with pytest.raises(ValueError):
+        V.read_table(spark, root, "orders", version=2)
+    # the next commit publishes BOTH tables at v2 (overwriting the orphan)
+    v2 = V.write_snapshot_multi(
+        {"orders": _df(spark, 4), "items": _df(spark, 8)}, root)
+    assert v2 == 2
+    assert V.read_table(spark, root, "orders").count() == 4
+    assert V.read_table(spark, root, "items", version=1).count() == 6
+    with pytest.raises(ValueError):
+        V.read_table(spark, root, "missing")
