@@ -83,6 +83,16 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if name not in times or dt < times[name]:
                 times[name] = round(dt, 3)
+            # JVM-state hygiene BETWEEN measurements (untimed): queries
+            # that persist() intermediates or register memory-sink temp
+            # views would otherwise accumulate cached blocks across
+            # 194×2 runs in this one JVM — measured effect: end-of-pass
+            # GC stalls and 2-8x inflation of later shuffle-heavy
+            # queries. Real deployments run one query per session.
+            spark.catalog.clearCache()
+            for t in spark.catalog.listTables():
+                if t.name.startswith("_") and t.isTemporary:
+                    spark.catalog.dropTempView(t.name)
 
     total = round(sum(times.values()), 3)
     env["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
