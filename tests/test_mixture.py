@@ -96,3 +96,46 @@ def test_all_zero_weights_rejected(spark, docs):
 def test_zero_weight_expression_rejected(spark, docs):
     with pytest.raises(ValueError, match="empty"):
         mixture.mixture_schedule(docs, F.lit(0), budget_tokens=1000)
+
+
+def test_temperature_weights_flatten_toward_uniform(spark, docs):
+    """α=0.5 weights must sit BETWEEN proportional (α=1) and uniform:
+    the largest source's allocation share shrinks, the smallest's grows,
+    and allocations never exceed the budget in total."""
+    budget = 10_000
+    prop = {r["source"]: r for r in mixture.mixture_allocations(
+        docs, F.col("total_tokens"), budget_tokens=budget).collect()}
+    temp = {r["source"]: r for r in mixture.temperature_mixture_plan(
+        docs, budget_tokens=budget, alpha_halves=1).collect()}
+    assert set(prop) == set(temp)
+    assert sum(r["alloc_tokens"] for r in temp.values()) <= budget
+    big = max(prop, key=lambda s: prop[s]["total_tokens"])
+    small = min(prop, key=lambda s: prop[s]["total_tokens"])
+    if prop[big]["total_tokens"] > prop[small]["total_tokens"]:
+        assert temp[big]["alloc_tokens"] <= prop[big]["alloc_tokens"]
+        assert temp[small]["alloc_tokens"] >= prop[small]["alloc_tokens"]
+    # weight really is floor(sqrt(total))
+    for s, r in temp.items():
+        assert r["weight"] == int(float(r["total_tokens"]) ** 0.5)
+
+
+def test_temperature_alpha_quarter_flattens_further(spark):
+    # a 100:1 skewed corpus makes the flattening signal dominate the
+    # integer-weight quantization (the near-uniform fixture doesn't)
+    rows = [(f"big{i}", "big", "w " * 99 + "w") for i in range(100)]
+    rows += [("s0", "small", "w " * 99 + "w")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    b = 10_000
+
+    def share(alpha_halves):
+        t = {r["source"]: r["alloc_tokens"]
+             for r in mixture.temperature_mixture_plan(
+                 df, budget_tokens=b,
+                 alpha_halves=alpha_halves).collect()}
+        return t["big"] / max(t["small"], 1)
+
+    # proportional would be 100:1; α=.5 → 10:1; α=.25 → ~3.2:1
+    assert share(1) < 15
+    assert share(2) < share(1)
+    with pytest.raises(ValueError):
+        mixture.temperature_weights(0)
