@@ -5352,3 +5352,37 @@ def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import unigram
     return unigram.encode_docs(_docs(spark, sf_dir),
                                _unigram_pieces(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# E99b — snapshot CDC: time travel × keyed diff = the change feed between
+# two committed versions, without any stored changelog.
+# --------------------------------------------------------------------------
+
+@register("orders_snapshot_changes", """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders
+                WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    v2 AS (SELECT o_orderkey, o_orderstatus FROM orders)
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v2.o_orderkey IS NULL THEN 'only_left'
+                WHEN v1.o_orderkey IS NULL THEN 'only_right'
+                WHEN v1.o_orderstatus = v2.o_orderstatus THEN 'unchanged'
+                ELSE 'changed' END AS action
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE NOT (v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+               AND v1.o_orderstatus = v2.o_orderstatus)
+""")
+def orders_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed between committed versions 1 and 2 of the
+    versioned orders table, derived on demand: two time-travel reads +
+    the digest-reduced keyed diff, filtered to actual changes — snapshot
+    CDC without a stored changelog (the inverse composition of
+    cdc.apply_changelog)."""
+    from .sources import versioned as V
+    root = _versioned_fixture(spark, sf_dir)
+    v1 = V.read_snapshot(spark, root, version=1)
+    v2 = V.read_snapshot(spark, root, version=2)
+    d = merge.table_diff(v1, v2, ["o_orderkey"],
+                         compare_cols=["o_orderstatus"])
+    return d.filter(F.col("action") != "unchanged") \
+        .select("o_orderkey", "action")
