@@ -5386,3 +5386,41 @@ def orders_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                          compare_cols=["o_orderstatus"])
     return d.filter(F.col("action") != "unchanged") \
         .select("o_orderkey", "action")
+
+
+# --------------------------------------------------------------------------
+# E105 — per-source ADAPTIVE quality gate (FineWeb-style): a single global
+# score cutoff over-prunes weak domains and under-prunes strong ones, so
+# the gate keeps the top half PER SOURCE by learned classifier margin.
+# --------------------------------------------------------------------------
+
+@register("adaptive_quality_topk", f"""
+    WITH scored AS ({_REG["doc_quality_classifier"][1]}),
+    j AS (SELECT d.source, s.doc_id, s.margin
+          FROM scored s JOIN documents d USING (doc_id)),
+    r AS (SELECT source, doc_id, margin,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY margin DESC, doc_id) AS rnk,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM j)
+    SELECT source, doc_id, margin, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk * 2 <= n
+""")
+def adaptive_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-half-per-source by classifier margin: the in-engine-trained
+    feature-hashed classifier scores every doc (exact integer margins →
+    one portable division), then ONE rank window per source applies the
+    domain-relative cut — rnk·2 ≤ n is exact integer arithmetic, no
+    float quantile of scores anywhere."""
+    scored = _REG["doc_quality_classifier"][0](spark, sf_dir) \
+        .select("doc_id", "margin")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.col("margin").desc(),
+                                             F.col("doc_id"))
+    wn = Window.partitionBy("source")
+    return (j.select("source", "doc_id", "margin",
+                     F.row_number().over(w).alias("rnk"),
+                     F.count(F.lit(1)).over(wn).alias("_n"))
+            .filter(F.col("rnk") * 2 <= F.col("_n"))
+            .select("source", "doc_id", "margin", "rnk"))
