@@ -45,40 +45,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order after the priority block; ALL entries are continuously
 # self-checked by tools/oracle_check.py (see ORACLE_FULL_r03.txt).
 _PRIORITY = [
-    # reference surface (SURVEY.md §2 ✓-rows)
+    # --- retained anchors: reference surface (SURVEY.md §2 ✓-rows) ---
     "daily_genre_kpis", "top_songs_per_genre", "top_genres_per_day",
     "validate_split_good", "validate_split_bad", "kv_genre_kpi_items",
     "kv_top_song_items", "kv_top_genre_items", "latest_day_kpis",
     "csv_scan_roundtrip", "csv_scan_corrupt_routing", "scan_project_filter",
-    "events_daily_agg", "lineitem_agg_salted",
-    "events_unique_users_skew_robust", "events_props_extract",
-    # streaming execution certified by the gate (rotated in for
-    # daily_genre_kpis_approx, whose family stays covered by the full
-    # oracle run and the exact twin at position 1)
+    # streaming execution certified by the gate
     "events_windowed_counts_streamed",
-    # projections/oracles fixed in round 3 — need fresh driver rows
-    "media_resize_stamped", "media_feature_extract",
-    "embedding_quantize_int8", "pack_documents_512", "packing_stats_512",
-    # LLM-pipeline headline families (already green in r2, keep guarded)
-    "dedup_exact_text", "ann_cosine_topk",
-    # round-2 families with no driver row yet — one or two reps each
-    "sessionize_events", "asof_purchase_click",
-    "events_value_bands", "funnel_conversion", "lineitem_rollup",
-    # round-3 continuation: new source format + retrieval fusion
-    # (session_stats / orders_status_pivot rotate out — their families stay
-    # repped by sessionize_events / lineitem_rollup and the full oracle run)
-    "jsonl_scan_roundtrip", "hybrid_rrf_topk",
-    "orders_merge_upsert", "orders_table_diff", "user_state_history",
-    "orders_cdc_apply", "events_user_rolling_7d", "lineitem_qty_price_corr",
-    "orders_quality_report",
-    "doc_token_heavy_hitters", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q10_returned_items",
-    "events_windowed_counts", "docs_global_row_numbers",
-    "doc_repetition_stats",
-    # round-3 flagships (new operator families added this round)
-    "doc_quality_classifier", "neardup_containment_pairs",
-    "events_session_windows", "cluster_aware_split",
-    "tpch_q18_large_orders",
+    # r2/r3 red pair — HUGEINT-oracle root cause fixed this round (DuckDB
+    # SUM(BIGINT)→int128 → pandas float64 in the driver comparator); the two
+    # probes bisect the pipeline if it ever reds again (VERDICT r3 item 1)
+    "pack_documents_512", "packing_stats_512",
+    "pack_tokens_probe", "pack_offsets_probe",
+    # LLM-pipeline headline anchors (driver-green r2/r3, keep guarded)
+    "dedup_exact_text", "ann_cosine_topk", "sessionize_events",
+    # --- round-4 rotation: first-ever driver rows (VERDICT r3 item 5) ---
+    # TPC-H additions from round 3
+    "tpch_q1_pricing_summary", "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit", "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
+    # UDAF/UDTF triad (§2.10)
+    "user_spend_gini", "doc_tokens_udtf",
+    # versioned source: time travel + snapshot CDC + IVM + KV round-trip
+    "orders_time_travel_v1", "orders_snapshot_changes",
+    "orders_join_view_refresh", "kvstore_read_genre_kpis",
+    # corrupt-record routing for the JSONL source
+    "jsonl_scan_corrupt_routing",
+    # HUGEINT-fixed latent pair + temperature plan (same root cause class)
+    "source_token_cap_docs", "mixture_plan_budget",
+    "mixture_plan_temperature",
+    # adaptive curation + leakage audit + data card
+    "adaptive_quality_topk", "split_leakage_audit", "corpus_data_card",
+    # set ops (§2.7)
+    "users_view_and_purchase", "users_view_not_purchase",
+    # span/segment dedup — rewritten this round (VERDICT items 3-4)
+    "docs_remove_dup_spans", "docs_clean_boilerplate",
+    # stream-stream interval join executed THROUGH Structured Streaming
+    "purchase_click_interval_streamed",
+    # sliding/decay features + hopping windows + schema evolution
+    "events_wau_sliding_7d", "events_user_decay_score",
+    "events_hopping_counts", "union_by_name_evolution",
+    # OLAP cube + fuzzy join + equal-token sharding
+    "orders_cube", "part_name_fuzzy_pairs", "shard_docs_equal_tokens",
 ]
 
 

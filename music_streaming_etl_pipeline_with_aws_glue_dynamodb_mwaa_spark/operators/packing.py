@@ -39,17 +39,21 @@ def pack_documents(docs: DataFrame, *, budget_tokens: int,
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     n_tok = F.size(tokens(text_col)).cast("long")
-    w = (Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(order_col).asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, -1))
     offset = F.coalesce(F.sum(n_tok).over(w), F.lit(0).cast("long"))
+    b = int(budget_tokens)
     return docs.select(
         F.col(id_col),
         F.col(group_col),
         n_tok.alias("n_tokens"),
         offset.alias("token_offset"),
-        F.floor(offset / F.lit(budget_tokens)).cast("long").alias("bin_idx"),
-        F.pmod(offset, F.lit(budget_tokens)).cast("long").alias("bin_offset"),
-    )
+    ).withColumns({
+        # integer `div`, never floor(double/b): exact at any offset magnitude
+        "bin_idx": F.expr(f"token_offset div {b}").cast("long"),
+        "bin_offset": F.pmod(F.col("token_offset"), F.lit(b)).cast("long"),
+    })
 
 
 def packing_stats(packed: DataFrame, *, budget_tokens: int,

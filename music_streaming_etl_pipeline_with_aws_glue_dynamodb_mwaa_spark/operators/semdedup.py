@@ -6,30 +6,44 @@ Exact cosine near-dup over a corpus is O(n²) flops
 (``dedup.embedding_near_dup_pairs_blocked`` — fine when you truly need every
 pair). SemDeDup's observation: semantic duplicates are near their shared
 cluster centroid, so restricting the pair search to k-means cells turns the
-cost into Σ|cell|² ≈ n²/k — a k-fold flop cut, and each cell is one bounded
-task. The trade (documented, inherent): a pair straddling a cell boundary is
-missed; recall vs the exact operator is measured in tests/test_semdedup.py.
+cost into Σ|cell|² ≈ n²/k flops — a k-fold flop cut. The trade (documented,
+inherent): a pair straddling a cell boundary is missed; recall vs the exact
+operator is measured in tests/test_semdedup.py.
 
 Spark-first shape:
 
 1. codebook: ``kmeans.kmeans_fit`` — bounded-sample init + distributed
    Lloyd, only k·d floats ever reach the driver;
 2. assign: one Arrow-batched matmul pass, NO shuffle;
-3. within-cell pairs: ``groupBy(cluster).applyInPandas`` — one shuffle
-   keyed by cluster id, one BLAS matmul per cell, emit pairs ≥ threshold;
+3. within-cell pairs: cells are SUB-BLOCKED to ``max_cell_rows`` — a cell
+   of c rows becomes ⌈c/max⌉ blocks and every block PAIR is one task
+   (the replicated block-pair pattern of
+   ``dedup.embedding_near_dup_pairs_blocked``, keyed by (cluster, bi, bj)),
+   so per-task memory is ≤ 2·max_cell_rows vectors NO MATTER how skewed
+   the cells are. Flops stay Σ|cell|²; only the task granularity changes.
+   Cells at or under ``max_cell_rows`` (the common case with a well-fit
+   codebook) stay exactly one diagonal task — same plan as before.
 4. prune: keep the LOWEST doc id of each pair's cluster-local dup graph
    (greedy drop-higher-id — same deterministic rule as corpus.build_corpus).
+
+The per-cluster block counts come from one k-row ``groupBy(cluster).count()``
+collect — bounded by the codebook size (k·16 bytes; the paper's web-scale
+k≈10⁵ collects ~2 MB), never by the corpus.
 
 Float matmul scores → rows-only registration; determinism, soundness
 (every dropped row has a kept near-dup witness) and recall vs the exact
 pair set are pytest-pinned.
 
-At 100 TB: cell sizes are the skew knob — raise k until the largest cell's
-matmul fits a task (the paper runs k≈10⁵ for web-scale); a mega-cell means
-the codebook under-fits, not that the operator needs a new shape.
+At 100 TB: a mega-cell no longer OOMs a task (it sub-blocks); it still
+costs |cell|² flops, so a persistently giant cell means the codebook
+under-fits — raise k. ``max_cell_rows`` defaults to 100k rows ≈ 2·100k·d
+float64 per task (d=768 → ~1.2 GB for the pair) — size it to executor
+memory like any block knob.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -42,46 +56,99 @@ from . import kmeans as _kmeans
 def semantic_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
                        vec_col: str = "embedding", k: int = 8,
                        threshold: float = 0.95,
-                       centroids: np.ndarray | None = None) -> DataFrame:
+                       centroids: np.ndarray | None = None,
+                       max_cell_rows: int = 100_000) -> DataFrame:
     """Within-cluster cosine pairs ≥ threshold: (doc_a, doc_b, cosine,
-    cluster_id), doc_a < doc_b. Cost: one assign pass + one cluster-keyed
-    shuffle + per-cell matmuls."""
+    cluster_id), doc_a < doc_b. Cost: one assign pass + one
+    (cluster, block-pair)-keyed shuffle + per-task BLAS matmuls, each task
+    holding at most 2·``max_cell_rows`` vectors."""
+    if max_cell_rows < 2:
+        raise ValueError("max_cell_rows must be ≥ 2")
     if centroids is None:
         centroids = _kmeans.kmeans_fit(emb, vec_col, k=k)
+    spark = emb.sparkSession
     assigned = (_kmeans.kmeans_assign(emb, centroids, id_col=id_col,
                                       vec_col=vec_col)
                 .select(id_col, "cluster_id")
                 .join(emb.select(id_col, vec_col), id_col))
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [],
-                                 "cosine": [], "cluster_id": []})
-        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, 1))
-        ids = pdf[id_col].to_numpy()
-        a, b = ids[ia], ids[ib]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({
-            "doc_a": lo, "doc_b": hi, "cosine": sims[ia, ib],
-            "cluster_id": np.full(len(lo), pdf["cluster_id"].iat[0])})
+    # k-row collect (codebook-sized, never corpus-sized): per-cell row
+    # counts decide how many sub-blocks each cell needs.
+    counts = {r["cluster_id"]: r["_cnt"] for r in
+              assigned.groupBy("cluster_id")
+              .agg(F.count(F.lit(1)).alias("_cnt")).collect()}
+    nb_rows, task_rows = [], []
+    for cid, cnt in sorted(counts.items()):
+        nb = max(1, math.ceil(cnt / max_cell_rows))
+        nb_rows.append((cid, nb))
+        for bi in range(nb):
+            for bj in range(bi, nb):
+                task_rows.append((cid, bi, bi, bj, True))
+                if bi != bj:
+                    task_rows.append((cid, bj, bi, bj, False))
+    nb_df = spark.createDataFrame(nb_rows, "cluster_id int, _nb int")
+    task_df = spark.createDataFrame(
+        task_rows, "cluster_id int, block int, bi int, bj int, _is_a boolean")
+
+    # row → its cell's block by id hash; replicate to every task that
+    # references (cluster, block) via a broadcast EQUI-join (the OR-form
+    # would plan as BroadcastNestedLoopJoin — see
+    # dedup.embedding_near_dup_pairs_blocked).
+    tasks = task_df.withColumnRenamed("cluster_id", "_tcid")
+    blocked = (assigned
+               .join(F.broadcast(nb_df), "cluster_id")
+               .withColumn("_blk", F.pmod(F.xxhash64(F.col(id_col)),
+                                          F.col("_nb")).cast("int"))
+               .join(F.broadcast(tasks),
+                     (F.col("cluster_id") == F.col("_tcid"))
+                     & (F.col("_blk") == F.col("block")))
+               .select("cluster_id", "bi", "bj", "_is_a",
+                       F.col(id_col).alias("_id"),
+                       F.col(vec_col).alias("_v")))
+
+    def cell_block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [],
+                              "cosine": [], "cluster_id": []})
+        diag = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        a = pdf[pdf["_is_a"]]
+        b = a if diag else pdf[~pdf["_is_a"]]
+        if not len(a) or not len(b):
+            return empty
+        ma = np.stack(a["_v"].to_numpy()).astype(np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        if diag:
+            mb = ma
+        else:
+            mb = np.stack(b["_v"].to_numpy()).astype(np.float64)
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        ids_a, ids_b = a["_id"].to_numpy()[ia], b["_id"].to_numpy()[ib]
+        lo, hi = np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)
+        keep = lo < hi                  # drop self-pairs + diagonal dupes
+        out = pd.DataFrame({
+            "doc_a": lo[keep], "doc_b": hi[keep],
+            "cosine": sims[ia, ib][keep],
+            "cluster_id": np.full(int(keep.sum()), pdf["cluster_id"].iat[0],
+                                  dtype=np.int64)})
+        return out.drop_duplicates(["doc_a", "doc_b"])
 
     id_type = dict(emb.dtypes)[id_col]
-    return (assigned.groupBy("cluster_id")
-            .applyInPandas(cell_pairs,
+    return (blocked.groupBy("cluster_id", "bi", "bj")
+            .applyInPandas(cell_block_pairs,
                            f"doc_a {id_type}, doc_b {id_type}, "
                            f"cosine double, cluster_id int"))
 
 
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", k: int = 8,
-                   threshold: float = 0.95) -> DataFrame:
+                   threshold: float = 0.95,
+                   max_cell_rows: int = 100_000) -> DataFrame:
     """Surviving rows after SemDeDup pruning: for every within-cluster pair
     ≥ threshold, the higher id drops (greedy, deterministic, one anti-join).
     Returns the input columns of the survivors."""
     losers = (semantic_dup_pairs(emb, id_col=id_col, vec_col=vec_col, k=k,
-                                 threshold=threshold)
+                                 threshold=threshold,
+                                 max_cell_rows=max_cell_rows)
               .select(F.col("doc_b").alias(id_col)).distinct())
     return emb.join(losers, id_col, "left_anti")

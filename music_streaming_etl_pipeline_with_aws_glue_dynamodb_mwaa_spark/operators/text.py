@@ -229,9 +229,36 @@ def chunk_documents(docs: DataFrame, id_col: str, text_col: str, *,
             .filter(F.col("n_tokens") > 0))
 
 
+def _semi_flag_join(stream: DataFrame, keys: DataFrame, on: str,
+                    broadcast_keys: bool | None) -> DataFrame:
+    """Left join ``stream`` to the (distinct, single-column) ``keys`` frame
+    with an explicit join-strategy gate (round-4 VERDICT item 3):
+
+    - ``True``  → ``F.broadcast`` hint — right when the key set is known
+      small (the common case: boilerplate/duplicated grams collapse under
+      distinct);
+    - ``False`` → ``hint("shuffle_hash")`` — never builds a driver-side
+      broadcast; right at web scale with ``max_docfreq=1`` where the
+      duplicated-gram set is billions of 16-byte keys (tens of GB);
+    - ``None``  → no hint: the planner + AQE size the build side at
+      runtime and pick broadcast only when it actually fits — the
+      scale-safe default.
+    """
+    return stream.join(_gate(keys.withColumn("_drop", F.lit(True)),
+                             broadcast_keys), on, "left")
+
+
+def _gate(keys: DataFrame, broadcast_keys: bool | None) -> DataFrame:
+    if broadcast_keys is True:
+        return F.broadcast(keys)
+    if broadcast_keys is False:
+        return keys.hint("shuffle_hash")
+    return keys
+
+
 def remove_common_segments(docs: DataFrame, id_col: str, text_col: str, *,
-                           seg_tokens: int = 8,
-                           max_docfreq: int = 1) -> DataFrame:
+                           seg_tokens: int = 8, max_docfreq: int = 1,
+                           broadcast_common: bool | None = None) -> DataFrame:
     """Corpus-level boilerplate removal, CCNet/RefinedWeb-style: cut every
     non-overlapping ``seg_tokens``-token segment that appears in MORE than
     ``max_docfreq`` distinct documents (headers, footers, cookie banners —
@@ -246,10 +273,11 @@ def remove_common_segments(docs: DataFrame, id_col: str, text_col: str, *,
     Spark-first shape, 3 exchanges total at ANY corpus size:
     1. segment explode (narrow) → docfreq hash-agg keyed by the segment's
        md5 — 128-bit key, never the multi-KB segment text;
-    2. the over-frequent set is a tiny fraction of segments (boilerplate
-       is by definition repeated → collapses under distinct), so it comes
-       back to the segment stream as a BROADCAST left-semi flag — no
-       second fact-sized shuffle;
+    2. the over-frequent set comes back to the segment stream as a
+       left-semi flag whose join strategy is GATED by
+       ``broadcast_common`` (see ``_semi_flag_join``): default None lets
+       AQE runtime-size the build side — broadcast when it fits, shuffle
+       hash join when (at web scale, ``max_docfreq=1``) it's tens of GB;
     3. one groupBy(doc) re-assembly with an array_sort on segment index —
        order restored without an ordered shuffle.
     """
@@ -260,8 +288,7 @@ def remove_common_segments(docs: DataFrame, id_col: str, text_col: str, *,
               .agg(F.countDistinct(id_col).alias("_df"))
               .where(F.col("_df") > max_docfreq)
               .select("_h"))
-    flagged = segs.join(F.broadcast(common.withColumn("_drop", F.lit(True))),
-                        "_h", "left")
+    flagged = _semi_flag_join(segs, common, "_h", broadcast_common)
     kept_text = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(
@@ -276,7 +303,8 @@ def remove_common_segments(docs: DataFrame, id_col: str, text_col: str, *,
 
 
 def remove_duplicate_spans(docs: DataFrame, id_col: str, text_col: str, *,
-                           k: int = 6, max_docfreq: int = 1) -> DataFrame:
+                           k: int = 6, max_docfreq: int = 1,
+                           broadcast_common: bool | None = None) -> DataFrame:
     """Exact duplicated-SPAN removal at overlapping k-gram granularity
     (the Lee et al. 2022 "Deduplicating Training Data Makes Language
     Models Better" family): any token whose position is covered by a
@@ -290,10 +318,16 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str, text_col: str, *,
 
     Spark-first shape: positions explode narrowly; docfreq is ONE hash
     agg on the md5 of the gram (16-byte keys, never text); the
-    over-frequent gram set broadcasts back (duplicated grams collapse
-    under distinct — tiny by definition); covered-position spans merge
-    IN-ROW with a sorted higher-order fold, so re-assembly is one
-    doc-keyed agg. No position self-joins anywhere.
+    over-frequent gram set joins back under the ``broadcast_common``
+    strategy gate (``_semi_flag_join`` semantics: None → AQE runtime
+    sizing; True → forced broadcast; False → shuffle hash join — the
+    web-scale path where the duplicated-gram set is unbroadcastable).
+    Covered positions resolve IN-ROW and LINEARLY: equal-length k-gram
+    intervals over the sorted start list merge into disjoint runs with
+    one indexed filter pass (run head ⇔ gap to previous start > k), and
+    the kept text is the flattened slice of the COMPLEMENT gaps — no
+    per-token EXISTS (the O(tokens × starts) interpreted fallback this
+    replaced, round-4 VERDICT item 4), no position self-joins anywhere.
     """
     toks = tokens(text_col)
     n = F.size(toks)
@@ -313,21 +347,34 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str, text_col: str, *,
               .agg(F.countDistinct(id_col).alias("_df"))
               .where(F.col("_df") > max_docfreq)
               .select("_h"))
-    hits = (grams.join(F.broadcast(common), "_h", "left_semi")
+    hits = (grams.join(_gate(common, broadcast_common), "_h", "left_semi")
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_set("_pos")).alias("_starts")))
     base = docs.select(id_col, toks.alias("_toks"))
     joined = base.join(hits, id_col, "left")
-    # covered[i] = ∃ start s with s ≤ i < s+k — evaluated per token via
-    # EXISTS over the (sorted, deduped, in-row) start list
-    covered = lambda i: F.exists(          # noqa: E731 — local expression
-        F.coalesce(F.col("_starts"), F.array()),
-        lambda s: (s <= i) & (i < s + k))
-    idx = F.sequence(F.lit(0), F.size("_toks") - 1)
-    kept = F.filter(idx, lambda i: ~covered(i))
+    s = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    n = F.size("_toks")
+    # merge the sorted equal-length intervals [st, st+k) into disjoint
+    # covered runs — linear: a start is a run HEAD iff the previous start
+    # is more than k back, a run TAIL iff the next start is more than k
+    # ahead (indices clamped so the guarded element_at never reads out of
+    # bounds; the F.when decides first)
+    heads = F.filter(s, lambda st, i: F.when(i == 0, F.lit(True)).otherwise(
+        st - F.element_at(s, F.greatest(i, F.lit(1))) > k))
+    tails = F.filter(s, lambda st, i: F.when(
+        i == F.size(s) - 1, F.lit(True)).otherwise(
+        F.element_at(s, F.least(i + 2, F.size(s))) - st > k))
+    # complement gaps of the covered runs over [0, n): kept text is the
+    # flattened slice of each gap — one pass, no per-token work
+    gap_lo = F.concat(F.array(F.lit(0)),
+                      F.transform(tails, lambda t: t + k))
+    gap_hi = F.concat(heads, F.array(n))
+    kept = F.flatten(F.zip_with(
+        gap_lo, gap_hi,
+        lambda lo, hi: F.slice(F.col("_toks"), lo + 1,
+                               F.greatest(hi - lo, F.lit(0)))))
     return joined.select(
         F.col(id_col),
-        F.concat_ws(" ", F.transform(
-            kept, lambda i: F.element_at("_toks", i + 1))).alias("clean_text"),
+        F.concat_ws(" ", kept).alias("clean_text"),
         F.size(kept).alias("n_tokens_kept"),
-        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"))
+        (n - F.size(kept)).alias("n_tokens_removed"))

@@ -640,14 +640,20 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- no string_split) and the cumsum uses the default full frame minus the
     -- current row's count (no 1-PRECEDING frame) — both identical in value,
     -- neither sensitive to DuckDB release behavior.
+    -- CRITICAL (round-4 diagnosis of the r2/r3 driver-only hash fail):
+    -- DuckDB SUM(BIGINT) returns HUGEINT (int128); a pandas-converting
+    -- comparator renders HUGEINT as float64 ("123.0" vs Spark's "123"),
+    -- failing the value hash while rows+schema match. Every window/agg SUM
+    -- that reaches the output MUST be CAST(... AS BIGINT).
     SELECT doc_id, source, n_tokens, token_offset,
            token_offset // 512 AS bin_idx,
            token_offset % 512 AS bin_offset
     FROM (SELECT doc_id, source, n_tokens,
-                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY doc_id ASC NULLS FIRST
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                               AND CURRENT ROW)
-                   - n_tokens AS token_offset
+                      - n_tokens AS BIGINT) AS token_offset
           FROM (SELECT doc_id, source,
                        CAST(length(text) - length(replace(text, ' ', ''))
                             + 1 AS BIGINT) AS n_tokens
@@ -660,18 +666,20 @@ def pack_documents_512(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("packing_stats_512", """
+    -- HUGEINT discipline (see pack_documents_512): cast every SUM to BIGINT.
     WITH packed AS (
       SELECT source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY doc_id ASC NULLS FIRST
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW)
-               - n_tokens AS token_offset
+                  - n_tokens AS BIGINT) AS token_offset
       FROM (SELECT doc_id, source,
                    CAST(length(text) - length(replace(text, ' ', ''))
                         + 1 AS BIGINT) AS n_tokens
             FROM documents))
     SELECT source, max(token_offset // 512) + 1 AS n_bins,
-           count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_tokens) AS DOUBLE)
              / ((max(token_offset // 512) + 1) * 512) AS fill_ratio
     FROM packed GROUP BY source
@@ -681,6 +689,45 @@ def packing_stats_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (one IEEE division of exact integers)."""
     packed = packing.pack_documents(_docs(spark, sf_dir), budget_tokens=512)
     return packing.packing_stats(packed, budget_tokens=512)
+
+
+# Diagnostic probes for the r2/r3 driver-only packing hash divergence
+# (VERDICT r3 item 1): bisect the pack_documents pipeline. `pack_tokens_probe`
+# has no window at all (isolates tokenization / count divergence);
+# `pack_offsets_probe` aggregates without window order (isolates the cumsum).
+# If the packing pair ever reds again while these stay green, the fault is in
+# the window/cumsum layer; if these red too, it's tokenization or the
+# comparator itself.
+
+@register("pack_tokens_probe", """
+    SELECT doc_id, source,
+           CAST(length(text) - length(replace(text, ' ', ''))
+                + 1 AS BIGINT) AS n_tokens
+    FROM documents
+""")
+def pack_tokens_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document whitespace token count, no window — provably equal to
+    the oracle's spaces+1 arithmetic for any string."""
+    from .functions.text_funcs import tokens as _tok
+    return _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(_tok("text")).cast("long").alias("n_tokens"))
+
+
+@register("pack_offsets_probe", """
+    SELECT source,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+""")
+def pack_offsets_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token totals, no window order — the cumsum's final value
+    per group (HUGEINT-cast in the oracle; see pack_documents_512)."""
+    from .functions.text_funcs import tokens as _tok
+    return (_docs(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.sum(F.size(_tok("text")).cast("long")).alias("total_tokens"),
+                 F.count(F.lit(1)).alias("n_docs")))
 
 
 # --------------------------------------------------------------------------
@@ -2803,10 +2850,11 @@ _NTOK_SQL = """
     WITH {_NTOK_SQL}
     SELECT doc_id, source, n_tokens, tokens_before
     FROM (SELECT doc_id, source, n_tokens,
-                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY doc_id ASC NULLS FIRST
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                               AND CURRENT ROW)
-                   - n_tokens AS tokens_before
+                      - n_tokens AS BIGINT) AS tokens_before
           FROM toks)
     WHERE tokens_before < 5000
 """)
@@ -2822,18 +2870,18 @@ def source_token_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXTURE_PLAN_SQL = f"""
     {_NTOK_SQL},
     plan AS (
-      SELECT source, SUM(n_tokens) AS total_tokens,
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
              count(*) AS n_docs,
              CAST(length(source) % 3 + 1 AS BIGINT) AS weight
       FROM toks GROUP BY source),
     alloc AS (
       SELECT source, total_tokens, n_docs, weight,
-             (weight * CAST(200000 AS BIGINT))
-               // (SUM(weight) OVER ()) AS alloc_tokens,
-             least(CAST(4294967296 AS BIGINT),
+             CAST((weight * CAST(200000 AS BIGINT))
+               // (SUM(weight) OVER ()) AS BIGINT) AS alloc_tokens,
+             CAST(least(CAST(4294967296 AS BIGINT),
                    (weight * CAST(200000 AS BIGINT) * 4294967296)
                      // ((SUM(weight) OVER ()) * total_tokens))
-               AS keep_threshold_32
+               AS BIGINT) AS keep_threshold_32
       FROM plan)
 """
 
@@ -4594,18 +4642,40 @@ _JSONL_BAD_LINES = [
 ]
 
 
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source tables (name+size+mtime of every
+    parquet): regenerated testdata at the same path gets a fresh fixture
+    instead of silently serving a stale one (round-4 ADVICE fix)."""
+    import glob
+    import hashlib
+    h = hashlib.sha256()
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}\n"
+                 .encode())
+    return h.hexdigest()[:12]
+
+
 def _fixture_dir(sf_dir: str, name: str, build) -> str:
-    """Idempotent per-(fixture, sf) scratch dir: ``build(fix)`` runs once,
-    gated by a ``_READY`` marker written last (a crashed build without the
-    marker rebuilds on the next call)."""
-    fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
-                       name, os.path.basename(os.path.normpath(sf_dir)))
-    marker = os.path.join(fix, "_READY")
-    if not os.path.exists(marker):
-        build(fix)
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
-    return fix
+    """Idempotent per-(fixture, source-content) scratch dir. ``build(tmp)``
+    runs into a private temp dir which is atomically renamed into place —
+    the final directory's existence IS the ready marker, so a crashed build
+    never half-publishes and two concurrent drivers race safely (the loser's
+    rename fails and its build is discarded)."""
+    import shutil
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_fixtures", name,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{_sf_fingerprint(sf_dir)}")
+    if not os.path.exists(base):
+        tmp = f"{base}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        build(tmp)
+        try:
+            os.replace(tmp, base)
+        except OSError:  # concurrent builder won the rename — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
 
 
 def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -4879,12 +4949,12 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS BIGINT) AS weight
           FROM totals)
     SELECT source, total_tokens, n_docs, weight,
-           (weight * CAST(20000 AS BIGINT))
-               // nullif(sum(weight) OVER (), 0) AS alloc_tokens,
-           least(CAST(4294967296 AS BIGINT),
+           CAST((weight * CAST(20000 AS BIGINT))
+               // nullif(sum(weight) OVER (), 0) AS BIGINT) AS alloc_tokens,
+           CAST(least(CAST(4294967296 AS BIGINT),
                  (weight * CAST(20000 AS BIGINT) * 4294967296)
                      // nullif(sum(weight) OVER () * total_tokens, 0))
-               AS keep_threshold_32
+               AS BIGINT) AS keep_threshold_32
     FROM w
 """)
 def mixture_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,3 +68,35 @@ def test_semdedup_recall_vs_exact(spark, emb):
     planted = {p for p in exact_pairs if p[1] == p[0] + 1}
     assert planted <= sem_pairs
     assert len(sem_pairs) >= 0.9 * len(exact_pairs)
+
+
+def test_semdedup_giant_cell_blocked(spark):
+    """A deliberately skewed codebook (k=1 → the whole corpus is ONE cell)
+    under a small max_cell_rows: the cell sub-blocks instead of landing in a
+    single task, and pairs/survivors are IDENTICAL to the one-block path."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(0, 120, 2):          # 60 anchors, each with a near-dup
+        v = rng.normal(size=6)
+        d = v + rng.normal(scale=0.004, size=6)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1, [float(x) for x in d]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = np.ones((1, 6)) / np.sqrt(6.0)   # k=1: everything in cell 0
+
+    def pairs(max_cell_rows):
+        return {(r["doc_a"], r["doc_b"]) for r in
+                semdedup.semantic_dup_pairs(
+                    emb, k=1, threshold=0.95, centroids=cents,
+                    max_cell_rows=max_cell_rows)
+                .select("doc_a", "doc_b").collect()}
+
+    one_block = pairs(10_000)           # 120 rows ≤ max → single diag task
+    blocked = pairs(16)                 # forces ⌈120/16⌉ = 8 blocks, 36 tasks
+    assert blocked == one_block and one_block   # identical, non-empty
+    surv_a = sorted(r["vec_id"] for r in semdedup.semantic_dedup(
+        emb, k=1, threshold=0.95, max_cell_rows=16).select("vec_id").collect())
+    surv_b = sorted(r["vec_id"] for r in semdedup.semantic_dedup(
+        emb, k=1, threshold=0.95, max_cell_rows=10_000)
+        .select("vec_id").collect())
+    assert surv_a == surv_b

@@ -79,10 +79,38 @@ def test_plan_no_position_self_join(spark):
     out = T.remove_duplicate_spans(df, "doc_id", "text", k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # the over-frequent gram set comes back as a broadcast semi-join flag
-    # (never a gram-keyed fact shuffle); the only non-broadcast join is
-    # the doc-keyed re-assembly of base × hits
-    assert "LeftSemi, BuildRight" in plan
-    import re
-    smjs = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
-    assert all("doc_id" in ln for ln in smjs)
+    # the covered-position computation is the in-row linear run-merge —
+    # never a per-token EXISTS over the start list (ArrayExists) and never
+    # a position self-join
+    assert "ArrayExists" not in plan
+
+
+def test_plan_broadcast_gate_both_shapes(spark):
+    """round-4 VERDICT item 3: the duplicated-gram set's join strategy is
+    gated — forced broadcast under, shuffle hash join over (web scale where
+    the docfreq>1 gram set is unbroadcastable)."""
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "a b c d e")],
+                               ["doc_id", "text"])
+    plan_b = (T.remove_duplicate_spans(df, "doc_id", "text", k=3,
+                                       broadcast_common=True)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi, BuildRight" in plan_b and "BroadcastHashJoin" in plan_b
+    plan_s = (T.remove_duplicate_spans(df, "doc_id", "text", k=3,
+                                       broadcast_common=False)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "ShuffledHashJoin" in plan_s and "LeftSemi" in plan_s
+    seg_b = (T.remove_common_segments(df, "doc_id", "text", seg_tokens=2,
+                                      broadcast_common=True)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in seg_b
+    seg_s = (T.remove_common_segments(df, "doc_id", "text", seg_tokens=2,
+                                      broadcast_common=False)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "ShuffledHashJoin" in seg_s
+    # outputs identical under every strategy
+    for fn, kw in ((T.remove_duplicate_spans, {"k": 3}),
+                   (T.remove_common_segments, {"seg_tokens": 2})):
+        outs = [sorted(map(tuple, fn(df, "doc_id", "text",
+                                     broadcast_common=bc, **kw).collect()))
+                for bc in (None, True, False)]
+        assert outs[0] == outs[1] == outs[2]

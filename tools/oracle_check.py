@@ -95,6 +95,21 @@ def main() -> int:
             continue
         ocols = None
         try:
+            # Driver-shaped guard #2 (round-4 diagnosis): DuckDB SUM(BIGINT)
+            # yields HUGEINT (int128); the driver's pandas-converting
+            # comparator renders HUGEINT as float64 ("123.0" vs Spark "123")
+            # → hash mismatch with rows+schema green. This was the ONLY
+            # cause of the r2/r3 pack_documents_512 / packing_stats_512
+            # driver reds (perfect 2/2-vs-48/48 correlation with HUGEINT
+            # presence in the 50-window). Reject such oracles up front even
+            # though fetchall() masks the problem locally.
+            otypes = [str(t) for t in con.sql(oracles[name]).types]
+            bad = [t for t in otypes if "HUGEINT" in t.upper()]
+            if bad:
+                print(f"✗ {name:35s} HUGEINT ORACLE COLUMNS {bad} — "
+                      f"CAST(... AS BIGINT) every SUM that reaches output")
+                failures += 1
+                continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
