@@ -236,20 +236,45 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
 # MinHash + banded LSH (approximate candidate generation, exact verification)
 # --------------------------------------------------------------------------
 
+# portable-hash constants (md5 scheme): 60-bit md5 prefix reduced mod the
+# Mersenne prime 2^31−1, then 48 affine maps h_i = (base·A_i + i) mod P with
+# A_i = ((2i+1)·Knuth) mod P — every op is exact BIGINT arithmetic both in
+# Spark and in ANSI SQL, so the whole sketch is oracle-reproducible.
+_MH_P = 2_147_483_647          # 2^31 − 1
+_MH_MIX = 2_654_435_761        # Knuth multiplicative constant
+
+
+def _mh_coeff(i: int) -> int:
+    return ((2 * i + 1) * _MH_MIX) % _MH_P
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
-                       n: int = 3, num_hashes: int = 48) -> DataFrame:
-    """H-min signature per document: h_i = min over shingles of
-    xxhash64(shingle, i). One explode + one groupBy; the signature is a
-    constant-size sketch regardless of document length."""
+                       n: int = 3, num_hashes: int = 48,
+                       hash_scheme: str = "xxhash64") -> DataFrame:
+    """H-min signature per document: h_i = min over shingles of hash_i.
+    One explode + one groupBy; the signature is a constant-size sketch
+    regardless of document length.
+
+    ``hash_scheme``: "xxhash64" (default — one JVM hash per (shingle, i),
+    fastest) or "md5" — ONE md5 per shingle then 48 affine maps mod
+    2^31−1, bit-reproducible in ANSI SQL so the full MinHash+LSH pipeline
+    can be oracle-checked exactly (round-4 VERDICT item 7)."""
     sh = _shingled(df, id_col, text_col, n)
-    aggs = [F.min(F.xxhash64(F.col("_shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
+    if hash_scheme == "md5":
+        base = (F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10)
+                .cast("long") % F.lit(_MH_P))
+        aggs = [F.min((base * F.lit(_mh_coeff(i)) + F.lit(i)) % F.lit(_MH_P))
+                .alias(f"h{i}") for i in range(num_hashes)]
+    else:
+        aggs = [F.min(F.xxhash64(F.col("_shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)]
     return sh.groupBy("_id").agg(*aggs)
 
 
 def minhash_band_index(df: DataFrame, id_col: str, text_col: str, *,
                        n: int = 3, num_hashes: int = 48,
-                       bands: int = 12) -> DataFrame:
+                       bands: int = 12,
+                       hash_scheme: str = "xxhash64") -> DataFrame:
     """The persistable LSH index: (id, band, bhash) — ``bands`` rows per
     document, each a 64-bit hash of one signature band. Same (n,
     num_hashes, bands) ⇒ same rows on any run/engine, so a lake-resident
@@ -260,11 +285,21 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str, *,
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n=n,
+                             num_hashes=num_hashes, hash_scheme=hash_scheme)
+    if hash_scheme == "md5":
+        def _bh(bi: int):
+            # md5 of "h0,h1,h2,h3|band" — string form is engine-portable
+            return F.md5(F.concat(
+                F.concat_ws(",", *[F.col(f"h{bi * r + j}").cast("string")
+                                   for j in range(r)]),
+                F.lit(f"|{bi}")))
+    else:
+        def _bh(bi: int):
+            return F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)],
+                              F.lit(bi))
     band_structs = F.array(*[
-        F.struct(F.lit(bi).alias("band"),
-                 F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)],
-                            F.lit(bi)).alias("bhash"))
+        F.struct(F.lit(bi).alias("band"), _bh(bi).alias("bhash"))
         for bi in range(bands)
     ])
     return sig.select(F.col("_id"), F.explode(band_structs).alias("b")) \
@@ -275,7 +310,8 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str, *,
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                            n: int = 3, num_hashes: int = 48, bands: int = 12,
                            threshold: float = 0.7,
-                           verify_exact: bool = True) -> DataFrame:
+                           verify_exact: bool = True,
+                           hash_scheme: str = "xxhash64") -> DataFrame:
     """Banded-LSH near-dup pairs.
 
     Signature split into ``bands`` bands of r = H/bands rows; documents
@@ -290,7 +326,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     banded = minhash_band_index(df, id_col, text_col, n=n,
-                                num_hashes=num_hashes, bands=bands)
+                                num_hashes=num_hashes, bands=bands,
+                                hash_scheme=hash_scheme)
 
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
@@ -308,7 +345,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                                             text_col, n)
     else:
         sig = minhash_signatures(df, id_col, text_col, n=n,
-                                 num_hashes=num_hashes)
+                                 num_hashes=num_hashes,
+                                 hash_scheme=hash_scheme)
         sa, sb = sig.alias("sa"), sig.alias("sb")
         agree = sum(
             F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
@@ -327,7 +365,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
 def minhash_near_dup_pairs_incremental(
         new_docs: DataFrame, corpus_index: DataFrame, corpus: DataFrame,
         id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 48,
-        bands: int = 12, threshold: float = 0.7) -> DataFrame:
+        bands: int = 12, threshold: float = 0.7,
+        hash_scheme: str = "xxhash64") -> DataFrame:
     """Near-dup pairs for an INCREMENTAL batch against an already-indexed
     corpus: only the new batch is shingled and sketched; the corpus
     contributes through its persisted ``minhash_band_index`` rows plus a
@@ -341,7 +380,8 @@ def minhash_near_dup_pairs_incremental(
     Corpus-internal pairs are by design not re-derived.
     """
     new_index = minhash_band_index(new_docs, id_col, text_col, n=n,
-                                   num_hashes=num_hashes, bands=bands)
+                                   num_hashes=num_hashes, bands=bands,
+                                   hash_scheme=hash_scheme)
     both = corpus_index.unionByName(new_index)
     x, nw = both.alias("x"), new_index.alias("y")
     candidates = (

@@ -93,11 +93,24 @@ def mixture_allocations(docs: DataFrame,
     All integer arithmetic — the threshold numerator (weight · budget ·
     2^32) exceeds 2^53, where double division stops being exact and
     floor() can disagree across engines, so everything is BIGINT ``div``.
-    BIGINT-safe while weight · budget < 2^31 (e.g. percent weights ×
-    ≤20M-token budgets; rescale the bucket resolution for more).
+    The numerator is int64-safe only while weight · budget < 2^31; dict
+    weights outside that envelope raise with a rescale hint (exact, caller
+    controls the quantization), while Column weights — which can be
+    token-scale, e.g. temperature weights on a 1e10-token source —
+    self-rescale IN-PLAN: every weight integer-divides by the same
+    ``d = floor(max(weight)·budget / (2^31−1)) + 1`` (computed
+    overflow-free in two div/mod stages), which is 1 (a no-op, bit-exact
+    with the unscaled form) inside the envelope and otherwise the smallest
+    uniform shrink that restores it. Thresholds are scale-invariant in the
+    weight vector up to integer quantization (≤1/max_scaled_weight ≈
+    budget/2^31 relative).
     """
     if budget_tokens <= 0:
         raise ValueError("need a positive budget")
+    if budget_tokens >= 2 ** 31:
+        raise ValueError("budget_tokens must be < 2^31 (threshold "
+                         "arithmetic is 32.32 fixed-point)")
+    lim = 2 ** 31 - 1
     if isinstance(weights, dict):
         if not weights:
             raise ValueError("need at least one weight")
@@ -106,14 +119,26 @@ def mixture_allocations(docs: DataFrame,
         if sum(weights.values()) == 0:
             raise ValueError("all weights are zero — the mixture would be "
                              "empty (weight sum divides the allocations)")
+        if max(weights.values()) * budget_tokens > lim:
+            raise ValueError(
+                "weight*budget exceeds 2^31 — the 32.32 fixed-point "
+                "threshold numerator would overflow int64. Divide all "
+                "weights by a common factor (thresholds are scale-"
+                "invariant in the weight vector).")
         wexpr = F.lit(0)
         for src, wt in sorted(weights.items()):
             wexpr = F.when(F.col(group_col) == src,
                            F.lit(wt)).otherwise(wexpr)
-        wsum_expr = str(sum(weights.values()))
+        w_used, wsum_expr = "weight", str(sum(weights.values()))
     else:
         wexpr = weights
-        wsum_expr = "SUM(weight) OVER ()"
+        # overflow-free d = floor(max_w*budget/lim) + 1 via div/mod split:
+        # q*B + (r*B) div lim with r < lim keeps every product under 2^62.
+        B = f"CAST({budget_tokens} AS BIGINT)"
+        d = (f"((MAX(weight) OVER ()) div {lim}) * {B} "
+             f"+ (((MAX(weight) OVER ()) % {lim}) * {B}) div {lim} + 1")
+        w_used = f"(weight div ({d}))"
+        wsum_expr = f"SUM({w_used}) OVER ()"
     totals = (docs.groupBy(group_col)
               .agg(F.sum(token_count(text_col)).alias("total_tokens"),
                    F.count(F.lit(1)).alias("n_docs"))
@@ -123,10 +148,10 @@ def mixture_allocations(docs: DataFrame,
     # which mixture_schedule converts into a clear ValueError.
     return totals.selectExpr(
         group_col, "total_tokens", "n_docs", "weight",
-        f"(weight * CAST({budget_tokens} AS BIGINT)) "
+        f"({w_used} * CAST({budget_tokens} AS BIGINT)) "
         f"div nullif(({wsum_expr}), 0) AS alloc_tokens",
         f"least(CAST({_B32} AS BIGINT), "
-        f"(weight * CAST({budget_tokens} AS BIGINT) * {_B32}) div "
+        f"({w_used} * CAST({budget_tokens} AS BIGINT) * {_B32}) div "
         f"nullif((({wsum_expr}) * total_tokens), 0)) AS keep_threshold_32")
 
 

@@ -362,9 +362,12 @@ def sliding_distinct_count(df: DataFrame, entity_col: str, ts_col: str, *,
                      F.datediff(F.to_date(ts_col), epoch).alias("_d"))
            .distinct())
     # the bound comes from the DEDUPED frame (max active day ≡ max event
-    # day) — persisting act keeps this a single fact-sized pass: the
-    # 1-row bound and the explode both read the collapsed table
-    act.persist()
+    # day) — materializing act keeps this a single fact-sized pass: the
+    # 1-row bound and the explode both read the collapsed table.
+    # localCheckpoint, not persist: blocks are GC-cleaned when the frame
+    # goes out of scope (persist leaks via the CacheManager for the
+    # session lifetime — round-4 ADVICE)
+    act = act.localCheckpoint()
     bounds = act.agg(F.max("_d").alias("_mx"))
     slots = act.select(
         "_e", F.explode(F.sequence(

@@ -190,7 +190,8 @@ def encode_docs(docs: DataFrame, pieces: list[tuple[str, int]],
     from ..functions.text_funcs import tokens
     distinct_words = (docs.select(F.explode(tokens(text_col)).alias("word"))
                       .filter(F.col("word") != "").distinct())
-    distinct_words.persist()
+    # localCheckpoint, not persist: GC-cleaned, no session-lifetime leak
+    distinct_words = distinct_words.localCheckpoint()
     n_words = distinct_words.count()
     par = docs.sparkSession.sparkContext.defaultParallelism
     want = max(1, min(par, (n_words + 4999) // 5000))

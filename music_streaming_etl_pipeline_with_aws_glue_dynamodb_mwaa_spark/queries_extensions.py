@@ -118,22 +118,115 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n=3, threshold=0.8)
 
 
-@register("neardup_minhash_pairs", None)  # xxhash sketches: engine-specific → rows-only
+def _minhash_pairs_sql(*, threshold: float, where: str = "") -> str:
+    """The FULL MinHash+banded-LSH pipeline in ANSI SQL: the md5 hash
+    scheme (60-bit md5 prefix mod 2^31−1, 48 affine maps
+    h_i = (base·A_i + i) mod P with A_i = ((2i+1)·2654435761) mod P) is
+    exact BIGINT arithmetic on both engines, so candidates AND the
+    verified jaccard hash-match — these queries were rows-only under
+    xxhash64. ``where`` filters the input slice; ``threshold`` is the
+    verified-jaccard band."""
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM documents {where}),
+    sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+            range(1, greatest(len(tk) - 1, 1)),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+          FROM tok),
+    base AS (SELECT doc_id, s,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS b0
+             FROM sh),
+    hh AS (SELECT doc_id, i,
+                  min((b0 * (((2*i + 1) * 2654435761) % 2147483647) + i)
+                      % 2147483647) AS h
+           FROM base, LATERAL (SELECT unnest(range(48)) AS i) v
+           GROUP BY 1, 2),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hh GROUP BY 1),
+    bandh AS (SELECT doc_id, b,
+                     md5(array_to_string(list_slice(hs, b*4 + 1, b*4 + 4),
+                                         ',') || '|' || CAST(b AS VARCHAR))
+                     AS bh
+              FROM sig, LATERAL (SELECT unnest(range(12)) AS b) w),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM bandh x JOIN bandh y
+               ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (SELECT c.doc_a, c.doc_b, count(*) AS cnt
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.s = a.s
+               GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           CAST(cnt AS DOUBLE) / (x.n + y.n - cnt) AS jaccard
+    FROM common c
+    JOIN sizes x ON c.doc_a = x.doc_id
+    JOIN sizes y ON c.doc_b = y.doc_id
+    WHERE CAST(cnt AS DOUBLE) / (x.n + y.n - cnt) >= {threshold}
+    """
+
+
+@register("neardup_minhash_pairs", _minhash_pairs_sql(threshold=0.8))
 def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact verification at the same 0.8 band as
     neardup_jaccard_pairs; recall vs the exact join is asserted in
     tests/test_dedup.py. Bands 12×4 put the S-curve crossover at ~0.54 —
     ≥99.8% expected recall at j=0.8, with candidates pruned long before
-    verification."""
+    verification. Registered under the md5 hash scheme (one md5 per
+    shingle + 48 affine maps mod 2^31−1 — portable BIGINT arithmetic), so
+    the WHOLE pipeline is oracle-exact; the xxhash64 scheme remains the
+    faster default for library callers."""
     return dedup.minhash_near_dup_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
-        n=3, num_hashes=48, bands=12, threshold=0.8)
+        n=3, num_hashes=48, bands=12, threshold=0.8, hash_scheme="md5")
 
 
-@register("neardup_simhash_pairs", None)  # md5-bit sketches → rows-only
+@register("neardup_simhash_pairs", """
+    -- Full SimHash pipeline reproduced bit-for-bit: the sketch is already
+    -- md5-based (dedup.simhash64 — bit b of the first 8 md5 bytes,
+    -- big-endian), so each of the 64 fingerprint bits is the sign of a
+    -- count-weighted ±1 vote — exact integer arithmetic both engines.
+    -- Chunks for the pigeonhole candidate join are rebuilt FROM the bits
+    -- (no signed-shift trickery), hamming is the differing-bit count.
+    WITH tokc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    bits AS (
+      SELECT doc_id, bb.b AS b,
+             CASE WHEN 2 * sum(c * ((CASE WHEN bb.b < 32
+                    THEN (('0x' || substr(md5(tok), 9, 8))::BIGINT >> bb.b)
+                    ELSE (('0x' || substr(md5(tok), 1, 8))::BIGINT
+                          >> (bb.b - 32)) END) & 1))
+                  - sum(c) > 0 THEN 1 ELSE 0 END AS bit
+      FROM tokc, LATERAL (SELECT unnest(range(64)) AS b) bb
+      GROUP BY 1, 2),
+    chunks AS (
+      SELECT doc_id, b // 16 AS chunk,
+             CAST(sum(bit << (b % 16)) AS BIGINT) AS cval
+      FROM bits GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM chunks x JOIN chunks y
+        ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id),
+    ham AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN xa.bit != xb.bit THEN 1 ELSE 0 END)
+                  AS INTEGER) AS hamming
+      FROM cand c
+      JOIN bits xa ON xa.doc_id = c.doc_a
+      JOIN bits xb ON xb.doc_id = c.doc_b AND xb.b = xa.b
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+""")
 def neardup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                                        max_hamming=3)
+    """SimHash near-dup pairs at hamming ≤ 3 — md5-based sketch makes the
+    whole pipeline (votes → bits → pigeonhole chunks → verified hamming)
+    oracle-exact integer arithmetic; was rows-only before round 4."""
+    out = dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), "doc_id",
+                                       "text", max_hamming=3)
+    return out.select("doc_a", "doc_b",
+                      F.col("hamming").cast("int").alias("hamming"))
 
 
 # Duplicate-cluster closure over the exact jaccard pair list: the shared
@@ -2967,20 +3060,29 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.epoch_shuffle(docs, epoch=1).select("doc_id", "epoch_pos")
 
 
-@register("neardup_minhash_incremental", None)   # minhash sketch → rows-only
+@register("neardup_minhash_incremental", f"""
+    -- full-recompute pairs (md5 scheme, exact SQL twin) restricted to
+    -- those touching the "new batch" slice — the documented equivalence
+    -- of the incremental probe (also pytest-pinned vs full recompute)
+    SELECT doc_a, doc_b, jaccard
+    FROM ({_minhash_pairs_sql(threshold=0.7)}) p
+    WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+""")
 def neardup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the doc_id%10==0 slice arrives as a
     NEW batch against the rest of the corpus, which contributes only its
     persisted MinHash band index (+ candidate-restricted text fetch for
     exact verification) — the ingest-time shape that avoids re-sketching
     the lake per batch. Equivalence with the full recompute's new-touching
-    pairs is pinned in tests/test_dedup.py."""
+    pairs is pinned in tests/test_dedup.py; under the md5 hash scheme the
+    whole probe is oracle-exact (was rows-only)."""
     docs = _docs(spark, sf_dir)
     new = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     old = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
-    idx = dedup.minhash_band_index(old, "doc_id", "text")
+    idx = dedup.minhash_band_index(old, "doc_id", "text",
+                                   hash_scheme="md5")
     return dedup.minhash_near_dup_pairs_incremental(
-        new, idx, old, "doc_id", "text", threshold=0.7)
+        new, idx, old, "doc_id", "text", threshold=0.7, hash_scheme="md5")
 
 
 @register("embedding_label_centroids", None)  # distributed float mean → rows-only
@@ -3523,7 +3625,43 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E79 — in-engine dedup quality evaluation (approximate vs exact)
 # --------------------------------------------------------------------------
 
-@register("neardup_minhash_eval", None)  # evaluates engine-specific sketches
+_EVAL_SLICE = ("WHERE (('0x' || substr(md5('ev:' || CAST(doc_id AS VARCHAR)),"
+               " 1, 8))::BIGINT % 10) < 4")
+
+_EVAL_EXACT_SQL = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM documents {_EVAL_SLICE}),
+    sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+            range(1, greatest(len(tk) - 1, 1)),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+          FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
+"""
+
+
+@register("neardup_minhash_eval", f"""
+    -- exact-vs-LSH recall/precision on the deterministic 40% slice: both
+    -- pipelines reproduced in SQL (md5 hash scheme), so the report row is
+    -- oracle-exact (was rows-only under xxhash64)
+    WITH ex AS ({_EVAL_EXACT_SQL}),
+    ap AS (SELECT doc_a, doc_b
+           FROM ({_minhash_pairs_sql(threshold=0.8, where=_EVAL_SLICE)}) p),
+    tp AS (SELECT count(*) AS c
+           FROM ap JOIN ex USING (doc_a, doc_b)),
+    ne AS (SELECT count(*) AS e FROM ex),
+    na AS (SELECT count(*) AS a FROM ap)
+    SELECT CAST(e AS BIGINT) AS n_exact, CAST(a AS BIGINT) AS n_approx,
+           CAST(c AS BIGINT) AS n_common,
+           CASE WHEN e > 0 THEN CAST(c AS DOUBLE) / e END AS recall,
+           CASE WHEN a > 0 THEN CAST(c AS DOUBLE) / a END AS precision
+    FROM tp, ne, na
+""")
 def neardup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row recall/precision report of the MinHash-LSH pair detector
     against the exact prefix-filtered Jaccard join at the same 0.8 band —
@@ -3543,7 +3681,8 @@ def neardup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n=3, threshold=0.8) \
         .select("doc_a", "doc_b").localCheckpoint()
     approx = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
-                                          n=3, threshold=0.8) \
+                                          n=3, threshold=0.8,
+                                          hash_scheme="md5") \
         .select("doc_a", "doc_b").localCheckpoint()
     tp = approx.join(exact, ["doc_a", "doc_b"], "left_semi") \
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -4191,7 +4330,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("l_shipdate") < "1997-04-01"))
            .groupBy(F.col("l_suppkey").alias("supplier_no"))
            .agg(F.sum(_rev_cbp()).alias("total_cbp")))
-    rev.persist()
+    rev = rev.localCheckpoint()  # eager + GC-cleaned (no persist leak)
     mx = rev.agg(F.max("total_cbp").alias("_mx"))
     s = catalog.load_table(spark, sf_dir, "supplier") \
         .select("s_suppkey", "s_name")
@@ -4460,7 +4599,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
          .groupBy("p_partkey")
          .agg(F.sum("_rc").alias("value_cents")))
-    v.persist()
+    v = v.localCheckpoint()  # eager + GC-cleaned (no persist leak)
     total = v.agg(F.sum("value_cents").alias("_t"))
     return (v.crossJoin(F.broadcast(total))
             .filter(F.col("value_cents") * 1000 > F.col("_t"))
@@ -4544,7 +4683,7 @@ def tpch_q20_dominant_suppliers(spark: SparkSession,
                 "left_semi"))
     shipped = (li.groupBy("l_partkey", "l_suppkey")
                .agg(F.sum(stats.cents("l_quantity")).alias("qty_c")))
-    shipped.persist()
+    shipped = shipped.localCheckpoint()  # eager + GC-cleaned (no persist leak)
     tot = (shipped.groupBy(F.col("l_partkey").alias("_pk"))
            .agg(F.sum("qty_c").alias("tot_c")))
     s = catalog.load_table(spark, sf_dir, "supplier") \
@@ -4859,7 +4998,7 @@ def user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     per_user = (ev.groupBy("event_type", "user_id")
                 .agg(F.sum(stats.cents("value")).alias("cents")))
-    per_user.persist()
+    per_user = per_user.localCheckpoint()  # eager + GC-cleaned (no persist leak)
     num = (per_user.groupBy("event_type")
            .agg(gini_numerator("cents").alias("gini_num")))
     tot = (per_user.groupBy("event_type")
@@ -5205,7 +5344,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
                                       n=3, threshold=0.8)
-    pairs.persist()
+    pairs = pairs.localCheckpoint()  # eager + GC-cleaned (no persist leak)
     assigns = cluster.cluster_assignments(docs, pairs, "doc_id")
     naive = sampling.hash_split(docs.select("doc_id"), "doc_id",
                                 train_pct=90, val_pct=5)

@@ -94,25 +94,43 @@ def vacuum(root: str, *, keep_last: int = 2) -> list[int]:
     a reader holding an old manifest in memory may still race the
     directory delete, the documented retention trade every lake format
     shares) plus any orphan ``v=`` directories no manifest references.
-    Returns the removed version numbers."""
+    Returns the removed version numbers.
+
+    Multi-table roots (``write_snapshot_multi``) vacuum consistently: each
+    table's manifest entry prunes to the kept set AND each
+    ``<table>/v=N`` directory deletes, so ``versions()``/``read_table``
+    never disagree with on-disk state and storage is actually reclaimed.
+    """
     if keep_last < 1:
         raise ValueError("keep_last >= 1 (never vacuum the latest)")
     m = _read_manifest(root)
     keep = set(sorted(m["versions"])[-keep_last:])
     drop = [v for v in m["versions"] if v not in keep]
     m["versions"] = sorted(keep)
+    tables = m.get("tables", {})
+    if tables:
+        m["tables"] = {name: [v for v in vs if v in keep]
+                       for name, vs in tables.items()}
     _swap_manifest(root, m)
-    for v in drop:
-        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
-    for entry in os.listdir(root):           # orphans from crashed writes
-        if entry.startswith("v="):
+
+    def _sweep(dirpath: str, referenced: set[int]) -> None:
+        """Remove dropped versions and orphans under one version dir."""
+        if not os.path.isdir(dirpath):
+            return
+        for entry in os.listdir(dirpath):
+            if not entry.startswith("v="):
+                continue
             try:
                 n = int(entry[2:])
             except ValueError:
                 continue
-            if n not in keep and n not in m["versions"]:
-                shutil.rmtree(os.path.join(root, entry),
+            if n not in referenced:
+                shutil.rmtree(os.path.join(dirpath, entry),
                               ignore_errors=True)
+
+    _sweep(root, keep)                       # single-table layout + orphans
+    for name in tables:                      # multi-table layout
+        _sweep(os.path.join(root, name), keep)
     return drop
 
 

@@ -56,3 +56,26 @@ def run_available_now(stream_df: DataFrame,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_continuous(stream_df: DataFrame,
+                   process_batch: Callable[[DataFrame, int], None],
+                   checkpoint_dir: str, *,
+                   processing_time: str = "60 seconds") -> StreamingQuery:
+    """Run the pipeline as a DAEMON: poll the source on a fixed cadence
+    forever, exactly the reference's always-on S3KeySensor loop
+    (``REF/dags/music_etl_pipeline.py:83-90`` — 60 s ``poke_interval``,
+    no terminal state). Same checkpoint-as-ledger exactly-once path as
+    ``run_available_now``; the only difference is the trigger — the caller
+    owns the query handle and decides when (if ever) to ``stop()``.
+
+    ``processing_time`` takes Spark's duration syntax ("60 seconds",
+    "5 minutes"); batches that find no new file are no-ops, matching the
+    sensor's idle pokes."""
+    return (
+        stream_df.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_time)
+        .start()
+    )

@@ -139,3 +139,45 @@ def test_temperature_alpha_quarter_flattens_further(spark):
     assert share(2) < share(1)
     with pytest.raises(ValueError):
         mixture.temperature_weights(0)
+
+
+def test_overflow_envelope_dict_raises(spark, docs):
+    """weight*budget ≥ 2^31 in the dict path raises with a rescale hint
+    instead of overflowing the 32.32 threshold numerator (round-4 ADVICE)."""
+    with pytest.raises(ValueError, match="2\\^31"):
+        mixture.mixture_allocations(
+            docs, {"web": 10**6, "books": 1}, budget_tokens=10**7)
+    with pytest.raises(ValueError, match="2\\^31"):
+        mixture.mixture_allocations(docs, {"web": 1}, budget_tokens=2**31)
+
+
+def test_overflow_envelope_column_self_rescales(spark, docs):
+    """Token-scale Column weights (the temperature path on a huge source)
+    self-rescale in-plan: no ANSI overflow, thresholds stay in [0, 2^32],
+    allocations still sum to ≈budget, and proportions track the weights."""
+    w = F.when(F.col("source") == "web", F.lit(3 * 10**9)) \
+         .otherwise(F.lit(10**9))
+    plan = mixture.mixture_allocations(
+        docs, w, budget_tokens=20_000_000).collect()
+    assert plan                                  # executed, no overflow
+    total_alloc = sum(r["alloc_tokens"] for r in plan)
+    assert 0 < total_alloc <= 20_000_000
+    for r in plan:
+        assert 0 <= r["keep_threshold_32"] <= 2**32
+    by_src = {r["source"]: r for r in plan}
+    if "web" in by_src and len(by_src) > 1:
+        other = next(s for s in by_src if s != "web")
+        ratio = (by_src["web"]["alloc_tokens"]
+                 / max(1, by_src[other]["alloc_tokens"]))
+        assert 2.5 <= ratio <= 3.5               # 3:1 weights preserved
+
+
+def test_in_envelope_column_path_is_noop_rescale(spark, docs):
+    """Inside the envelope the rescale divisor is exactly 1 — results are
+    bit-identical to the dict path with the same weights."""
+    expr_plan = sorted(map(tuple, mixture.mixture_allocations(
+        docs, F.lit(7), budget_tokens=1000).collect()))
+    srcs = [r[0] for r in expr_plan]
+    dict_plan = sorted(map(tuple, mixture.mixture_allocations(
+        docs, {s: 7 for s in srcs}, budget_tokens=1000).collect()))
+    assert expr_plan == dict_plan

@@ -206,3 +206,51 @@ def test_stream_static_enrichment_left_join(spark, tmp_path):
            for r in spark.sql("select * from en_out").collect()}
     # missing dim key survives with NULL (left join), never dropped
     assert out == {"k1": "one", "k3": None}
+
+
+def test_continuous_processing_time_daemon(spark, tmp_path):
+    """run_continuous (the reference's always-on 60 s sensor loop,
+    REF/dags/music_etl_pipeline.py:83-90): two timed micro-batches through
+    the SAME checkpoint-as-ledger path run_available_now uses — a file
+    present at start and a file landing while the daemon polls are each
+    processed exactly once; the caller stops the daemon."""
+    import time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(str(src), "a.csv",
+           "user_id,track_id,listen_time\nu1,t1,2024-01-01T10:00:00\n", 1000)
+
+    seen: list[tuple[int, str]] = []
+
+    def process(df, epoch_id):
+        for r in df.collect():
+            seen.append((epoch_id, r["user_id"]))
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = filestream.csv_file_stream(spark, str(src), STREAMS)
+    q = filestream.run_continuous(stream, process, ckpt,
+                                  processing_time="1 seconds")
+    try:
+        deadline = time.time() + 60
+        while not any(u == "u1" for _, u in seen) and time.time() < deadline:
+            time.sleep(0.2)
+        # second batch: a file lands while the daemon is polling
+        _write(str(src), "b.csv",
+               "user_id,track_id,listen_time\nu2,t2,2024-01-02T10:00:00\n",
+               2000)
+        while not any(u == "u2" for _, u in seen) and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    users = [u for _, u in seen]
+    assert sorted(users) == ["u1", "u2"]          # each exactly once
+    assert len({e for e, _ in seen}) == 2         # two distinct micro-batches
+    # the daemon's checkpoint IS the ledger: a drain restart over the same
+    # source reprocesses nothing
+    counts = []
+    stream = filestream.csv_file_stream(spark, str(src), STREAMS)
+    filestream.run_available_now(stream, lambda df, e: counts.append(df.count()),
+                                 ckpt).awaitTermination(120)
+    assert sum(counts) == 0

@@ -78,3 +78,33 @@ def test_multi_table_commit_is_atomic(spark, tmp_path):
     assert V.read_table(spark, root, "items", version=1).count() == 6
     with pytest.raises(ValueError):
         V.read_table(spark, root, "missing")
+
+
+def test_vacuum_multi_table_consistent(spark, tmp_path):
+    """round-4 ADVICE fix: vacuum on a write_snapshot_multi root prunes
+    each table's manifest list, deletes <table>/v=N directories (storage
+    actually reclaimed), and read_table refuses vacuumed versions."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "multi")
+    for i in range(3):
+        V.write_snapshot_multi(
+            {"a": spark.range(i + 1).toDF("x"),
+             "b": spark.range(10 + i).toDF("y")}, root)
+    dropped = V.vacuum(root, keep_last=2)
+    assert dropped == [1]
+    assert V.versions(root) == [2, 3]
+    # manifest table lists agree with versions()
+    import json
+    with open(os.path.join(root, "_manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["tables"] == {"a": [2, 3], "b": [2, 3]}
+    # storage reclaimed: the v=1 dirs are gone under BOTH tables
+    assert not os.path.exists(os.path.join(root, "a", "v=1"))
+    assert not os.path.exists(os.path.join(root, "b", "v=1"))
+    # vacuumed version is not readable state; kept ones are
+    with pytest.raises(ValueError):
+        V.read_table(spark, root, "a", version=1)
+    assert V.read_table(spark, root, "b", version=2).count() == 11
