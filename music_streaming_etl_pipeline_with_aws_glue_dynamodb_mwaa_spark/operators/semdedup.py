@@ -67,15 +67,19 @@ def semantic_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     if centroids is None:
         centroids = _kmeans.kmeans_fit(emb, vec_col, k=k)
     spark = emb.sparkSession
-    assigned = (_kmeans.kmeans_assign(emb, centroids, id_col=id_col,
-                                      vec_col=vec_col)
-                .select(id_col, "cluster_id")
-                .join(emb.select(id_col, vec_col), id_col))
+    # materialize the (id, cluster) map ONCE — it is read twice (the k-row
+    # count below and the replication join), and recomputing it would run
+    # the assign matmul pass twice; localCheckpoint is GC-cleaned and the
+    # frame is 2 scalar columns, never vectors
+    assign_map = (_kmeans.kmeans_assign(emb, centroids, id_col=id_col,
+                                        vec_col=vec_col)
+                  .select(id_col, "cluster_id").localCheckpoint())
+    assigned = assign_map.join(emb.select(id_col, vec_col), id_col)
 
     # k-row collect (codebook-sized, never corpus-sized): per-cell row
     # counts decide how many sub-blocks each cell needs.
     counts = {r["cluster_id"]: r["_cnt"] for r in
-              assigned.groupBy("cluster_id")
+              assign_map.groupBy("cluster_id")
               .agg(F.count(F.lit(1)).alias("_cnt")).collect()}
     nb_rows, task_rows = [], []
     for cid, cnt in sorted(counts.items()):

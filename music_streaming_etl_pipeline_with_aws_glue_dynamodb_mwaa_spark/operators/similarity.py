@@ -607,3 +607,46 @@ def cosine_topk_jl(emb: DataFrame, queries: DataFrame, k: int = 10, *,
                        / (F.col("_nn") * F.col("_qn"))).alias("cosine")))
     return top_k_per_group(scored, [query_id_col], "cosine", k,
                            tie_break=["neighbor_id"])
+
+
+def assign_nearest_seed(emb: DataFrame, seeds: DataFrame, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed_id_col: str = "seed_id") -> DataFrame:
+    """Deterministic nearest-seed assignment by cosine — the oracle-exact
+    twin of ``kmeans.kmeans_assign`` (whose trained centroids are float
+    means and therefore rows-only): every vector maps to its closest seed
+    vector, ties to the LOWEST seed id. Returns (id, seed_id, cosine).
+
+    100 TB shape: the seed set collects to the driver ONCE (codebook-sized
+    — k·d floats, the same bound kmeans_fit already accepts) and is
+    inlined as an array-of-structs literal, so the assignment is a pure
+    map-side expression: ZERO shuffles, zero joins — each row folds its
+    argmax over the k seeds in-row via ``array_max`` on (cosine, -seed_id)
+    structs. Cosine uses the sequential-fold ``dot_expr`` — bit-identical
+    to DuckDB's ``list_dot_product``, so the whole operator is
+    SQL-oracle-reproducible.
+    """
+    rows = seeds.select(F.col(seed_id_col).cast("long").alias("_sid"),
+                        F.col(vec_col).alias("_sv")).collect()
+    if not rows:
+        raise ValueError("need at least one seed")
+    seed_arr = F.array(*[
+        F.struct(
+            F.lit(int(r["_sid"])).alias("sid"),
+            F.array(*[F.lit(float(x)) for x in r["_sv"]]).alias("v"),
+        )
+        for r in sorted(rows, key=lambda r: r["_sid"])
+    ])
+    n = norm_expr(vec_col)
+    scored = F.transform(
+        seed_arr,
+        lambda s: F.struct(
+            (dot_expr(vec_col, s["v"]) / (n * norm_expr(s["v"])))
+            .alias("cosine"),
+            (-s["sid"]).alias("negsid"),
+        ))
+    best = F.array_max(scored)
+    return emb.select(
+        F.col(id_col),
+        (-best["negsid"]).cast("long").alias(seed_id_col),
+        best["cosine"].alias("cosine"))

@@ -54,8 +54,8 @@ from .operators import (
 )
 from .operators import validate
 from .queries_reference import register
-from .streaming import joins, windowed
-from .sources import catalog, io
+from .streaming import dedupe, joins, windowed
+from .sources import catalog, io, layout
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5633,3 +5633,107 @@ def adaptive_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count(F.lit(1)).over(wn).alias("_n"))
             .filter(F.col("rnk") * 2 <= F.col("_n"))
             .select("source", "doc_id", "margin", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# E105 (round 4) — oracle-exact nearest-seed assignment: the deterministic
+# twin of the kmeans assign family (whose trained centroids are float means
+# → rows-only). Seeds = the first 8 embedding rows; map-side argmax.
+# --------------------------------------------------------------------------
+
+@register("embedding_nearest_seed_assign", """
+    WITH s AS (SELECT vec_id AS seed_id, embedding FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, s.seed_id,
+             list_dot_product(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(s.embedding::DOUBLE[],
+                                    s.embedding::DOUBLE[]))) AS cosine
+      FROM embeddings e, s)
+    SELECT vec_id, seed_id, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, seed_id) AS rnk
+          FROM scored)
+    WHERE rnk = 1
+""")
+def embedding_nearest_seed_assign(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Every embedding mapped to its nearest of 8 fixed seed vectors by
+    cosine (ties → lowest seed id): the IVF/kmeans cell-assignment shape
+    with an EXACT oracle — zero shuffles, seeds inlined as a broadcast
+    literal, in-row argmax (similarity.assign_nearest_seed)."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), "embedding")
+    return similarity.assign_nearest_seed(emb, seeds)
+
+
+# --------------------------------------------------------------------------
+# E106 (round 4) — driver-certified STREAMING dedup: the at-least-once →
+# exactly-once rows primitive executed THROUGH Structured Streaming
+# (dropDuplicatesWithinWatermark, bounded evictable state) and
+# hash-matched against the batch DISTINCT oracle.
+# --------------------------------------------------------------------------
+
+@register("events_distinct_users_streamed", """
+    SELECT DISTINCT user_id, event_type FROM events
+""")
+def events_distinct_users_streamed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """(user_id, event_type) first-seen dedup run as a genuine stream:
+    watermarked dropDuplicatesWithinWatermark (state evicts on a
+    continuous stream; the horizon covers this bounded drain, so the
+    emitted key set equals batch DISTINCT exactly — which the oracle then
+    verifies). Append mode emits each key once, at first arrival."""
+    ev = dedupe.dedup_events(_events_stream(spark, sf_dir),
+                             ["user_id", "event_type"],
+                             ts_col="ts", watermark="3650 days")
+    out = ev.select("user_id", "event_type")
+    return _drain_to_memory(out, "edu_streamed", "append")
+
+
+# --------------------------------------------------------------------------
+# E107 (round 4) — z-order (Morton) clustering keys, oracle-exact: the
+# data-layout primitive behind multi-column file pruning
+# (sources/layout.py::zorder_by). Scaling is two IEEE ops + floor per dim,
+# the interleave is pure integer shifts — both mirrored in SQL.
+# --------------------------------------------------------------------------
+
+def _zorder_sql() -> str:
+    bits, k = 12, 2
+    terms = " | ".join(
+        f"(((s{j + 1} >> {i}) & 1) << {i * k + j})"
+        for j in range(k) for i in range(bits))
+    dim = ("least(4095, CAST(floor((CAST({x} AS DOUBLE) "
+           "- CAST({mn} AS DOUBLE)) / CAST({mx} - {mn} AS DOUBLE) "
+           "* 4096) AS BIGINT))")
+    s1 = dim.format(x="epoch_us(ts)", mn="b.mn1", mx="b.mx1")
+    s2 = dim.format(x="value", mn="b.mn2", mx="b.mx2")
+    return f"""
+    WITH b AS (SELECT min(epoch_us(ts)) AS mn1, max(epoch_us(ts)) AS mx1,
+                      min(value) AS mn2, max(value) AS mx2 FROM events),
+    s AS (SELECT event_id,
+                 CASE WHEN b.mx1 > b.mn1 THEN {s1} ELSE 0 END AS s1,
+                 CASE WHEN b.mx2 > b.mn2 THEN {s2} ELSE 0 END AS s2
+          FROM events, b)
+    SELECT event_id, CAST({terms} AS BIGINT) AS zval FROM s
+    """
+
+
+@register("events_zorder_keys", _zorder_sql())
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-curve) clustering key per event over (ts, value) at 12
+    bits/dim — the key ``layout.zorder_by`` range-partitions and sorts by
+    so parquet min-max envelopes tile BOTH dimensions. Two scalar
+    aggregates feed the scaling; the interleave is a pure shift/mask
+    expression — everything exact, hence the SQL oracle."""
+    ev = (catalog.load_table(spark, sf_dir, "events")
+          .select("event_id", F.unix_micros("ts").alias("_t"), "value"))
+    b = ev.agg(F.min("_t").alias("a"), F.max("_t").alias("b"),
+               F.min("value").alias("c"), F.max("value").alias("d")).first()
+    s1 = layout._scale_to_bits(F.col("_t"), F.lit(b["a"]), F.lit(b["b"]), 12)
+    s2 = layout._scale_to_bits(F.col("value"), F.lit(b["c"]), F.lit(b["d"]),
+                               12)
+    return ev.select("event_id", layout.zvalue([s1, s2], 12).alias("zval"))

@@ -41,7 +41,10 @@ def _scale_to_bits(col: Column, cmin: Column, cmax: Column,
     prunable by IS NULL anyway)."""
     span = (cmax - cmin).cast("double")
     maxv = F.lit((1 << bits) - 1)
-    scaled = F.when(span > 0,
+    # the NULL guard must come BEFORE least(): least() SKIPS nulls (both
+    # Spark and ANSI SQL), so least(maxv, NULL) is maxv — a NULL value
+    # would silently land in the TOP bin instead of bin 0 (round-4 fix)
+    scaled = F.when(col.isNotNull() & (span > 0),
                     F.least(maxv, F.floor(
                         (col.cast("double") - cmin.cast("double")) / span
                         * (1 << bits)).cast("long"))

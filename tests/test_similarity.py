@@ -274,3 +274,29 @@ def test_cosine_topk_jl_recall_on_planted_neighbors(spark):
                                       out_dim=16,
                                       rerank_factor=4).collect()}
     assert len(jl & exact) / len(exact) >= 0.95
+
+
+def test_assign_nearest_seed_matches_numpy_and_has_no_shuffle(spark):
+    """round-4 E105: map-side nearest-seed assignment — numpy argmax
+    parity, lowest-seed-id ties, and a plan with ZERO exchanges."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 6))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>")
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("seed_id"), "embedding")
+    out = similarity.assign_nearest_seed(emb, seeds)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # pure map-side
+    got = {r["vec_id"]: (r["seed_id"], r["cosine"]) for r in out.collect()}
+    s = vecs[:4]
+    sims = (vecs @ s.T) / (np.linalg.norm(vecs, axis=1, keepdims=True)
+                           * np.linalg.norm(s, axis=1))
+    for i in range(40):
+        j = int(np.argmax(sims[i]))        # numpy ties → first (lowest) id
+        assert got[i][0] == j
+        assert abs(got[i][1] - sims[i][j]) < 1e-9
