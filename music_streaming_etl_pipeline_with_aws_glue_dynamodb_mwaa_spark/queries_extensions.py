@@ -5737,3 +5737,46 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = layout._scale_to_bits(F.col("value"), F.lit(b["c"]), F.lit(b["d"]),
                                12)
     return ev.select("event_id", layout.zvalue([s1, s2], 12).alias("zval"))
+
+
+# --------------------------------------------------------------------------
+# E108 (round 4) — packing manifest: the per-context-window document list
+# that downstream training-sequence materialization consumes (groupBy of
+# the E7 packing output; one extra hash agg, exact integer + ordered
+# string aggregation on both engines).
+# --------------------------------------------------------------------------
+
+@register("pack_sequences_manifest", """
+    WITH packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY doc_id ASC NULLS FIRST
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS token_offset
+      FROM (SELECT doc_id, source,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        + 1 AS BIGINT) AS n_tokens
+            FROM documents))
+    SELECT source, token_offset // 512 AS bin_idx,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY token_offset) AS doc_ids,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY 1, 2
+""")
+def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, 512-token window) manifest: the ordered doc-id list
+    each training sequence concatenates, plus doc/token counts. One hash
+    agg over the packing output; the ordered list is an in-row
+    array_sort on (offset, id) structs — no ordered shuffle."""
+    packed = packing.pack_documents(_docs(spark, sf_dir), budget_tokens=512)
+    return (packed.groupBy("source", "bin_idx")
+            .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("token_offset", "doc_id"))),
+                        lambda s: s["doc_id"].cast("string")),
+                    ",").alias("doc_ids"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens")))
