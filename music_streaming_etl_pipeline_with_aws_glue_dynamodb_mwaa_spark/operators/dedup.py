@@ -259,6 +259,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     fastest) or "md5" — ONE md5 per shingle then 48 affine maps mod
     2^31−1, bit-reproducible in ANSI SQL so the full MinHash+LSH pipeline
     can be oracle-checked exactly (round-4 VERDICT item 7)."""
+    if hash_scheme not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_scheme {hash_scheme!r} "
+                         "(use 'xxhash64' or 'md5')")
     sh = _shingled(df, id_col, text_col, n)
     if hash_scheme == "md5":
         base = (F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10)

@@ -4814,6 +4814,17 @@ def _fixture_dir(sf_dir: str, name: str, build) -> str:
             os.replace(tmp, base)
         except OSError:  # concurrent builder won the rename — use theirs
             shutil.rmtree(tmp, ignore_errors=True)
+        # publish-time sweep, scoped to THIS sf's entries: crashed/losing
+        # builds and fixtures for superseded source fingerprints would
+        # otherwise accumulate in /tmp forever. Other sf dirs' entries
+        # (different prefix) are never touched — a concurrent build for
+        # another sf stays safe.
+        parent = os.path.dirname(base)
+        prefix = os.path.basename(os.path.normpath(sf_dir)) + "-"
+        for entry in os.listdir(parent):
+            p = os.path.join(parent, entry)
+            if p != base and entry.startswith(prefix):
+                shutil.rmtree(p, ignore_errors=True)
     return base
 
 
@@ -5086,15 +5097,26 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY 1),
     w AS (SELECT *, CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)))
                          AS BIGINT) AS weight
-          FROM totals)
+          FROM totals),
+    -- mirror of mixture_allocations' Column-path overflow envelope:
+    -- every weight integer-divides by d = floor(max_w*B/(2^31-1)) + 1
+    -- (overflow-free div/mod split); d = 1 until a source crosses
+    -- ~1.15e10 tokens, so small-sf results are bit-identical to the
+    -- unscaled form
+    d AS (SELECT *,
+                 (max(weight) OVER () // 2147483647) * CAST(20000 AS BIGINT)
+                 + ((max(weight) OVER () % 2147483647)
+                    * CAST(20000 AS BIGINT)) // 2147483647 + 1 AS dd
+          FROM w)
     SELECT source, total_tokens, n_docs, weight,
-           CAST((weight * CAST(20000 AS BIGINT))
-               // nullif(sum(weight) OVER (), 0) AS BIGINT) AS alloc_tokens,
+           CAST(((weight // dd) * CAST(20000 AS BIGINT))
+               // nullif(sum(weight // dd) OVER (), 0)
+               AS BIGINT) AS alloc_tokens,
            CAST(least(CAST(4294967296 AS BIGINT),
-                 (weight * CAST(20000 AS BIGINT) * 4294967296)
-                     // nullif(sum(weight) OVER () * total_tokens, 0))
+                 ((weight // dd) * CAST(20000 AS BIGINT) * 4294967296)
+                     // nullif(sum(weight // dd) OVER () * total_tokens, 0))
                AS BIGINT) AS keep_threshold_32
-    FROM w
+    FROM d
 """)
 def mixture_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture plan at α=0.5: source weights flatten from raw
@@ -5711,12 +5733,16 @@ def _zorder_sql() -> str:
            "* 4096) AS BIGINT))")
     s1 = dim.format(x="epoch_us(ts)", mn="b.mn1", mx="b.mx1")
     s2 = dim.format(x="value", mn="b.mn2", mx="b.mx2")
+    # NULL guard mirrors layout._scale_to_bits exactly: a NULL dim maps to
+    # bin 0 (NOT the top bin — least() skips NULLs on both engines)
     return f"""
     WITH b AS (SELECT min(epoch_us(ts)) AS mn1, max(epoch_us(ts)) AS mx1,
                       min(value) AS mn2, max(value) AS mx2 FROM events),
     s AS (SELECT event_id,
-                 CASE WHEN b.mx1 > b.mn1 THEN {s1} ELSE 0 END AS s1,
-                 CASE WHEN b.mx2 > b.mn2 THEN {s2} ELSE 0 END AS s2
+                 CASE WHEN ts IS NOT NULL AND b.mx1 > b.mn1
+                      THEN {s1} ELSE 0 END AS s1,
+                 CASE WHEN value IS NOT NULL AND b.mx2 > b.mn2
+                      THEN {s2} ELSE 0 END AS s2
           FROM events, b)
     SELECT event_id, CAST({terms} AS BIGINT) AS zval FROM s
     """

@@ -50,19 +50,30 @@ def _load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ratio = RATIO
-    for a in sys.argv[1:]:
+    ratio, args, argv = RATIO, [], sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--ratio"):
-            ratio = float(a.split("=", 1)[1] if "=" in a
-                          else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                ratio = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                ratio = float(argv[i])
+            else:
+                print("--ratio needs a value")
+                return 2
+        else:
+            args.append(a)
+        i += 1
     if len(args) >= 2:
         old_p, new_p = args[0], args[1]
     else:
         benches = sorted(
             glob.glob(os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "BENCH_r*.json")),
-            key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+            key=lambda p: int(re.search(r"r(\d+)",
+                                        os.path.basename(p)).group(1)))
         if len(benches) < 2:
             print("need two BENCH_r*.json files")
             return 0
