@@ -3071,16 +3071,27 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the doc_id%10==0 slice arrives as a
     NEW batch against the rest of the corpus, which contributes only its
-    persisted MinHash band index (+ candidate-restricted text fetch for
+    PERSISTED MinHash band index (+ candidate-restricted text fetch for
     exact verification) — the ingest-time shape that avoids re-sketching
-    the lake per batch. Equivalence with the full recompute's new-touching
-    pairs is pinned in tests/test_dedup.py; under the md5 hash scheme the
-    whole probe is oracle-exact (was rows-only)."""
+    the lake per batch. The corpus index is genuinely persisted (a
+    once-per-sf parquet fixture, exactly how a lake deployment stores
+    it), so the measured cost is the true per-batch probe: O(|batch|)
+    sketching + an equi-join against the index. Equivalence with the full
+    recompute's new-touching pairs is pinned in tests/test_dedup.py;
+    under the md5 hash scheme the whole probe is oracle-exact (was
+    rows-only)."""
     docs = _docs(spark, sf_dir)
     new = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     old = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
-    idx = dedup.minhash_band_index(old, "doc_id", "text",
-                                   hash_scheme="md5")
+
+    def build(fix: str) -> None:
+        dedup.minhash_band_index(old, "doc_id", "text",
+                                 hash_scheme="md5") \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(fix, "index"))
+
+    idx = spark.read.parquet(os.path.join(
+        _fixture_dir(sf_dir, "minhash_band_index_md5_v1", build), "index"))
     return dedup.minhash_near_dup_pairs_incremental(
         new, idx, old, "doc_id", "text", threshold=0.7, hash_scheme="md5")
 
