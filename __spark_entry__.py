@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # have not yet received a driver correctness row (round-2 additions) and the
 # queries whose projections were fixed this round. Everything else keeps its
 # definition order after the priority block; ALL entries are continuously
-# self-checked by tools/oracle_check.py (see ORACLE_FULL_r03.txt).
+# self-checked by tools/oracle_check.py (see ORACLE_FULL_r04.txt).
 _PRIORITY = [
     # --- retained anchors: reference surface (SURVEY.md §2 ✓-rows) ---
     "daily_genre_kpis", "top_songs_per_genre", "top_genres_per_day",
@@ -82,11 +82,15 @@ _PRIORITY = [
     "docs_remove_dup_spans", "docs_clean_boilerplate",
     # stream-stream interval join executed THROUGH Structured Streaming
     "purchase_click_interval_streamed",
-    # sliding/decay features + hopping windows + schema evolution
+    # sliding/decay features + schema evolution
     "events_wau_sliding_7d", "events_user_decay_score",
-    "events_hopping_counts", "union_by_name_evolution",
-    # OLAP cube + fuzzy join + equal-token sharding
-    "orders_cube", "part_name_fuzzy_pairs", "shard_docs_equal_tokens",
+    "union_by_name_evolution",
+    # OLAP cube + fuzzy join
+    "orders_cube", "part_name_fuzzy_pairs",
+    # round-4 new operators: z-order layout keys (first layout-family
+    # driver row) + streaming dedup (third gate-certified streaming
+    # execution)
+    "events_zorder_keys", "events_distinct_users_streamed",
 ]
 
 
