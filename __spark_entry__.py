@@ -82,8 +82,11 @@ _PRIORITY = [
     "docs_remove_dup_spans", "docs_clean_boilerplate",
     # stream-stream interval join executed THROUGH Structured Streaming
     "purchase_click_interval_streamed",
-    # sliding/decay features + schema evolution
-    "events_wau_sliding_7d", "events_user_decay_score",
+    # sliding features + schema evolution; plus the round-4 custom
+    # STATEFUL streaming certification (applyInPandasWithState closed
+    # sessions vs the batch sessionization oracle — 4th gate-certified
+    # streaming execution; decay-score family stays full-oracle-green)
+    "events_wau_sliding_7d", "events_closed_sessions_streamed",
     "union_by_name_evolution",
     # OLAP cube + fuzzy join
     "orders_cube", "part_name_fuzzy_pairs",

@@ -54,7 +54,7 @@ from .operators import (
 )
 from .operators import validate
 from .queries_reference import register
-from .streaming import dedupe, joins, windowed
+from .streaming import dedupe, joins, stateful, windowed
 from .sources import catalog, io, layout
 
 
@@ -5817,3 +5817,47 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ",").alias("doc_ids"),
                  F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("bin_tokens")))
+
+
+# --------------------------------------------------------------------------
+# E109 (round 4) — driver-certified CUSTOM STATEFUL streaming operator:
+# applyInPandasWithState closed-session emission, hash-matched against the
+# batch sessionization oracle. With NoTimeout the emitted set is exactly
+# "every session whose successor event arrived" = all sessions except each
+# user's last — deterministic, hence the exact oracle.
+# --------------------------------------------------------------------------
+
+@register("events_closed_sessions_streamed", f"""
+    WITH s AS ({_SESSIONIZED_SQL}),
+    stats AS (
+      SELECT user_id, session_idx,
+             CAST(count(*) AS BIGINT)            AS n_events,
+             CAST(min(ep2) AS BIGINT)            AS start_epoch,
+             CAST(max(ep2) AS BIGINT)            AS end_epoch,
+             CAST(max(ep2) - min(ep2) AS BIGINT) AS duration_secs
+      FROM (SELECT *, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep2
+            FROM s)
+      GROUP BY 1, 2),
+    last AS (SELECT user_id, max(session_idx) AS mx FROM stats GROUP BY 1)
+    SELECT st.user_id, st.session_idx, st.n_events, st.start_epoch,
+           st.end_epoch, st.duration_secs
+    FROM stats st JOIN last l ON st.user_id = l.user_id
+    WHERE st.session_idx < l.mx
+""")
+def events_closed_sessions_streamed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Per-user closed sessions emitted by the CUSTOM stateful operator
+    (streaming/stateful.py::closed_sessions — applyInPandasWithState,
+    O(1) state per user) run through a real stream drain. A session emits
+    the moment a later event proves it closed; the still-open tail stays
+    in state, so the emitted set equals batch sessionization minus each
+    user's final session — which the oracle verifies exactly. Timestamps
+    projected as second-epoch BIGINTs (the operator's own granularity)."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts")
+    out = stateful.closed_sessions(ev, gap_seconds=8 * 3600)
+    res = _drain_to_memory(out, "ecs_streamed", "append")
+    return res.select(
+        "user_id", "session_idx", "n_events",
+        F.unix_timestamp("session_start").cast("long").alias("start_epoch"),
+        F.unix_timestamp("session_end").cast("long").alias("end_epoch"),
+        F.col("duration_secs").cast("long").alias("duration_secs"))

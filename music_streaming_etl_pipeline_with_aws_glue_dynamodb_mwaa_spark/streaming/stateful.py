@@ -37,7 +37,10 @@ def closed_sessions(events: DataFrame, *, gap_seconds: int,
     of a user is never emitted (nothing can prove it closed) — callers
     wanting eventual closure add an event-time timeout policy.
     """
-    out_schema = (f"{user_col} string, session_idx long, n_events long, "
+    # the key column keeps ITS input type (string user ids in the music
+    # domain, bigint in the synthetic events table)
+    user_type = dict(events.dtypes)[user_col]
+    out_schema = (f"{user_col} {user_type}, session_idx long, n_events long, "
                   "session_start timestamp, session_end timestamp, "
                   "duration_secs long")
     state_schema = "session_idx long, n_events long, start long, last long"
