@@ -3090,10 +3090,14 @@ def neardup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite") \
             .parquet(os.path.join(fix, "index"))
 
+    # fixture key encodes the sketch parameters — a default change in
+    # dedup.py can never silently serve a stale-parameter index
+    fixture_name = "minhash_band_index_md5_n3_h48_b12_v1"
     idx = spark.read.parquet(os.path.join(
-        _fixture_dir(sf_dir, "minhash_band_index_md5_v1", build), "index"))
+        _fixture_dir(sf_dir, fixture_name, build), "index"))
     return dedup.minhash_near_dup_pairs_incremental(
-        new, idx, old, "doc_id", "text", threshold=0.7, hash_scheme="md5")
+        new, idx, old, "doc_id", "text", n=3, num_hashes=48, bands=12,
+        threshold=0.7, hash_scheme="md5")
 
 
 @register("embedding_label_centroids", None)  # distributed float mean → rows-only
@@ -4825,17 +4829,27 @@ def _fixture_dir(sf_dir: str, name: str, build) -> str:
             os.replace(tmp, base)
         except OSError:  # concurrent builder won the rename — use theirs
             shutil.rmtree(tmp, ignore_errors=True)
-        # publish-time sweep, scoped to THIS sf's entries: crashed/losing
-        # builds and fixtures for superseded source fingerprints would
-        # otherwise accumulate in /tmp forever. Other sf dirs' entries
-        # (different prefix) are never touched — a concurrent build for
-        # another sf stays safe.
+        # publish-time sweep, scoped to THIS sf's entries: crashed builds
+        # and fixtures for superseded source fingerprints would otherwise
+        # accumulate in /tmp forever. Other sf dirs' entries (different
+        # prefix) are never touched, and in-progress `.build-` dirs get a
+        # 1 h grace period so a concurrent LOSER's multi-second Spark
+        # write is never deleted out from under it (round-4 review catch)
+        # — only genuinely abandoned builds are reaped.
+        import time as _time
         parent = os.path.dirname(base)
         prefix = os.path.basename(os.path.normpath(sf_dir)) + "-"
         for entry in os.listdir(parent):
             p = os.path.join(parent, entry)
-            if p != base and entry.startswith(prefix):
-                shutil.rmtree(p, ignore_errors=True)
+            if p == base or not entry.startswith(prefix):
+                continue
+            if ".build-" in entry:
+                try:
+                    if _time.time() - os.stat(p).st_mtime < 3600:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(p, ignore_errors=True)
     return base
 
 

@@ -36,7 +36,22 @@ def closed_sessions(events: DataFrame, *, gap_seconds: int,
     Second-granularity epoch math, like the batch operator. The final session
     of a user is never emitted (nothing can prove it closed) — callers
     wanting eventual closure add an event-time timeout policy.
+
+    Ordering contract: WITHIN a micro-batch events sort by event time; an
+    event arriving in a LATER batch with a timestamp strictly before the
+    user's stored tail is LATE beyond the operator's assumption and is
+    DROPPED (folding it would silently rewind the tail and merge distinct
+    sessions — round-4 review catch). In-order multi-batch streams are
+    unaffected. Requires a UTC session timezone: Spark hands Arrow
+    session-TZ-naive timestamps and the epoch math reads them as UTC.
     """
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"closed_sessions requires a UTC session timezone, got {tz!r}: "
+            "pandas reads the session-TZ-naive Arrow timestamps as UTC, so "
+            "a non-UTC session would shift emitted session bounds by the "
+            "full offset")
     # the key column keeps ITS input type (string user ids in the music
     # domain, bigint in the synthetic events table)
     user_type = dict(events.dtypes)[user_col]
@@ -58,6 +73,11 @@ def closed_sessions(events: DataFrame, *, gap_seconds: int,
         stamps.sort()
         closed: list[tuple] = []
         for s in stamps:
+            if last is not None and s < last:
+                # strictly late beyond the stored tail (cross-batch
+                # disorder): folding would rewind `last` and merge
+                # sessions — drop; same-second events fold normally
+                continue
             if last is not None and s - last > gap_seconds:
                 closed.append((user, idx, n, start, last, last - start))
                 idx, n, start = idx + 1, 0, s
