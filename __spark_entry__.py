@@ -45,55 +45,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order after the priority block; ALL entries are continuously
 # self-checked by tools/oracle_check.py (see ORACLE_FULL_r04.txt).
 _PRIORITY = [
-    # --- retained anchors: reference surface (SURVEY.md §2 ✓-rows) ---
+    # --- permanent anchors (10): reference surface + the HUGEINT probes
+    # (VERDICT r4 item 1 sanctioned rotating everything else; these stay
+    # every round as regression tripwires for the flagship chain, the KV
+    # projection path, corrupt routing, and the r2/r3 packing root cause)
     "daily_genre_kpis", "top_songs_per_genre", "top_genres_per_day",
-    "validate_split_good", "validate_split_bad", "kv_genre_kpi_items",
-    "kv_top_song_items", "kv_top_genre_items", "latest_day_kpis",
-    "csv_scan_roundtrip", "csv_scan_corrupt_routing", "scan_project_filter",
-    # streaming execution certified by the gate
-    "events_windowed_counts_streamed",
-    # r2/r3 red pair — HUGEINT-oracle root cause fixed this round (DuckDB
-    # SUM(BIGINT)→int128 → pandas float64 in the driver comparator); the two
-    # probes bisect the pipeline if it ever reds again (VERDICT r3 item 1)
+    "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
     "pack_documents_512", "packing_stats_512",
     "pack_tokens_probe", "pack_offsets_probe",
-    # LLM-pipeline headline anchors (driver-green r2/r3, keep guarded)
-    "dedup_exact_text", "ann_cosine_topk", "sessionize_events",
-    # --- round-4 rotation: first-ever driver rows (VERDICT r3 item 5) ---
-    # TPC-H additions from round 3
-    "tpch_q1_pricing_summary", "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit", "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_supplier",
-    # UDAF/UDTF triad (§2.10)
-    "user_spend_gini", "doc_tokens_udtf",
-    # versioned source: time travel + snapshot CDC + IVM + KV round-trip
-    "orders_time_travel_v1", "orders_snapshot_changes",
-    "orders_join_view_refresh", "kvstore_read_genre_kpis",
-    # corrupt-record routing for the JSONL source
-    "jsonl_scan_corrupt_routing",
-    # HUGEINT-fixed latent pair + temperature plan (same root cause class)
-    "source_token_cap_docs", "mixture_plan_budget",
-    "mixture_plan_temperature",
-    # adaptive curation + leakage audit + data card
-    "adaptive_quality_topk", "split_leakage_audit", "corpus_data_card",
-    # set ops (§2.7)
-    "users_view_and_purchase", "users_view_not_purchase",
-    # span/segment dedup — rewritten this round (VERDICT items 3-4)
-    "docs_remove_dup_spans", "docs_clean_boilerplate",
-    # stream-stream interval join executed THROUGH Structured Streaming
-    "purchase_click_interval_streamed",
-    # sliding features + schema evolution; plus the round-4 custom
-    # STATEFUL streaming certification (applyInPandasWithState closed
-    # sessions vs the batch sessionization oracle — 4th gate-certified
-    # streaming execution; decay-score family stays full-oracle-green)
-    "events_wau_sliding_7d", "events_closed_sessions_streamed",
-    "union_by_name_evolution",
-    # OLAP cube + fuzzy join
-    "orders_cube", "part_name_fuzzy_pairs",
-    # round-4 new operators: z-order layout keys (first layout-family
-    # driver row) + streaming dedup (third gate-certified streaming
-    # execution)
-    "events_zorder_keys", "events_distinct_users_streamed",
+    # --- round-5 rotation (40): first-ever driver rows, whole families
+    # with zero driver history (VERDICT r4 item 1 list). Everything
+    # rotated OUT is r1–r4 driver-green AND still full-oracle-checked
+    # every round (ORACLE_FULL ledger).
+    # NEW this round: the reference's main entry point as ONE unit
+    "pipeline_e2e_kpis",
+    # as-of / point-in-time / SCD / CDC family
+    "asof_purchase_next_click", "purchase_state_pit",
+    "orders_cdc_change_counts", "orders_merge_changelog",
+    # OLAP lattice family
+    "lineitem_grouping_sets", "orders_status_pivot",
+    "lineitem_measures_long", "events_value_histogram",
+    # funnel / retention family
+    "funnel_user_stages", "user_cohort_retention", "user_interevent_stats",
+    # stats family
+    "events_value_moments", "events_value_anomalies",
+    "events_value_percentiles", "user_value_trend",
+    "orders_custkey_loo_price", "events_value_mad_outliers",
+    "events_value_ntile",
+    # the remaining never-validated TPC-H shapes
+    "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q11_important_stock", "tpch_q12_late_shipments",
+    "tpch_q13_customer_order_counts", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q19_discounted_revenue", "tpch_q20_dominant_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # SQL surface + audits
+    "regional_revenue", "fk_orphans_audit", "sql_nation_revenue",
+    # text/LM counting family
+    "doc_term_stats", "bigram_lm_counts", "kn_continuation_counts",
+    "token_cooccur_assoc",
+    # deterministic weighted sampling
+    "weighted_sample_docs",
 ]
 
 

@@ -5875,3 +5875,64 @@ def events_closed_sessions_streamed(spark: SparkSession,
         F.unix_timestamp("session_start").cast("long").alias("start_epoch"),
         F.unix_timestamp("session_end").cast("long").alias("end_epoch"),
         F.col("duration_secs").cast("long").alias("duration_secs"))
+
+
+# --------------------------------------------------------------------------
+# E110 (round 5) — END-TO-END pipeline certification: the reference's MAIN
+# entry point (sensor → ledger claim → validate/quarantine → transform →
+# KV load → mark processed → archive, REF/dags/music_etl_pipeline.py:142-145)
+# run as ONE unit inside the driver gate. The fixture stages a raw-CSV lake
+# from the testdata tables, drives Pipeline.run_once, and the query reads
+# the DailyGenreKPIs table BACK through the kvstore Python Data Source —
+# so a hash match certifies every stage plus both connector directions
+# against the same KPI oracle the flagship query uses.
+# --------------------------------------------------------------------------
+
+def _pipeline_e2e_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from .plans.pipeline import Pipeline, PipelineConfig
+
+    def build(fix: str) -> None:
+        base = os.path.join(fix, "lake")
+        streams = catalog.streams_from_lineitem(
+            catalog.load_table(spark, sf_dir, "lineitem"))
+        # ONE csv file = one batch: run_once consumes the oldest raw file
+        # per invocation (the reference's one-file-per-DAG-run granularity,
+        # music_etl_pipeline.py:18-25), so the whole fact slice must arrive
+        # as a single file for a single-run certification.
+        io.write_csv(streams.coalesce(1),
+                     os.path.join(base, "raw", "streams"))
+        # Spark's csv sink emits part files + _SUCCESS; discovery filters
+        # on .csv so only the data file is a batch candidate.
+        songs = catalog.songs_from_part(
+            catalog.load_table(spark, sf_dir, "part"))
+        io.write_csv(songs, os.path.join(base, "raw", "songs"))
+        pipe = Pipeline(spark, PipelineConfig(base_dir=base))
+        processed = pipe.run_once()
+        assert processed is not None, "pipeline found no raw batch to claim"
+        # post-run invariants the gate can't see in the KPI hash: the
+        # ledger consumed the file and the raw dir drained into archive.
+        assert pipe.run_once() is None, "ledger failed to mark batch done"
+
+    return os.path.join(_fixture_dir(sf_dir, "pipeline_e2e_v1", build),
+                        "lake", "kv", "store.db")
+
+
+@register("pipeline_e2e_kpis", _REG["kv_genre_kpi_items"][1])
+def pipeline_e2e_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference main-path certification as ONE unit: raw CSVs →
+    Pipeline.run_once (validate split + quarantine, KPI transform,
+    partitioned parquet, batched KV upserts, ledger, archive) → the
+    DailyGenreKPIs table read back through the kvstore connector's
+    partitioned reader — hash-matched against the SAME oracle SQL as
+    kv_genre_kpi_items, closing the loop the reference never could
+    (its loader cannot even discover its transform's output,
+    SURVEY.md §1.4)."""
+    from .plans.kv_datasource import KVStoreDataSource
+    path = _pipeline_e2e_fixture(spark, sf_dir)
+    spark.dataSource.register(KVStoreDataSource)
+    return (spark.read.format("kvstore")
+            .schema("date string, genre string, listen_count bigint, "
+                    "unique_listeners bigint, total_listening_time double, "
+                    "avg_listen_time_per_user double")
+            .option("path", path).option("table", "DailyGenreKPIs")
+            .option("numPartitions", 8).load())

@@ -66,27 +66,54 @@ def test_driver_window_holds_reference_surface_and_family_reps():
     representatives) so an innocent re-registration can't silently push a
     claimed-done operator out of the checked window."""
     first50 = list(entrymod.queries())[:50]
+    # the exact window, not just membership: the driver samples the FIRST
+    # 50 in order, so ordering drift IS the failure mode
+    assert first50 == entrymod._PRIORITY, "window != _PRIORITY pin"
     must_hold = {
-        # reference-surface anchors retained across every round
-        "daily_genre_kpis", "top_songs_per_genre", "validate_split_good",
+        # permanent anchors (reference surface + HUGEINT probes)
+        "daily_genre_kpis", "top_songs_per_genre", "top_genres_per_day",
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
-        "events_windowed_counts_streamed",
-        # the r2/r3 red pair (HUGEINT oracle fix) + its bisecting probes
         "pack_documents_512", "packing_stats_512",
         "pack_tokens_probe", "pack_offsets_probe",
-        # LLM-pipeline headline anchors
-        "dedup_exact_text", "ann_cosine_topk", "sessionize_events",
-        # round-4 first-time driver rows (VERDICT r3 item 5)
-        "tpch_q1_pricing_summary", "tpch_q9_product_type_profit",
-        "tpch_q21_waiting_supplier", "user_spend_gini", "doc_tokens_udtf",
-        "orders_time_travel_v1", "orders_snapshot_changes",
-        "kvstore_read_genre_kpis", "jsonl_scan_corrupt_routing",
-        "mixture_plan_temperature", "adaptive_quality_topk",
-        "split_leakage_audit", "users_view_and_purchase",
-        "docs_remove_dup_spans", "docs_clean_boilerplate",
-        "purchase_click_interval_streamed",
+        # round-5 rotation: end-to-end pipeline + zero-history families
+        # (VERDICT r4 item 1)
+        "pipeline_e2e_kpis", "asof_purchase_next_click",
+        "purchase_state_pit", "orders_cdc_change_counts",
+        "lineitem_grouping_sets", "funnel_user_stages",
+        "user_cohort_retention", "events_value_moments",
+        "tpch_q6_forecast_revenue", "tpch_q13_customer_order_counts",
+        "regional_revenue", "fk_orphans_audit", "doc_term_stats",
+        "weighted_sample_docs",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
+
+
+def test_rotation_ledger_no_permanently_ineligible_query():
+    """Round-5 coverage-ledger guard (VERDICT r4 item 8): every registered
+    query must be either already driver-validated (a row in some
+    CORRECTNESS_r*.json) or oracle-backed hence eligible for rotation into
+    the 50-window. A rows-only query that never held a driver row is
+    allowed (the driver records a weaker rows-only check for those), but
+    an oracle-backed query silently dropped from BOTH the historical
+    window union and the registry ordering would be a bug in _registry()."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    validated: set[str] = set()
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        validated |= set(json.load(open(f)))
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    # _registry() must keep every REGISTRY entry reachable (rotation can
+    # reorder but never drop)
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.queries_reference import REGISTRY
+    assert set(names) == set(REGISTRY)
+    never = [n for n in names if n not in validated and n in oracles]
+    # eligibility: each such query CAN appear in a future 50-window
+    # because ordering is fully controlled by _PRIORITY
+    assert set(entrymod._PRIORITY) <= set(names)
 
 
 def test_sql_surface_views_and_parity(spark):
