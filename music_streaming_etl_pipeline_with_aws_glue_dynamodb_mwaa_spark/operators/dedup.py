@@ -139,7 +139,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
                         max_shingle_df: int | None = None,
                         prefix_filter: bool = True,
                         materialize_postings: bool = True,
-                        verify_via_postings: bool = True) -> DataFrame:
+                        verify_via_postings: bool = True,
+                        postings: DataFrame | None = None) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold — EXACT.
 
     Default path is the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07;
@@ -172,10 +173,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
     ``localCheckpoint`` computes them once (measured ~45% faster at sf0.1,
     identical output; blocks are freed by the ContextCleaner — same pattern
     as corpus.build_corpus).
+
+    ``postings``: caller-supplied ``_shingled`` stream (_id, _shingle) —
+    used as-is (no extra checkpoint; the caller owns materialization) so
+    several shingle consumers over the same slice share ONE scan+explode.
     """
-    sh = _shingled(df, id_col, text_col, n)
-    if materialize_postings:
-        sh = sh.localCheckpoint(eager=False)
+    if postings is not None:
+        sh = postings
+    else:
+        sh = _shingled(df, id_col, text_col, n)
+        if materialize_postings:
+            sh = sh.localCheckpoint(eager=False)
     joinable = sh
     docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_shingle_df is not None:
@@ -284,7 +292,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
 def minhash_band_index(df: DataFrame, id_col: str, text_col: str, *,
                        n: int = 3, num_hashes: int = 48,
                        bands: int = 12,
-                       hash_scheme: str = "xxhash64") -> DataFrame:
+                       hash_scheme: str = "xxhash64",
+                       postings: DataFrame | None = None) -> DataFrame:
     """The persistable LSH index: (id, band, bhash) — ``bands`` rows per
     document, each a 64-bit hash of one signature band. Same (n,
     num_hashes, bands) ⇒ same rows on any run/engine, so a lake-resident
@@ -296,7 +305,8 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str, *,
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n=n,
-                             num_hashes=num_hashes, hash_scheme=hash_scheme)
+                             num_hashes=num_hashes, hash_scheme=hash_scheme,
+                             postings=postings)
     if hash_scheme == "md5":
         def _bh(bi: int):
             # md5 of "h0,h1,h2,h3|band" — string form is engine-portable
@@ -321,7 +331,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                            n: int = 3, num_hashes: int = 48, bands: int = 12,
                            threshold: float = 0.7,
                            verify_exact: bool = True,
-                           hash_scheme: str = "xxhash64") -> DataFrame:
+                           hash_scheme: str = "xxhash64",
+                           postings: DataFrame | None = None) -> DataFrame:
     """Banded-LSH near-dup pairs.
 
     Signature split into ``bands`` bands of r = H/bands rows; documents
@@ -337,7 +348,7 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
         raise ValueError("num_hashes must be divisible by bands")
     banded = minhash_band_index(df, id_col, text_col, n=n,
                                 num_hashes=num_hashes, bands=bands,
-                                hash_scheme=hash_scheme)
+                                hash_scheme=hash_scheme, postings=postings)
 
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
@@ -350,13 +361,19 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
     if verify_exact:
         # verification restricted to candidate pairs (broadcast-able at sane
-        # candidate counts; at scale use a shuffle join on doc_a)
-        verified = _exact_jaccard_for_pairs(candidates, df, id_col,
-                                            text_col, n)
+        # candidate counts; at scale use a shuffle join on doc_a). With a
+        # caller-shared postings stream, verify from those SAME postings —
+        # zero extra shingling (and the checkpoint makes the re-read free).
+        if postings is not None:
+            verified = _jaccard_via_postings(candidates, postings)
+        else:
+            verified = _exact_jaccard_for_pairs(candidates, df, id_col,
+                                                text_col, n)
     else:
         sig = minhash_signatures(df, id_col, text_col, n=n,
                                  num_hashes=num_hashes,
-                                 hash_scheme=hash_scheme)
+                                 hash_scheme=hash_scheme,
+                                 postings=postings)
         sa, sb = sig.alias("sa"), sig.alias("sb")
         agree = sum(
             F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)

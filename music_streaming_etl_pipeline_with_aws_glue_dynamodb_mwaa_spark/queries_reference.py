@@ -273,13 +273,17 @@ _CSV_BAD_LINES = ["not_a_number,en,web,12,hello world", "123,en"]
 _CSV_FIXTURE_VERSION = "v1"
 
 
-def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+def _csv_fixture(spark: SparkSession, sf_dir: str) -> list[str]:
     """Materialize the CSV fixture for ``sf_dir`` (idempotent, marker-gated).
 
     Layout: ``<fix>/good/part-*.csv`` (Spark-written, header per file) +
-    ``<fix>/bad/planted.csv`` (header + the malformed lines). Returned as a
-    glob so io.read_csv scans both in one pass. Integer/string columns only —
-    CSV round-trips them bit-exactly (no float/timestamp formatting trap).
+    ``<fix>/bad/planted.csv`` (header + the malformed lines). Returns the
+    two CONCRETE directories (one scan covers both) rather than a glob:
+    Spark's FileStreamSink metadata probe stat()s the raw path string and
+    logs a full FileNotFoundException stack trace for every glob — noise
+    that buried real errors in the round-4 oracle log (VERDICT item 2).
+    Integer/string columns only — CSV round-trips them bit-exactly (no
+    float/timestamp formatting trap).
     """
     fix = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures",
                        f"csv_docs_{_CSV_FIXTURE_VERSION}",
@@ -295,7 +299,7 @@ def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
             fh.writelines(ln + "\n" for ln in _CSV_BAD_LINES)
         with open(marker, "w") as fh:
             fh.write("ok\n")
-    return os.path.join(fix, "*", "*.csv")
+    return [os.path.join(fix, "good"), os.path.join(fix, "bad")]
 
 
 @register("csv_scan_roundtrip", """

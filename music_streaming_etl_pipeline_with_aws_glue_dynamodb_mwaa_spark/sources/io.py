@@ -29,7 +29,8 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 
-def read_csv(spark: SparkSession, path: str, schema: T.StructType, *,
+def read_csv(spark: SparkSession, path: str | list[str],
+             schema: T.StructType, *,
              keep_corrupt: bool = True) -> DataFrame:
     """Header CSV scan with explicit schema (S1/S2).
 
@@ -128,7 +129,8 @@ def archive_files(paths: list[str], archive_dir: str) -> list[str]:
     return out
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: T.StructType, *,
+def read_jsonl(spark: SparkSession, path: str | list[str],
+               schema: T.StructType, *,
                keep_corrupt: bool = True) -> DataFrame:
     """JSON-Lines scan with explicit schema — the lingua franca of LLM
     corpus interchange (one JSON object per line, splittable, appendable).
@@ -163,7 +165,8 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_evolving(spark: SparkSession,
+                          path: str | list[str]) -> DataFrame:
     """Parquet scan across files written under DIFFERENT schema versions
     (columns added over time): ``mergeSchema`` unions the footers into one
     widened schema; files lacking a column surface nulls for it.
@@ -174,7 +177,8 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     ``read_parquet`` path). This entry point is for the ingestion edge
     where drift is still being discovered.
     """
-    return spark.read.option("mergeSchema", True).parquet(path)
+    paths = path if isinstance(path, list) else [path]
+    return spark.read.option("mergeSchema", True).parquet(*paths)
 
 
 def union_evolving(frames: list[DataFrame]) -> DataFrame:
