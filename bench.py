@@ -112,20 +112,30 @@ def main() -> None:
     # high-variance few re-run, so suite time grows by seconds, not a
     # full pass.
     byname = dict(items)
+    retried: dict[str, list[float]] = {}
     for name, ss in sorted(samples.items()):
         for _ in range(2):
             ss = samples[name]
             if max(ss) <= 1.5 * min(ss) or times[name] < 0.5:
                 break
             _measure(name, byname[name])
+            retried[name] = [round(s, 3) for s in samples[name]]
 
     total = round(sum(times.values()), 3)
     env["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
+    # ``queries`` stays min-across-samples: timing noise on this box is
+    # one-sided (a sample can only be SLOWER than the true cost), so the
+    # min is the consistent estimator regardless of sample count. The
+    # ``retried`` block makes the unequal sampling depth visible (round-5
+    # ADVICE): cross-round comparisons can see exactly which queries got
+    # extra draws and their full sample lists instead of silently
+    # treating best-of-4 and best-of-2 as the same measurement.
     print(json.dumps({
         "metric": "query_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "retried": retried,
         "sf": sf,
         "env": env,
     }))

@@ -29,7 +29,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def closed_sessions(events: DataFrame, *, gap_seconds: int,
                     user_col: str = "user_id",
-                    ts_col: str = "ts") -> DataFrame:
+                    ts_col: str = "ts",
+                    late_counter=None) -> DataFrame:
     """Append-mode stream of CLOSED sessions:
     (user, session_idx, n_events, session_start, session_end, duration_secs).
 
@@ -44,6 +45,13 @@ def closed_sessions(events: DataFrame, *, gap_seconds: int,
     sessions — round-4 review catch). In-order multi-batch streams are
     unaffected. Requires a UTC session timezone: Spark hands Arrow
     session-TZ-naive timestamps and the epoch math reads them as UTC.
+
+    ``late_counter``: optional ``spark.sparkContext.accumulator(0)`` — each
+    dropped-late event adds 1, making the silent-drop divergence OBSERVABLE
+    (round-5 ADVICE): a caller alarms on ``late_counter.value > 0`` instead
+    of discovering skewed session stats downstream. Accumulator semantics
+    apply (at-least-once under task retries — a monitoring signal, not an
+    exactly-once ledger).
     """
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
@@ -77,6 +85,8 @@ def closed_sessions(events: DataFrame, *, gap_seconds: int,
                 # strictly late beyond the stored tail (cross-batch
                 # disorder): folding would rewind `last` and merge
                 # sessions — drop; same-second events fold normally
+                if late_counter is not None:
+                    late_counter.add(1)
                 continue
             if last is not None and s - last > gap_seconds:
                 closed.append((user, idx, n, start, last, last - start))

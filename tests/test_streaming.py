@@ -254,3 +254,43 @@ def test_continuous_processing_time_daemon(spark, tmp_path):
     filestream.run_available_now(stream, lambda df, e: counts.append(df.count()),
                                  ckpt).awaitTermination(120)
     assert sum(counts) == 0
+
+
+def test_stateful_closed_sessions_late_drop_is_observable(spark, tmp_path):
+    """Round-5 ADVICE: an event arriving in a LATER batch with a timestamp
+    strictly before the user's stored tail is dropped by contract — the
+    drop must now be visible via the late_counter accumulator, and the
+    in-order results must be unchanged by the disorder."""
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.streaming import stateful
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 1: u1 session reaching 10:10
+    _write(str(src), "a.csv",
+           "user_id,ts\nu1,2024-01-01T10:00:00\nu1,2024-01-01T10:10:00\n",
+           1000)
+    # batch 2: one LATE event (09:00 < stored tail 10:10) that must be
+    # dropped + counted, and one in-order event that closes session 0
+    _write(str(src), "b.csv",
+           "user_id,ts\nu1,2024-01-01T09:00:00\nu1,2024-01-01T20:00:00\n",
+           2000)
+
+    dropped = spark.sparkContext.accumulator(0)
+    stream = (spark.readStream.schema("user_id string, ts timestamp")
+              .option("header", True).option("maxFilesPerTrigger", 1)
+              .option("latestFirst", False).csv(str(src)))
+    q = (stateful.closed_sessions(stream, gap_seconds=3600,
+                                  late_counter=dropped)
+         .writeStream.format("memory").queryName("closed_late")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM closed_late").collect()
+    # the disordered event neither rewound the tail nor merged sessions
+    assert len(rows) == 1
+    assert (rows[0]["user_id"], rows[0]["session_idx"],
+            rows[0]["n_events"], rows[0]["duration_secs"]) == ("u1", 0, 2, 600)
+    # ... and the drop is observable, not silent
+    assert dropped.value == 1

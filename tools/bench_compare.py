@@ -7,9 +7,18 @@ documented ambient spread of this box, the floor keeps sub-second noise
 from tripping the gate. Exits nonzero on any flagged regression so the
 check works as a CI-style diff instead of narrative.
 
+Flagged queries are AUTO-RE-MEASURED in one fresh JVM before reporting
+(round-5 VERDICT item 7): on this box, ambient load can inflate both
+recorded samples of an unlucky query (round-4 flagged two anchors that
+re-measured at parity), so the gate re-times each flagged query (2
+samples, min) and reclassifies it as ambient noise when the fresh time is
+back under the gate. Bounded: at most ``--remeasure-cap`` queries (default
+8) re-run; ``--no-remeasure`` restores the raw diff.
+
 Usage:
     python tools/bench_compare.py                # two newest BENCH_r*.json
     python tools/bench_compare.py OLD.json NEW.json [--ratio 1.5]
+                                  [--no-remeasure] [--remeasure-cap 8]
 """
 
 from __future__ import annotations
@@ -49,8 +58,56 @@ def _load(path: str) -> dict:
     return d
 
 
+def _remeasure(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Re-time ``names`` in ONE fresh subprocess JVM (2 samples each, min,
+    with the same noop-sink forcing and cache hygiene bench.py uses).
+    Returns {} on any subprocess failure — the caller then reports the raw
+    flags rather than hiding them."""
+    import subprocess
+    prog = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+import __spark_entry__ as e
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.session import get_spark
+spark = get_spark("bench-remeasure")
+qs = e.queries()
+sf_dir = %(sf_dir)r
+out = {}
+for name in %(names)r:
+    fn = qs.get(name)
+    if fn is None:
+        continue
+    best = None
+    for i in range(3):  # sample 0 warms fixtures/codegen; 1-2 measured
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        if i > 0 and (best is None or dt < best):
+            best = dt
+        spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.name.startswith("_") and t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    out[name] = round(best, 3)
+print("REMEASURE_JSON:" + json.dumps(out))
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             prog % {"repo": repo, "sf_dir": sf_dir, "names": names}],
+            capture_output=True, text=True, timeout=1800, cwd=repo)
+        for line in r.stdout.splitlines():
+            if line.startswith("REMEASURE_JSON:"):
+                return json.loads(line[len("REMEASURE_JSON:"):])
+    except Exception as e:  # pragma: no cover
+        print(f"NOTE: re-measure failed ({e}); reporting raw flags")
+    return {}
+
+
 def main() -> int:
     ratio, args, argv = RATIO, [], sys.argv[1:]
+    remeasure, cap = True, 8
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -63,6 +120,14 @@ def main() -> int:
             else:
                 print("--ratio needs a value")
                 return 2
+        elif a == "--no-remeasure":
+            remeasure = False
+        elif a.startswith("--remeasure-cap"):
+            if "=" in a:
+                cap = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                cap = int(argv[i])
         else:
             args.append(a)
         i += 1
@@ -92,6 +157,22 @@ def main() -> int:
     tot_n = sum(float(nq[q]) for q in shared)
     print(f"shared-set total: {tot_o:.1f}s -> {tot_n:.1f}s "
           f"({tot_n / tot_o if tot_o else 0:.2f}x)")
+    if flagged and remeasure:
+        names = [q for q, _, _ in flagged][:cap]
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        print(f"re-measuring {len(names)} flagged queries in a fresh JVM "
+              f"at {sf_dir} ...")
+        fresh = _remeasure(names, sf_dir)
+        survived = []
+        for q, o, n in flagged:
+            f = fresh.get(q)
+            if f is not None and f <= max(ratio * o, FLOOR_SECS):
+                print(f"AMBIENT {q}: recorded {n:.2f}s, fresh-JVM "
+                      f"{f:.2f}s vs old {o:.2f}s — under the gate, "
+                      f"reclassified as noise")
+            else:
+                survived.append((q, o, f if f is not None else n))
+        flagged = survived
     for q, o, n in sorted(flagged, key=lambda t: t[2] / max(t[1], 1e-9),
                           reverse=True):
         print(f"REGRESSION {q}: {o:.2f}s -> {n:.2f}s ({n / max(o, 1e-9):.2f}x)")

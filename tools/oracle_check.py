@@ -69,6 +69,26 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
 
+    # Coverage ledger (round-5 VERDICT item 8): rotation debt tracked by
+    # number, not narrative — how much of the registry has EVER held a
+    # driver correctness row, and how much the current 50-window adds.
+    import glob
+    import json
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    validated: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            validated |= set(json.load(open(f)))
+        except Exception:
+            pass
+    window = list(qs)[:50]
+    first_time = [n for n in window if n not in validated]
+    print(f"# registry: {len(qs)} queries ({len(oracles)} oracle-backed); "
+          f"driver-validated ever: {len(validated & set(qs))}; "
+          f"current window adds {len(first_time)} first-time rows "
+          f"(never-validated remaining after this window: "
+          f"{len([n for n in qs if n not in validated]) - len(first_time)})")
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
