@@ -160,6 +160,18 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", *,
     return merges
 
 
+def initial_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Round-0 adjacent-symbol pair counts (a, b, pair_count) over the
+    char+EOW symbolization — EXACTLY the table the first merge round
+    aggregates and argmaxes over. Pure integer arithmetic end to end, so
+    unlike the iterative merge loop it HAS an exact SQL oracle: this is
+    the driver-gate anchor for the BPE family (the loop itself stays
+    pinned against the pure-Python reference in tests/test_bpe.py)."""
+    vocab = word_vocab(docs, text_col).withColumn(
+        "_syms", F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))))
+    return _pair_counts(vocab)
+
+
 def bpe_merge_table(docs: DataFrame, text_col: str = "text", *,
                     n_merges: int = 8,
                     min_pair_count: int = 2) -> DataFrame:

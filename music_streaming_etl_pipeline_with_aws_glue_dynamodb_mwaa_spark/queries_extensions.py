@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from .operators import (
     asof,
+    bpe,
     cdc,
     cluster,
     corpus,
@@ -5953,3 +5954,70 @@ def pipeline_e2e_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "avg_listen_time_per_user double")
             .option("path", path).option("table", "DailyGenreKPIs")
             .option("numPartitions", 8).load())
+
+
+# --------------------------------------------------------------------------
+# E111 (round 5) — oracle-exact ANCHORS for the tokenizer-training
+# families. The BPE merge loop and the unigram hard-EM are iterative with
+# data-dependent control flow (no SQL oracle — rows-only by nature, pinned
+# against pure-Python references in tests/test_bpe.py / test_unigram.py),
+# but the integer-exact stage each trainer folds over every round IS
+# SQL-expressible. Same move as embedding_nearest_seed_assign for the
+# k-means family: give every float/iterative family one hash-exact
+# driver-gate anchor on its hot inner table.
+# --------------------------------------------------------------------------
+
+@register("bpe_initial_pair_counts", """
+    WITH v AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word != '' GROUP BY word),
+    syms AS (SELECT list_append(string_split(word, ''), '</w>') AS s, cnt
+             FROM v),
+    pairs AS (SELECT s[i] AS a, s[i + 1] AS b, cnt
+              FROM syms, LATERAL (SELECT unnest(range(1, len(s))) AS i) u)
+    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY a, b
+""")
+def bpe_initial_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE pair-count table over the corpus word vocabulary
+    (char+</w> symbols, counts weighted by word frequency) — the exact
+    integer table whose argmax (pair_count desc, a, b) is the trainer's
+    first merge. One corpus pass + one vocab-sized zip_with explode; at
+    100 TB this is the ONLY corpus-sized cost the whole BPE family pays."""
+    return bpe.initial_pair_counts(_docs(spark, sf_dir))
+
+
+@register("unigram_candidate_pieces", """
+    WITH v AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word != '' GROUP BY word),
+    subs AS (
+      SELECT substr(word, s + 1, l) AS piece, cnt
+      FROM v,
+      LATERAL (SELECT unnest(range(0, length(word))) AS s) a,
+      LATERAL (SELECT unnest(range(1, least(5, length(word) - s) + 1))
+               AS l) b),
+    pieces AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS count
+               FROM subs GROUP BY piece)
+    SELECT piece, count FROM pieces WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, count FROM (
+      SELECT piece, count,
+             ROW_NUMBER() OVER (ORDER BY count DESC, piece) AS rnk
+      FROM pieces WHERE length(piece) > 1)
+    WHERE rnk <= 400
+""")
+def unigram_candidate_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram trainer's candidate inventory at the REGISTERED
+    training params (max_piece_len=5, candidate_cap=400): every substring
+    of every word weighted by word frequency, all single chars + the
+    top-400 multi-char pieces under the deterministic (count desc, piece
+    asc) total order. Exact integers → hash-exact anchor for the hard-EM
+    family whose Viterbi rounds are rows-only by nature."""
+    from .operators import unigram
+    cand = unigram.candidate_pieces(
+        bpe.word_vocab(_docs(spark, sf_dir)),
+        max_piece_len=5, candidate_cap=400)
+    return cand.select("piece", F.col("count").cast("long").alias("count"))
