@@ -125,3 +125,73 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, key_col: str, *,
                     & (F.col("_c.bucket") == cms["bucket"]), "left")
               .select(key_col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")))
     return joined.groupBy(key_col).agg(F.min("_n").alias("est_count"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter AS A TABLE — (word_idx, bits) rows of 63-bit words built
+# with the same portable md5 bucket hash as the CMS, so the filter AND its
+# membership verdicts are oracle-exact integers (63-bit words because
+# DuckDB range-checks 1<<63; Spark's shiftleft would wrap silently — the
+# 0..62 shift range is portable). This is the classic 100 TB pre-join
+# prune: ship a KB-scale filter to the probe side and drop the bulk of a
+# fact scan BEFORE the shuffle a semi-join would need; false positives
+# (never negatives) are re-checked by the exact join that follows.
+# Mergeable by construction: bloom(A ∪ B) = wordwise OR.
+# --------------------------------------------------------------------------
+
+_BLOOM_WORD = 63
+
+
+def _bloom_pos(key, i: int, m_bits: int):
+    """Portable bit position for hash function ``i``: first 8 md5 hex
+    digits of 'i:key' mod m_bits — DuckDB mirror:
+    ``('0x' || substr(md5(i || ':' || k), 1, 8))::BIGINT % m_bits``."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"{i}:"), k.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                  F.lit(m_bits))
+
+
+def bloom_build(df: DataFrame, key_col: str, *, m_bits: int = 1008,
+                k: int = 4) -> DataFrame:
+    """(word_idx, bits): the m_bits-wide Bloom filter over ``key_col`` as
+    ≤ m_bits/63 rows of OR-folded 63-bit words. One explode (k rows per
+    key) + one m/63-row hash agg — map-side combined, the exchange
+    carries at most m/63 rows per task regardless of input size."""
+    if m_bits % _BLOOM_WORD:
+        raise ValueError(f"m_bits must be a multiple of {_BLOOM_WORD}")
+    pos = F.explode(F.array(*[
+        _bloom_pos(key_col, i, m_bits) for i in range(k)])).alias("_pos")
+    return (df.select(pos)
+            .select(F.expr(f"_pos div {_BLOOM_WORD}")
+                    .alias("word_idx"),
+                    F.expr(f"shiftleft(1L, CAST(_pos % {_BLOOM_WORD} "
+                           f"AS INT))").alias("_m"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("_m").alias("bits")))
+
+
+def bloom_probe(candidates: DataFrame, bloom: DataFrame, key_col: str, *,
+                m_bits: int = 1008, k: int = 4) -> DataFrame:
+    """``candidates`` + ``in_bloom`` (true ⇒ maybe present — no false
+    negatives by construction). The filter is ≤ m_bits/63 rows →
+    broadcast; each candidate explodes to its k (word, mask) probes, one
+    broadcast join, all-bits-set roll-up. The candidate side never
+    shuffles — the exact shape that lets a 100 TB fact scan drop
+    non-matching rows before any exchange."""
+    probes = candidates.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(F.array(*[
+            _bloom_pos(key_col, i, m_bits) for i in range(k)]))
+        .alias("_pos"))
+    probes = probes.select(
+        key_col,
+        F.expr(f"_pos div {_BLOOM_WORD}").alias("word_idx"),
+        F.expr(f"shiftleft(1L, CAST(_pos % {_BLOOM_WORD} AS INT))")
+        .alias("_m"))
+    joined = (probes.join(F.broadcast(bloom), "word_idx", "left")
+              .select(key_col,
+                      ((F.coalesce(F.col("bits"), F.lit(0))
+                        .bitwiseAND(F.col("_m"))) != 0).alias("_hit")))
+    return (joined.groupBy(key_col)
+            .agg(F.min("_hit").alias("in_bloom")))

@@ -6038,3 +6038,65 @@ def unigram_candidate_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.word_vocab(_docs(spark, sf_dir)),
         max_piece_len=5, candidate_cap=400)
     return cand.select("piece", F.col("count").cast("long").alias("count"))
+
+
+# --------------------------------------------------------------------------
+# E112 (round 5) — Bloom-filter pre-join pruning, oracle-exact: the filter
+# words, every membership verdict, and the no-false-negative property are
+# all portable integer arithmetic (md5 positions, 63-bit words). The query
+# builds the filter over 1997's order custkeys, probes EVERY customer, and
+# emits the per-customer verdict next to ground truth — so the driver hash
+# certifies the whole build+probe pipeline AND that false negatives are
+# impossible (any (in_bloom=false, actual=true) row would flip the hash).
+# --------------------------------------------------------------------------
+
+@register("customer_bloom_prune", """
+    WITH keys AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'),
+    pos AS (
+      SELECT o_custkey,
+             ('0x' || substr(md5(i.i || ':' || CAST(o_custkey AS VARCHAR)),
+                             1, 8))::BIGINT % 1008 AS p
+      FROM keys, LATERAL (SELECT unnest(range(4)) AS i) i),
+    bloom AS (
+      SELECT p // 63 AS word_idx, bit_or(1::BIGINT << CAST(p % 63 AS INT))
+                 AS bits
+      FROM pos GROUP BY 1),
+    cprobe AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5(i.i || ':' || CAST(c_custkey AS VARCHAR)),
+                             1, 8))::BIGINT % 1008 AS p
+      FROM customer, LATERAL (SELECT unnest(range(4)) AS i) i),
+    verdict AS (
+      SELECT c_custkey,
+             bool_and(coalesce(b.bits, 0)
+                      & (1::BIGINT << CAST(p % 63 AS INT)) != 0) AS in_bloom
+      FROM cprobe LEFT JOIN bloom b ON p // 63 = b.word_idx
+      GROUP BY 1)
+    SELECT v.c_custkey, v.in_bloom,
+           (k.o_custkey IS NOT NULL) AS actual
+    FROM verdict v LEFT JOIN keys k ON v.c_custkey = k.o_custkey
+""")
+def customer_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+    """Bloom pre-join prune certified end to end: build the 1008-bit/4-hash
+    filter over 1997's order custkeys (≤16 broadcast rows), probe every
+    customer map-side, and emit (in_bloom, actual) per customer. in_bloom
+    ⊇ actual by construction — the oracle hash proves it (plus the exact
+    false-positive pattern of this corpus). At 100 TB the probe side is
+    the fact scan: rows drop BEFORE any exchange, and the residual false
+    positives are re-checked by the exact join that follows."""
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    keys = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")).select("o_custkey")
+    bloom = sketches.bloom_build(keys, "o_custkey")
+    cust = catalog.load_table(spark, sf_dir, "customer").select("c_custkey")
+    probed = sketches.bloom_probe(cust, bloom, "c_custkey")
+    truth = keys.distinct().withColumn("_t", F.lit(True))
+    return (probed.join(truth, probed["c_custkey"] == truth["o_custkey"],
+                        "left")
+            .select("c_custkey", "in_bloom",
+                    F.coalesce(F.col("_t"), F.lit(False)).alias("actual")))

@@ -61,3 +61,36 @@ def test_rollup_grain_change(spark):
     assert set(weekly) == set(exact)
     for w, n in exact.items():
         assert weekly[w] == pytest.approx(n, rel=0.05)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every inserted key probes true (structural guarantee); on a
+    disjoint probe set the 1008-bit/4-hash filter at n=200 keys stays
+    well under a ~10% false-positive ceiling ((1-e^{-kn/m})^k ≈ 4.6%)."""
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    bloom = sketches.bloom_build(keys, "k")
+    # ≤ 16 words, each within the 63-bit mask
+    rows = bloom.collect()
+    assert len(rows) <= 16
+    assert all(0 <= r["word_idx"] < 16 for r in rows)
+    hits = sketches.bloom_probe(keys, bloom, "k").collect()
+    assert all(r["in_bloom"] for r in hits) and len(hits) == 200
+    others = spark.range(10_000, 12_000).select(F.col("id").alias("k"))
+    fp = sketches.bloom_probe(others, bloom, "k") \
+        .filter("in_bloom").count()
+    assert fp / 2000 < 0.10
+
+
+def test_bloom_merge_is_wordwise_or(spark):
+    """bloom(A ∪ B) == wordwise-OR of bloom(A), bloom(B) — the mergeable
+    no-rescan property the HLL/CMS families share."""
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(100, 250).select(F.col("id").alias("k"))
+    direct = {r["word_idx"]: r["bits"]
+              for r in sketches.bloom_build(a.union(b), "k").collect()}
+    merged = {r["word_idx"]: r["bits"] for r in
+              (sketches.bloom_build(a, "k")
+               .unionByName(sketches.bloom_build(b, "k"))
+               .groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+               .collect())}
+    assert direct == merged
