@@ -6100,3 +6100,74 @@ def customer_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "left")
             .select("c_custkey", "in_bloom",
                     F.coalesce(F.col("_t"), F.lit(False)).alias("actual")))
+
+
+# --------------------------------------------------------------------------
+# E113 (round 5) — the STREAMING pipeline main path certified end to end:
+# Pipeline.run_streaming drains a 3-file raw backlog through foreachBatch
+# (validate → transform → KV load per micro-batch, checkpoint-as-ledger
+# exactly-once instead of the sqlite ledger), and the accumulated KV table
+# must STILL hash-match the batch KPI oracle. The files are date-disjoint
+# (4-month slices), so per-batch aggregation composes to the global answer
+# through the KV upserts — the reference's own per-file granularity,
+# certified across multiple real micro-batches this time.
+# --------------------------------------------------------------------------
+
+def _pipeline_stream_e2e_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import glob as _glob
+    import shutil as _shutil
+
+    from .plans.pipeline import Pipeline, PipelineConfig
+
+    def build(fix: str) -> None:
+        base = os.path.join(fix, "lake")
+        raw = os.path.join(base, "raw", "streams")
+        os.makedirs(raw, exist_ok=True)
+        streams = catalog.streams_from_lineitem(
+            catalog.load_table(spark, sf_dir, "lineitem"))
+        slices = [(f"{_E2E_LO[:4]}-01-01", f"{_E2E_LO[:4]}-05-01"),
+                  (f"{_E2E_LO[:4]}-05-01", f"{_E2E_LO[:4]}-09-01"),
+                  (f"{_E2E_LO[:4]}-09-01", _E2E_HI)]
+        for i, (lo, hi) in enumerate(slices):
+            part = streams.filter((F.col("listen_time") >= lo)
+                                  & (F.col("listen_time") < hi))
+            tmp = os.path.join(fix, f"_slice{i}")
+            io.write_csv(part.coalesce(1), tmp)
+            (src,) = _glob.glob(os.path.join(tmp, "part-*.csv"))
+            _shutil.move(src, os.path.join(raw, f"batch_{i}.csv"))
+            _shutil.rmtree(tmp)
+        songs = catalog.songs_from_part(
+            catalog.load_table(spark, sf_dir, "part"))
+        io.write_csv(songs, os.path.join(base, "raw", "songs"))
+        pipe = Pipeline(spark, PipelineConfig(base_dir=base))
+        pipe.run_streaming()
+        # restart safety: a second drain on the same checkpoint is a no-op
+        # (the offset log IS the ledger) — KV rows must not double-apply;
+        # the oracle hash would expose any violation, but fail fast here.
+        pipe.run_streaming()
+
+    return os.path.join(_fixture_dir(sf_dir, "pipeline_stream_e2e_v1",
+                                     build), "lake", "kv", "store.db")
+
+
+@register("pipeline_stream_e2e_kpis", _E2E_ORACLE)
+def pipeline_stream_e2e_kpis(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The reference's always-on path as Structured Streaming, certified
+    as ONE unit: file-source backlog → three real micro-batches through
+    foreachBatch (validate split, KPI transform, partitioned parquet,
+    batched KV upserts), exactly-once via the checkpoint offset log, THEN
+    the DailyGenreKPIs table read back through the kvstore connector —
+    hash-matched against the same sliced KPI oracle as the batch-driver
+    twin (pipeline_e2e_kpis). A redundant second drain on the same
+    checkpoint runs inside the fixture, so idempotent restart is part of
+    what the hash certifies."""
+    from .plans.kv_datasource import KVStoreDataSource
+    path = _pipeline_stream_e2e_fixture(spark, sf_dir)
+    spark.dataSource.register(KVStoreDataSource)
+    return (spark.read.format("kvstore")
+            .schema("date string, genre string, listen_count bigint, "
+                    "unique_listeners bigint, total_listening_time double, "
+                    "avg_listen_time_per_user double")
+            .option("path", path).option("table", "DailyGenreKPIs")
+            .option("numPartitions", 8).load())
