@@ -162,3 +162,40 @@ def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
                                        id_col=id_col, text_col=text_col)
         out = out.join(shards, id_col)
     return out
+
+
+def corpus_drift(v1: DataFrame, v2: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 group_col: str = "source") -> DataFrame:
+    """Release-to-release corpus drift report, one row per ``group_col``:
+    doc counts per side, added/removed/changed doc counts, and exact token
+    totals per side. The governance artifact a versioned training corpus
+    publishes next to each snapshot (pairs with sources/versioned.py time
+    travel: feed it two ``read_version`` frames).
+
+    Shape: each side reduces to (id, group, digest, n_tokens) BEFORE the
+    one full-outer id-keyed exchange — the join carries ~40 B/doc however
+    wide the documents are, then a group-sized hash agg. Change detection
+    is md5-digest equality; token counts are exact whitespace-token
+    integers, so the whole report is engine-portable.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias(f"_g{tag}"),
+            F.md5(F.col(text_col)).alias(f"_d{tag}"),
+            F.size(F.split(F.col(text_col), " ")).cast("long")
+            .alias(f"_t{tag}"))
+
+    j = side(v1, "1").join(side(v2, "2"), "_id", "full_outer")
+    g = F.coalesce(F.col("_g2"), F.col("_g1"))
+    in1, in2 = F.col("_d1").isNotNull(), F.col("_d2").isNotNull()
+    return (j.groupBy(g.alias(group_col)).agg(
+        F.sum(in1.cast("long")).alias("n_docs_v1"),
+        F.sum(in2.cast("long")).alias("n_docs_v2"),
+        F.sum((in2 & ~in1).cast("long")).alias("n_added"),
+        F.sum((in1 & ~in2).cast("long")).alias("n_removed"),
+        F.sum((in1 & in2 & (F.col("_d1") != F.col("_d2"))).cast("long"))
+        .alias("n_changed"),
+        F.sum(F.coalesce(F.col("_t1"), F.lit(0))).alias("tokens_v1"),
+        F.sum(F.coalesce(F.col("_t2"), F.lit(0))).alias("tokens_v2")))

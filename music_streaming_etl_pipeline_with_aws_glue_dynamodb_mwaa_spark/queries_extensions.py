@@ -6171,3 +6171,56 @@ def pipeline_stream_e2e_kpis(spark: SparkSession,
                     "avg_listen_time_per_user double")
             .option("path", path).option("table", "DailyGenreKPIs")
             .option("numPartitions", 8).load())
+
+
+# --------------------------------------------------------------------------
+# E114 (round 5) — corpus drift report between two releases: the
+# governance table a versioned corpus publishes per snapshot. Synthetic
+# releases are derived deterministically (v1 drops id%17==3, v2 drops
+# id%19==7 and revises id%13==0), so the full report is oracle-exact.
+# --------------------------------------------------------------------------
+
+@register("corpus_drift_report", """
+    WITH v1 AS (SELECT doc_id, source, md5(text) AS d,
+                       len(string_split(text, ' ')) AS t
+                FROM documents WHERE doc_id % 17 != 3),
+    v2 AS (SELECT doc_id, source,
+                  md5(CASE WHEN doc_id % 13 = 0
+                           THEN text || ' [rev2]' ELSE text END) AS d,
+                  len(string_split(CASE WHEN doc_id % 13 = 0
+                                        THEN text || ' [rev2]'
+                                        ELSE text END, ' ')) AS t
+           FROM documents WHERE doc_id % 19 != 7),
+    j AS (SELECT coalesce(v2.source, v1.source) AS source,
+                 v1.d AS d1, v2.d AS d2, v1.t AS t1, v2.t AS t2
+          FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+    SELECT source,
+           CAST(sum(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_v1,
+           CAST(sum(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_v2,
+           CAST(sum(CASE WHEN d2 IS NOT NULL AND d1 IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN d1 IS NOT NULL AND d2 IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN d1 IS NOT NULL AND d2 IS NOT NULL
+                          AND d1 != d2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(sum(coalesce(t1, 0)) AS BIGINT) AS tokens_v1,
+           CAST(sum(coalesce(t2, 0)) AS BIGINT) AS tokens_v2
+    FROM j GROUP BY source
+""")
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift between two corpus releases: doc counts per side,
+    added/removed/changed (md5-digest inequality), exact token totals.
+    Each side reduces to ~40 B/doc (id, source, digest, token count)
+    BEFORE the one full-outer exchange — at 100 TB the join never carries
+    document text (operators/corpus.py::corpus_drift; pairs with
+    sources/versioned.py time travel for real snapshots)."""
+    docs = _docs(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 17 != 3)
+    v2 = docs.filter(F.col("doc_id") % 19 != 7).withColumn(
+        "text", F.when(F.col("doc_id") % 13 == 0,
+                       F.concat(F.col("text"), F.lit(" [rev2]")))
+                 .otherwise(F.col("text")))
+    return corpus.corpus_drift(v1, v2)

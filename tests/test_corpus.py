@@ -115,3 +115,25 @@ def test_curation_pipeline_end_to_end(spark):
     split_of = {r["doc_id"]: r["split"] for r in rows}
     for p in pairs:
         assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+
+
+def test_corpus_drift_statuses_and_tokens(spark):
+    """Drift classification: v1-only → removed, v2-only → added, digest
+    change → changed, byte-equal → neither; token totals exact per side."""
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import corpus as corpus_ops
+
+    v1 = spark.createDataFrame(
+        [(1, "web", "a b"), (2, "web", "old text"), (3, "lib", "same")],
+        "doc_id long, source string, text string")
+    v2 = spark.createDataFrame(
+        [(2, "web", "new text here"), (3, "lib", "same"),
+         (4, "web", "fresh doc")],
+        "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in
+            corpus_ops.corpus_drift(v1, v2).collect()}
+    web, lib = rows["web"], rows["lib"]
+    assert (web["n_docs_v1"], web["n_docs_v2"]) == (2, 2)
+    assert (web["n_added"], web["n_removed"], web["n_changed"]) == (1, 1, 1)
+    assert (web["tokens_v1"], web["tokens_v2"]) == (2 + 2, 3 + 2)
+    assert (lib["n_added"], lib["n_removed"], lib["n_changed"]) == (0, 0, 0)
+    assert (lib["tokens_v1"], lib["tokens_v2"]) == (1, 1)
