@@ -746,3 +746,61 @@ def dedup_exact_incremental(batch: DataFrame, index: DataFrame,
     return (within.withColumn("_fp", _fp_expr(keys))
             .join(index, F.col("_fp") == index["fp"], "left_anti")
             .drop("_fp"))
+
+
+def grouped_minhash_signatures(df: DataFrame, group_cols: str | list[str],
+                               text_col: str, *, n: int = 3,
+                               num_hashes: int = 48) -> DataFrame:
+    """Group-grain MinHash signature in LONG form: (*group, i, h) — h_i is
+    the min over ALL shingles of ALL the group's documents under the md5
+    affine scheme (the portable constants above), so the whole sketch is
+    exact BIGINT arithmetic and oracle-reproducible.
+
+    min is associative/commutative, so these signatures are MERGEABLE the
+    way the HLL columns (E48) are: sketch any sub-grain (per partition,
+    per release, per (group, lang)) and min-merge upward — a 100 TB corpus
+    sketches once at ingest and every later rollup touches groups × hashes
+    rows, never the text. The groupBy is a map-side-partial hash agg keyed
+    by the group; output is |groups| × num_hashes rows.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    sh = df.select(*gcols, F.explode(shingles(text_col, n)).alias("_shingle"))
+    base = (F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10)
+            .cast("long") % F.lit(_MH_P))
+    wide = sh.groupBy(*gcols).agg(
+        *[F.min((base * F.lit(_mh_coeff(i)) + F.lit(i)) % F.lit(_MH_P))
+          .alias(f"h{i}") for i in range(num_hashes)])
+    comps = F.array(*[F.struct(F.lit(i).alias("i"), F.col(f"h{i}").alias("h"))
+                      for i in range(num_hashes)])
+    return (wide.select(*gcols, F.explode(comps).alias("_c"))
+            .select(*gcols, F.col("_c.i").cast("long").alias("i"),
+                    F.col("_c.h").alias("h")))
+
+
+def grouped_minhash_similarity(df: DataFrame, group_col: str, text_col: str,
+                               *, n: int = 3,
+                               num_hashes: int = 48) -> DataFrame:
+    """Pairwise estimated shingle-set Jaccard BETWEEN groups (e.g. corpus
+    sources): join the long-form signatures on equal (i, h) components and
+    count agreements — exactly the banded-LSH trick at band size 1, so no
+    group-pair materializes unless it shares at least one component (the
+    equi-join IS the candidate filter; never an all-pairs product).
+    est_jaccard = matches / num_hashes is ONE IEEE division of exact ints.
+    Zero-agreement pairs (estimate 0) are by construction absent.
+
+    The signature frame is localCheckpoint-ed (|groups| × num_hashes rows)
+    so the corpus is sketched ONCE — without it both self-join sides
+    re-run the full shingle scan (verified in the physical plan)."""
+    sig = grouped_minhash_signatures(df, group_col, text_col,
+                                     n=n, num_hashes=num_hashes)
+    sig = sig.localCheckpoint(eager=True)
+    a = sig.select(F.col(group_col).alias("ga"), "i", "h")
+    b = sig.select(F.col(group_col).alias("gb"), "i", "h")
+    return (
+        a.join(b, ["i", "h"]).where(F.col("ga") < F.col("gb"))
+        .groupBy(F.col("ga").alias(f"{group_col}_a"),
+                 F.col("gb").alias(f"{group_col}_b"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .withColumn("est_jaccard",
+                    F.col("n_matches") / F.lit(float(num_hashes)))
+    )

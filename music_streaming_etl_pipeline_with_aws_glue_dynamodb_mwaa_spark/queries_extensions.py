@@ -40,6 +40,7 @@ from .operators import (
     kmeans,
     olap,
     packing,
+    privacy,
     profile,
     ranking,
     quality,
@@ -52,6 +53,7 @@ from .operators import (
     stats,
     similarity,
     text,
+    transcripts,
 )
 from .operators import validate
 from .queries_reference import register
@@ -6224,3 +6226,151 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.concat(F.col("text"), F.lit(" [rev2]")))
                  .otherwise(F.col("text")))
     return corpus.corpus_drift(v1, v2)
+
+
+# --------------------------------------------------------------------------
+# E115 — session-transcript assembly (operators/transcripts.py): the
+# SFT/dialog corpus-shaping operator — each user session becomes ONE ordered
+# training record. Ordering is (ts, event_id) on BOTH engines (Spark
+# array_sort over (ts, event_id, turn) structs ≡ SQL string_agg ORDER BY ts,
+# event_id), so the assembled string is oracle-exact.
+# --------------------------------------------------------------------------
+
+_TRANSCRIPTS_SQL = f"""
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT)                             AS n_turns,
+           min(ts)                                              AS started,
+           string_agg(COALESCE(event_type, ''), ' -> '
+                      ORDER BY ts, event_id)                    AS transcript
+    FROM ({_SESSIONIZED_SQL})
+    GROUP BY 1, 2
+"""
+
+
+@register("session_transcripts", _TRANSCRIPTS_SQL)
+def session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return transcripts.session_transcripts(ev, gap_seconds=8 * 3600)
+
+
+@register("transcript_pattern_counts", f"""
+    SELECT transcript, n_turns,
+           CAST(count(*) AS BIGINT)               AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ({_TRANSCRIPTS_SQL})
+    WHERE n_turns <= 64
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+""")
+def transcript_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return transcripts.transcript_pattern_counts(
+        ev, min_sessions=2, max_turns=64, gap_seconds=8 * 3600)
+
+
+# --------------------------------------------------------------------------
+# E116 — k-anonymity / l-diversity audit (operators/privacy.py): the
+# release-gate privacy report over a published extract. QI here =
+# (event_type, day, value bucket); sensitive = user_id. floor(value/50.0)
+# is ONE IEEE division + exact floor on both engines.
+# --------------------------------------------------------------------------
+
+_KANON_QI_SQL = """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(floor(value / 50.0) AS BIGINT) AS val_bucket, user_id
+    FROM events
+"""
+
+_KANON_AUDIT_SQL = f"""
+    SELECT event_type, day, val_bucket,
+           CAST(count(*) AS BIGINT)                 AS group_n,
+           CAST(count(DISTINCT user_id) AS BIGINT)  AS l_distinct,
+           count(*) < 5                             AS k_violation,
+           count(DISTINCT user_id) < 2              AS l_violation
+    FROM ({_KANON_QI_SQL})
+    GROUP BY 1, 2, 3
+"""
+
+
+def _events_qi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("val_bucket"),
+        "user_id")
+
+
+@register("events_k_anonymity_audit", _KANON_AUDIT_SQL)
+def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return privacy.k_anonymity_audit(
+        _events_qi(spark, sf_dir), ["event_type", "day", "val_bucket"],
+        "user_id", k=5, l=2)
+
+
+@register("events_k_anonymity_summary", f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN k_violation THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_violating_groups,
+           CAST(SUM(CASE WHEN k_violation THEN group_n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(SUM(CASE WHEN l_violation THEN 1 ELSE 0 END) AS BIGINT)
+               AS l_violating_groups,
+           CAST(min(group_n) AS BIGINT)    AS min_group_n,
+           CAST(min(l_distinct) AS BIGINT) AS min_l_distinct
+    FROM ({_KANON_AUDIT_SQL})
+""")
+def events_k_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return privacy.k_anonymity_summary(
+        _events_qi(spark, sf_dir), ["event_type", "day", "val_bucket"],
+        "user_id", k=5, l=2)
+
+
+# --------------------------------------------------------------------------
+# E117 — corpus-source MinHash similarity (operators/dedup.py grouped_*):
+# mergeable source-grain MinHash signatures (md5 affine scheme → exact
+# BIGINT on both engines) + pairwise estimated vocabulary Jaccard via the
+# component equi-join (banded LSH at band size 1 — no all-pairs product).
+# The rollup query pins MERGEABILITY itself: per-(source, lang) sketches
+# min-merged upward must equal the direct per-source sketch the oracle
+# computes from scratch.
+# --------------------------------------------------------------------------
+
+_SRC_HH_SQL = """
+    WITH tok AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT DISTINCT source, unnest(list_transform(
+            range(1, greatest(len(tk) - 1, 1)),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+          FROM tok),
+    base AS (SELECT source, s,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS b0
+             FROM sh),
+    hh AS (SELECT source, i,
+                  min((b0 * (((2*i + 1) * 2654435761) % 2147483647) + i)
+                      % 2147483647) AS h
+           FROM base, LATERAL (SELECT unnest(range(48)) AS i) v
+           GROUP BY 1, 2)
+"""
+
+
+@register("source_minhash_similarity", f"""
+    {_SRC_HH_SQL}
+    SELECT x.source AS source_a, y.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(count(*) AS DOUBLE) / 48 AS est_jaccard
+    FROM hh x JOIN hh y ON x.i = y.i AND x.h = y.h AND x.source < y.source
+    GROUP BY 1, 2
+""")
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.grouped_minhash_similarity(
+        _docs(spark, sf_dir), "source", "text", n=3, num_hashes=48)
+
+
+@register("source_minhash_signature_rollup", f"""
+    {_SRC_HH_SQL}
+    SELECT source, i, h FROM hh
+""")
+def source_minhash_signature_rollup(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    fine = dedup.grouped_minhash_signatures(
+        _docs(spark, sf_dir), ["source", "lang"], "text", n=3, num_hashes=48)
+    return fine.groupBy("source", "i").agg(F.min("h").alias("h"))
