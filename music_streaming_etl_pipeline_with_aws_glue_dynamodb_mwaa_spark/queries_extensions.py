@@ -38,6 +38,7 @@ from .operators import (
     mixture,
     multimodal,
     kmeans,
+    kmv,
     olap,
     packing,
     privacy,
@@ -6374,3 +6375,56 @@ def source_minhash_signature_rollup(spark: SparkSession,
     fine = dedup.grouped_minhash_signatures(
         _docs(spark, sf_dir), ["source", "lang"], "text", n=3, num_hashes=48)
     return fine.groupBy("source", "i").agg(F.min("h").alias("h"))
+
+
+# --------------------------------------------------------------------------
+# E118 — bottom-k (KMV) distinct sketches (operators/kmv.py): set
+# INTERSECTION estimation, which the HLL columns (E48) cannot express. One
+# shared k-smallest-hash sample; overlaps via the member equi-join — never
+# sketch×sketch. Hash = the portable md5 scheme, ranks are a deterministic
+# total order, so sample AND estimates are oracle-exact.
+# --------------------------------------------------------------------------
+
+_KMV_SAMPLE_SQL = """
+    WITH uh AS (SELECT DISTINCT
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                      AS hv,
+                  user_id
+                FROM events WHERE user_id IS NOT NULL),
+    dedup AS (SELECT hv, min(user_id) AS user_id FROM uh GROUP BY 1),
+    samp AS (SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS r,
+                    hv, user_id
+             FROM dedup QUALIFY r <= 64)
+"""
+
+
+@register("events_user_bottomk_sample", f"""
+    {_KMV_SAMPLE_SQL}
+    SELECT r, hv, user_id FROM samp
+""")
+def events_user_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return kmv.bottomk_sample(ev.select("user_id"), "user_id", k=64)
+
+
+@register("event_type_user_overlap_kmv", f"""
+    {_KMV_SAMPLE_SQL},
+    m AS (SELECT DISTINCT e.event_type, e.user_id
+          FROM events e JOIN samp s ON e.user_id = s.user_id),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m
+              FROM m GROUP BY 1),
+    inter AS (SELECT a.event_type AS set_a, b.event_type AS set_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM m a JOIN m b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+    SELECT set_a, set_b, x.m AS m_a, y.m AS m_b, n_inter,
+           x.m + y.m - n_inter AS n_union,
+           n_inter / (x.m + y.m - n_inter) AS est_jaccard
+    FROM inter
+    JOIN sizes x ON set_a = x.event_type
+    JOIN sizes y ON set_b = y.event_type
+""")
+def event_type_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return kmv.set_overlap_estimates(ev, "event_type", "user_id", k=64)
