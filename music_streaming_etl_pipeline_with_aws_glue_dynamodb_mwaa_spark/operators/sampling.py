@@ -114,3 +114,39 @@ def leakage_safe_split(df: DataFrame, assignments: DataFrame,
         assignments.select(F.col(key_col), F.col(cluster_col)), key_col)
     return hash_split(joined, cluster_col, train_pct=train_pct,
                       val_pct=val_pct, salt=salt)
+
+
+def contrastive_negatives(df: DataFrame, id_col: str, group_col: str, *,
+                          buckets: int = 16, k: int = 4,
+                          salt: str = "neg") -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive/embedding
+    training: each anchor draws its k pseudo-random negatives from the
+    OTHER rows of its hash bucket, excluding its own ``group_col`` (source)
+    so trivial positives never become negatives.
+
+    Candidate order is md5(anchor ‖ candidate) ascending — a fixed total
+    order per anchor, so the draw is reproducible across runs, engines,
+    and partitionings (the property ``df.sample`` lacks), and the whole
+    table is oracle-exact.
+
+    Scale: the only join is the bucket self-equi-join. With bucket size
+    b ≈ N/buckets, total candidate pairs are N·b — LINEAR in N when
+    ``buckets`` grows with the corpus (hold b constant, e.g. b≈64); the
+    per-anchor rank is a WindowGroupLimit-able top-k, never a global sort.
+    An anchor whose bucket holds no foreign-group row yields no negatives
+    (deterministic; callers re-salt to redraw)."""
+    keyed = df.select(
+        F.col(id_col), F.col(group_col),
+        hash_bucket(F.col(id_col), buckets=buckets, salt=salt).alias("_b"))
+    a = keyed.select(F.col(id_col).alias("anchor_id"),
+                     F.col(group_col).alias("_ga"), "_b")
+    c = keyed.select(F.col(id_col).alias("neg_id"),
+                     F.col(group_col).alias("_gc"), "_b")
+    pair_h = F.md5(F.concat_ws("#", F.col("anchor_id").cast("string"),
+                               F.col("neg_id").cast("string")))
+    w = Window.partitionBy("anchor_id").orderBy(pair_h)
+    return (a.join(c, "_b")
+            .where(F.col("_ga") != F.col("_gc"))
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= k)
+            .select("anchor_id", "neg_id", "rk"))

@@ -6428,3 +6428,34 @@ def events_user_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_type_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     return kmv.set_overlap_estimates(ev, "event_type", "user_id", k=64)
+
+
+# --------------------------------------------------------------------------
+# E119 — deterministic contrastive negative sampling (operators/sampling.py):
+# embedding/contrastive training-pair prep. Negatives come from the anchor's
+# hash bucket (self-equi-join — N·bucket_size pairs, LINEAR when buckets
+# grow with the corpus), ordered by md5(anchor‖candidate): reproducible
+# across runs/engines/partitionings and therefore oracle-exact.
+# --------------------------------------------------------------------------
+
+
+@register("contrastive_negatives_docs", """
+    WITH keyed AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'neg'), 1, 8))
+                 ::BIGINT % 16 AS b
+      FROM documents),
+    p AS (SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+                 md5(CAST(a.doc_id AS VARCHAR) || '#' ||
+                     CAST(c.doc_id AS VARCHAR)) AS ph
+          FROM keyed a JOIN keyed c
+            ON a.b = c.b AND a.source <> c.source)
+    SELECT anchor_id, neg_id,
+           CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY ph)
+                AS BIGINT) AS rk
+    FROM p QUALIFY rk <= 4
+""")
+def contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return sampling.contrastive_negatives(docs, "doc_id", "source",
+                                          buckets=16, k=4, salt="neg")

@@ -124,3 +124,23 @@ def test_grouped_minhash_similarity_matches_signature_agreement(spark):
     assert sim[("s1", "s2")] == (8, 1.0)
     # disjoint vocab pairs share no component -> absent by construction
     assert ("s1", "s3") not in sim and ("s2", "s3") not in sim
+
+
+def test_contrastive_negatives_properties(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import sampling
+    rows = [(i, "s%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.contrastive_negatives(df, "doc_id", "source",
+                                         buckets=4, k=3).collect()
+    src = dict(rows)
+    by_anchor = {}
+    for r in out:
+        assert src[r["anchor_id"]] != src[r["neg_id"]]
+        assert 1 <= r["rk"] <= 3
+        by_anchor.setdefault(r["anchor_id"], []).append(r["neg_id"])
+    assert all(len(v) <= 3 for v in by_anchor.values())
+    # reproducible under a different physical layout
+    out2 = sampling.contrastive_negatives(
+        df.repartition(7, "source"), "doc_id", "source",
+        buckets=4, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
