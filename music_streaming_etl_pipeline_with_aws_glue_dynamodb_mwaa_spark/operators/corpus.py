@@ -199,3 +199,46 @@ def corpus_drift(v1: DataFrame, v2: DataFrame, *, id_col: str = "doc_id",
         .alias("n_changed"),
         F.sum(F.coalesce(F.col("_t1"), F.lit(0))).alias("tokens_v1"),
         F.sum(F.coalesce(F.col("_t2"), F.lit(0))).alias("tokens_v2")))
+
+
+def curation_funnel(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", min_tokens: int = 20,
+                    max_tokens: int = 10_000, n: int = 3,
+                    jaccard_threshold: float = 0.8) -> DataFrame:
+    """Per-stage attrition census of the ``build_corpus`` chain — the
+    funnel table every corpus release publishes next to its data card:
+    (stage_idx, stage, n_in, n_kept, n_dropped) for input → quality gate
+    → exact dedup → near-dup prune. Exact integers, oracle-checkable.
+
+    Each stage count is a 1-row aggregate of the SAME staged frames the
+    build runs (shared ``localCheckpoint`` barrier on the dedup output, so
+    the expensive prefix-filtered Jaccard subtree executes once); the
+    n_in/n_dropped derivation is a lag window over the 4-row funnel —
+    driver never collects anything."""
+    from pyspark.sql import Window
+
+    good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
+                         max_tokens=max_tokens).filter("keep").select(id_col)
+    kept = docs.join(good, id_col)
+    uniq = dedup_exact(kept, [text_col], [id_col]) \
+        .localCheckpoint(eager=False)
+    losers = (ngram_jaccard_pairs(uniq, id_col, text_col, n=n,
+                                  threshold=jaccard_threshold)
+              .select(F.col("doc_b").alias(id_col)).distinct())
+    surv = uniq.join(losers, id_col, "left_anti")
+
+    def stage(i: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("n_kept")).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"), "n_kept")
+
+    rows = (stage(0, "input", docs)
+            .unionByName(stage(1, "quality_gate", kept))
+            .unionByName(stage(2, "exact_dedup", uniq))
+            .unionByName(stage(3, "neardup_prune", surv)))
+    n_in = F.coalesce(F.lag("n_kept").over(Window.orderBy("stage_idx")),
+                      F.col("n_kept"))
+    return rows.select(
+        "stage_idx", "stage", n_in.cast("long").alias("n_in"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (n_in - F.col("n_kept")).cast("long").alias("n_dropped"))

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text_funcs import tokens
+from ..functions.text_funcs import distinct_tokens, tokens
 
 
 def doc_term_stats(docs: DataFrame, id_col: str, text_col: str, *,
@@ -251,3 +251,57 @@ def hybrid_rrf(lex: DataFrame, sem: DataFrame, id_col: str, *,
                                    F.lit(0.0))).alias("rrf_score")))
     return (fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
             .limit(k))
+
+
+def conjunctive_search(docs: DataFrame, queries: DataFrame, id_col: str,
+                       text_col: str, *, query_id_col: str = "query_id",
+                       terms_col: str = "terms") -> DataFrame:
+    """Boolean AND retrieval over an inverted index: for each query (a set
+    of terms) return every document containing ALL of them. The classic
+    postings-intersection plan, expressed relationally: distinct (doc,
+    token) postings ⋈ broadcast (query, term) pairs, then a doc must match
+    ``|terms|`` distinct query terms to qualify. Returns (query_id,
+    doc_id, n_terms) — exact integers, oracle-checkable.
+
+    100 TB shape: the query table is broadcast (queries are human-scale);
+    the join prunes postings to the query vocabulary BEFORE the
+    (query, doc) aggregation, so cost is Σ df(term-in-query), not the
+    corpus — the same selectivity argument as ``bm25_topk``. Duplicate
+    terms inside one query list are collapsed so the count-match test
+    stays set semantics."""
+    nt = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+        F.size(F.array_distinct(F.col(terms_col))).alias("n_terms"))
+    posts = docs.select(
+        F.col(id_col), F.explode(distinct_tokens(text_col)).alias("term"))
+    return (posts.join(F.broadcast(nt), "term")
+            .groupBy(query_id_col, id_col, "n_terms")
+            .agg(F.count(F.lit(1)).alias("_matched"))
+            .where(F.col("_matched") == F.col("n_terms"))
+            .select(query_id_col, id_col,
+                    F.col("n_terms").cast("long").alias("n_terms")))
+
+
+def phrase_search(docs: DataFrame, phrases: DataFrame, id_col: str,
+                  text_col: str, *, phrase_id_col: str = "phrase_id",
+                  phrase_col: str = "phrase") -> DataFrame:
+    """Exact-phrase containment search: documents whose text contains the
+    literal phrase (token-adjacent, any alignment), with the count of
+    left-to-right NON-overlapping occurrences (both engines' ``replace``
+    semantics). Returns (phrase_id, doc_id, n_occurrences).
+
+    The scan applies all phrases in one pass over the text (broadcast
+    nested-loop against the human-scale phrase list — the deliberate,
+    bounded exception to the no-BNLJ rule, like the scalar-bound joins);
+    occurrence counting is the standard split-length identity
+    ``(len(text) - len(replace(text, p, ''))) / len(p)`` — pure string
+    arithmetic, no regex escape hazards, oracle-exact."""
+    p = phrases.select(F.col(phrase_id_col), F.col(phrase_col))
+    occ = ((F.length(F.col(text_col))
+            - F.length(F.replace(F.col(text_col), F.col(phrase_col))))
+           / F.length(F.col(phrase_col))).cast("long")
+    return (docs.select(F.col(id_col), F.col(text_col))
+            .join(F.broadcast(p), F.contains(F.col(text_col),
+                                             F.col(phrase_col)))
+            .select(phrase_id_col, id_col, occ.alias("n_occurrences")))

@@ -150,3 +150,43 @@ def contrastive_negatives(df: DataFrame, id_col: str, group_col: str, *,
             .withColumn("rk", F.row_number().over(w).cast("long"))
             .where(F.col("rk") <= k)
             .select("anchor_id", "neg_id", "rk"))
+
+
+def kfold_assign(df: DataFrame, key_col: str, *, k: int = 5,
+                 salt: str = "") -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold(row) =
+    md5-bucket(key) mod k. Same contract as ``hash_split`` — content-keyed
+    (stable under re-sharding and incremental rebuilds, never ``rand()``),
+    map-side only, engine-portable. Appends a ``fold`` column in [0, k)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn("fold", hash_bucket(key_col, buckets=k, salt=salt))
+
+
+def temporal_embargo_split(df: DataFrame, ts_col: str, *,
+                           test_days: int = 7,
+                           embargo_days: int = 2) -> DataFrame:
+    """Time-based train/test split with an embargo gap (the standard
+    leakage control for forecasting / time-series eval, e.g. de Prado's
+    purged splits): the last ``test_days`` before the corpus max timestamp
+    are ``test``, the ``embargo_days`` immediately before them are
+    ``embargo`` (excluded from both sides so lagged/rolling features built
+    on train rows cannot peek across the boundary), everything earlier is
+    ``train``. Appends a ``split`` column.
+
+    The only non-map step is the 1-row global max(ts), broadcast back as a
+    scalar; day arithmetic is exact 86400-second intervals on the
+    microsecond line, so the labeling is oracle-exact. At 100 TB the max
+    is a partial-agg reduction; everything else stays a map-side CASE."""
+    if test_days <= 0 or embargo_days < 0:
+        raise ValueError("test_days must be > 0 and embargo_days >= 0")
+    bounds = df.agg(F.max(ts_col).alias("_max_ts"))
+    test_lo = F.col("_max_ts") - F.expr(f"INTERVAL {test_days} DAYS")
+    emb_lo = F.col("_max_ts") - F.expr(
+        f"INTERVAL {test_days + embargo_days} DAYS")
+    return (df.crossJoin(F.broadcast(bounds))
+            .withColumn("split",
+                        F.when(F.col(ts_col) > test_lo, F.lit("test"))
+                         .when(F.col(ts_col) > emb_lo, F.lit("embargo"))
+                         .otherwise(F.lit("train")))
+            .drop("_max_ts"))

@@ -650,3 +650,84 @@ def assign_nearest_seed(emb: DataFrame, seeds: DataFrame, *,
         F.col(id_col),
         (-best["negsid"]).cast("long").alias(seed_id_col),
         best["cosine"].alias("cosine"))
+
+
+def signbit_signatures(emb: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int = 64,
+                       n_blocks: int = 8) -> DataFrame:
+    """Sign-bit (binary hyperplane) signatures: bit i of the signature is
+    ``1[v_i > 0]``, packed into ``n_blocks`` little-endian words of
+    ``dim / n_blocks`` bits each (columns ``w0..w{n_blocks-1}``).
+
+    This is the standard axis-aligned special case of random-hyperplane
+    LSH (Charikar 2002) — and unlike the random-plane variant
+    (``with_lsh_bucket``) it is ORACLE-EXACT: a float comparison against
+    zero on the stored values is bit-portable across engines, and the
+    packing is pure integer arithmetic. It therefore anchors the
+    otherwise rows-only embedding near-dup family the same way the
+    md5-affine scheme anchors MinHash.
+
+    100 TB shape: a zero-shuffle, zero-join map expression (one codegen'd
+    CASE chain per word); signatures are dim/8 bytes per row — the only
+    thing later stages shuffle, never the float vectors.
+    """
+    if dim % n_blocks:
+        raise ValueError("dim must divide evenly into n_blocks")
+    bits = dim // n_blocks
+    if bits > 62:
+        raise ValueError("block width must fit a signed 64-bit word")
+    words = []
+    for j in range(n_blocks):
+        w: Column = F.lit(0)
+        for t in range(bits):
+            w = w + F.when(
+                F.element_at(F.col(vec_col), j * bits + t + 1) > F.lit(0.0),
+                F.lit(1 << t)).otherwise(F.lit(0))
+        words.append(w.cast("long").alias(f"w{j}"))
+    return emb.select(F.col(id_col), *words)
+
+
+def signbit_hamming_pairs(emb: DataFrame, *, id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int = 64,
+                          n_blocks: int = 8,
+                          max_hamming: int = 17) -> DataFrame:
+    """Near-duplicate pairs by sign-bit Hamming distance, found by
+    multi-index exact-match blocking (Norouzi et al., "Fast Search in
+    Hamming Space with Multi-Index Hashing"): candidates share at least
+    one of the ``n_blocks`` signature words verbatim, then the EXACT
+    Hamming distance over all words filters to ``<= max_hamming``.
+
+    Pigeonhole guarantee: any pair with hamming < n_blocks shares a word,
+    so recall is total below that radius and algorithm-defined (documented,
+    oracle-mirrored) above it — the same contract as the banded MinHash
+    join. Returns (id_a, id_b, hamming).
+
+    100 TB shape: the blocked self-join shuffles only (block, word, id)
+    postings — 16 bytes/row × n_blocks — never the vectors; per-bucket
+    fan-out is bounded by the word width (2^bits buckets per block index;
+    widen blocks or concatenate word pairs as n grows, trading the
+    guaranteed radius down exactly as Norouzi prescribes).
+    """
+    sig = signbit_signatures(emb, id_col=id_col, vec_col=vec_col,
+                             dim=dim, n_blocks=n_blocks)
+    wcols = [f"w{j}" for j in range(n_blocks)]
+    posts = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(c) for c in wcols])).alias("_j", "_w"))
+    cand = (posts.alias("a")
+            .join(posts.alias("b"), ["_j", "_w"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    left = sig.select(F.col(id_col).alias("id_a"),
+                      *[F.col(c).alias(f"a_{c}") for c in wcols])
+    right = sig.select(F.col(id_col).alias("id_b"),
+                       *[F.col(c).alias(f"b_{c}") for c in wcols])
+    ham: Column = F.lit(0)
+    for c in wcols:
+        ham = ham + F.bit_count(
+            F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+    return (cand.join(left, "id_a").join(right, "id_b")
+            .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= F.lit(max_hamming)))

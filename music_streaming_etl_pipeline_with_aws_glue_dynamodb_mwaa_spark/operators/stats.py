@@ -410,3 +410,27 @@ def decayed_sum(df: DataFrame, keys: list[str], value_col: str,
         *keys, "decay_scaled",
         (F.col("decay_scaled").cast("double") / scaled.cast("double"))
         .alias("decay_score"))
+
+
+def daily_ohlc(df: DataFrame, group_cols: list[str], ts_col: str,
+               tie_col: str, value_col: str) -> DataFrame:
+    """Open/high/low/close resampling in exact integer cents — the
+    grouped time-series downsample (finance OHLC, telemetry rollup, LLM
+    usage-metering) per group key (typically entity × day).
+
+    First/last are NOT min/max of the value: they are the value at the
+    extremal (ts, tie) position. Expressed as ONE hash aggregate — no
+    window, no sort — via lexicographic struct min/max: ``min(struct(ts,
+    tie, v)).v`` is the open, ``max(...).v`` the close; (ts, tie) is a
+    total order so the result is deterministic and engine-portable.
+    Partial aggregation applies (struct min/max combine associatively), so
+    at 100 TB this is one map-side-combined exchange on the group key."""
+    v = cents(value_col)
+    first = F.min(F.struct(F.col(ts_col), F.col(tie_col), v.alias("v")))
+    last = F.max(F.struct(F.col(ts_col), F.col(tie_col), v.alias("v")))
+    return (df.groupBy(*group_cols)
+            .agg(first.getField("v").alias("open_cents"),
+                 F.max(v).alias("high_cents"),
+                 F.min(v).alias("low_cents"),
+                 last.getField("v").alias("close_cents"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -8,7 +8,7 @@ corpus triage toolkit, each oracle-checkable in ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 import numpy as np
@@ -391,3 +391,47 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str, text_col: str, *,
         F.concat_ws(" ", kept).alias("clean_text"),
         F.size(kept).alias("n_tokens_kept"),
         (n - F.size(kept)).alias("n_tokens_removed"))
+
+
+def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", *,
+                 n_buckets: int = 10) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law table): cumulative distinct
+    token count after each ingestion decile of the corpus, ordered by doc
+    id. Returns (bucket, n_docs_cum, new_tokens, vocab_size) — the release
+    dashboard that shows whether a corpus is still contributing novel
+    vocabulary or has saturated (a core data-curation signal: marginal
+    novelty per added source).
+
+    Cumulative-distinct is a non-associative window in general; this plan
+    reduces it to equi-joins + a k-row cumsum by the first-occurrence
+    trick: each token's contribution lands entirely in the bucket of its
+    FIRST document (min doc id per token), so
+    ``vocab_size(b) = Σ_{b' <= b} new_tokens(b')``. Shuffles: one token
+    groupBy (min doc), one ntile window on docs, one equi-join of the
+    token firsts against the bucketed docs, one ``n_buckets``-row cumsum —
+    nothing quadratic, nothing driver-side. The single-partition windows
+    touch only doc ids (ntile) and k rows (cumsum); at 100 TB replace the
+    ntile with precomputed ingestion-batch boundaries and the plan is
+    unchanged."""
+    buckets = docs.select(
+        F.col(id_col),
+        F.ntile(n_buckets).over(Window.orderBy(F.col(id_col)))
+        .alias("bucket"))
+    firsts = (docs.select(F.explode(tokens(text_col)).alias("token"),
+                          F.col(id_col))
+              .groupBy("token").agg(F.min(id_col).alias("_first_doc")))
+    new_per = (firsts.join(buckets.withColumnRenamed(id_col, "_first_doc"),
+                           "_first_doc")
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("new_tokens")))
+    per_bucket = (buckets.groupBy("bucket")
+                  .agg(F.count(F.lit(1)).alias("_n_docs"))
+                  .join(new_per, "bucket", "left")
+                  .na.fill({"new_tokens": 0}))
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)
+    return per_bucket.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.sum("_n_docs").over(cum).cast("long").alias("n_docs_cum"),
+        F.col("new_tokens").cast("long").alias("new_tokens"),
+        F.sum("new_tokens").over(cum).cast("long").alias("vocab_size"))

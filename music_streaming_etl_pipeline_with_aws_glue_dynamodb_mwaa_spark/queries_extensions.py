@@ -6459,3 +6459,428 @@ def contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     return sampling.contrastive_negatives(docs, "doc_id", "source",
                                           buckets=16, k=4, salt="neg")
+
+
+# --------------------------------------------------------------------------
+# E120 — sign-bit (binary hyperplane) embedding signatures + multi-index
+# Hamming near-dup join (operators/similarity.py). The ORACLE-EXACT anchor
+# of the embedding near-dup family: the axis-aligned special case of
+# Charikar's hyperplane LSH is pure (float > 0) + integer packing, so the
+# full pipeline — signatures, Norouzi-style blocked candidates, exact
+# Hamming verify — is mirrored in SQL the same way the md5-affine scheme
+# anchors MinHash.
+# --------------------------------------------------------------------------
+
+_SIGNBIT_SIG_SQL = """
+    SELECT vec_id, list_transform(range(0, 8), j ->
+        CAST(list_sum(list_transform(range(0, 8), t ->
+            CASE WHEN embedding[8 * CAST(j AS INT) + CAST(t AS INT) + 1] > 0
+                 THEN 1 << CAST(t AS INT) ELSE 0 END)) AS BIGINT)) AS w
+    FROM embeddings
+"""
+
+
+@register("embedding_signbit_signatures", f"""
+    SELECT vec_id, w[1] AS w0, w[2] AS w1, w[3] AS w2, w[4] AS w3,
+           w[5] AS w4, w[6] AS w5, w[7] AS w6, w[8] AS w7
+    FROM ({_SIGNBIT_SIG_SQL})
+""")
+def embedding_signbit_signatures(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """64 sign bits packed into 8 little-endian bytes — a zero-shuffle map
+    expression (one codegen'd CASE chain per word); the 8-byte signature
+    is what every later near-dup stage shuffles, never the vectors."""
+    return similarity.signbit_signatures(_emb(spark, sf_dir))
+
+
+@register("neardup_embedding_signbit_pairs", f"""
+    WITH sig AS ({_SIGNBIT_SIG_SQL}),
+    posts AS (SELECT vec_id, j, w[CAST(j AS INT) + 1] AS word
+              FROM sig, range(0, 8) t(j)),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM posts a JOIN posts b
+               ON a.j = b.j AND a.word = b.word AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(range(0, 8), j ->
+                 bit_count(xor(x.w[CAST(j AS INT) + 1],
+                               y.w[CAST(j AS INT) + 1])))) AS BIGINT)
+                 AS hamming
+      FROM cand JOIN sig x ON id_a = x.vec_id JOIN sig y ON id_b = y.vec_id)
+    WHERE hamming <= 17
+""")
+def neardup_embedding_signbit_pairs(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Multi-index Hamming blocking (Norouzi et al.): candidates share at
+    least one of 8 signature bytes verbatim (total recall below radius 8
+    by pigeonhole, algorithm-defined above — the banded-MinHash contract),
+    then exact bit_count(xor) verifies hamming <= 17. The blocked join
+    shuffles 16-byte postings only."""
+    return similarity.signbit_hamming_pairs(_emb(spark, sf_dir),
+                                            max_hamming=17)
+
+
+# --------------------------------------------------------------------------
+# E121 — temporal embargo split (operators/sampling.py): time-based
+# train/test eval split with a purge gap, plus the leakage report that
+# motivates entity-keyed splits (users straddling the boundary).
+# --------------------------------------------------------------------------
+
+_TEMPORAL_LAB_SQL = """
+    SELECT e.*, CASE
+        WHEN ts > mx - INTERVAL 7 DAY THEN 'test'
+        WHEN ts > mx - INTERVAL 9 DAY THEN 'embargo'
+        ELSE 'train' END AS split
+    FROM events e, (SELECT max(ts) AS mx FROM events) m
+"""
+
+
+@register("events_temporal_split", f"""
+    SELECT split, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM ({_TEMPORAL_LAB_SQL}) GROUP BY split
+""")
+def events_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last 7 days = test, 2 days before them = embargo (excluded so
+    rolling features built on train can't peek across the boundary),
+    rest = train; per-split census. One 1-row max(ts) broadcast + a
+    map-side CASE — exact µs interval arithmetic on both engines."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    lab = sampling.temporal_embargo_split(ev, "ts", test_days=7,
+                                          embargo_days=2)
+    return (lab.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.min("ts").alias("min_ts"),
+                 F.max("ts").alias("max_ts")))
+
+
+@register("temporal_split_user_leakage", f"""
+    SELECT CAST(sum(CASE WHEN in_train = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train_users,
+           CAST(sum(CASE WHEN in_test = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_users,
+           CAST(sum(CASE WHEN in_train = 1 AND in_test = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap_users
+    FROM (SELECT user_id,
+                 max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+                 max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+          FROM ({_TEMPORAL_LAB_SQL}) GROUP BY user_id)
+""")
+def temporal_split_user_leakage(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The governance row the temporal split needs next to it: how many
+    users appear on BOTH sides of the boundary (embargo stops feature
+    leakage, not entity leakage — that takes the cluster/entity-keyed
+    split, E49). One user-keyed flag aggregation + a 1-row rollup."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    lab = sampling.temporal_embargo_split(ev, "ts", test_days=7,
+                                          embargo_days=2)
+    flags = (lab.groupBy("user_id")
+             .agg(F.max(F.when(F.col("split") == "train", 1).otherwise(0))
+                  .alias("in_train"),
+                  F.max(F.when(F.col("split") == "test", 1).otherwise(0))
+                  .alias("in_test")))
+    one = F.lit(1)
+    return flags.agg(
+        F.sum(F.when(F.col("in_train") == one, 1).otherwise(0))
+        .cast("long").alias("n_train_users"),
+        F.sum(F.when(F.col("in_test") == one, 1).otherwise(0))
+        .cast("long").alias("n_test_users"),
+        F.sum(F.when((F.col("in_train") == one) & (F.col("in_test") == one),
+                     1).otherwise(0))
+        .cast("long").alias("n_overlap_users"))
+
+
+# --------------------------------------------------------------------------
+# E122 — deterministic k-fold assignment (operators/sampling.py): the
+# cross-validation twin of hash_split — content-keyed, never rand().
+# --------------------------------------------------------------------------
+
+@register("docs_kfold_assign", """
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5
+               AS fold
+    FROM documents
+""")
+def docs_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fold = md5-bucket(doc_id) mod 5 — stable under re-sharding and
+    incremental rebuilds; map-side only."""
+    return sampling.kfold_assign(_docs(spark, sf_dir), "doc_id",
+                                 k=5).select("doc_id", "fold")
+
+
+@register("docs_kfold_stats", """
+    SELECT fold, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT % 5 AS fold
+          FROM documents)
+    GROUP BY fold
+""")
+def docs_kfold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold balance census (the check that the hash assignment is level
+    in both docs and characters)."""
+    return (sampling.kfold_assign(_docs(spark, sf_dir), "doc_id", k=5)
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+# --------------------------------------------------------------------------
+# E123 — boolean retrieval over the postings substrate
+# (operators/ranking.py): conjunctive (AND-of-terms) search and exact
+# phrase containment — the two lexical retrieval modes TF-IDF/BM25 (E20)
+# don't cover, both integer-exact.
+# --------------------------------------------------------------------------
+
+_SEARCH_QUERIES = [("q1", ["dup", "merge", "window"]),
+                   ("q2", ["customer", "join", "stream"]),
+                   ("q3", ["line", "filter", "group", "sort"])]
+
+_SEARCH_PHRASES = [("p1", "key agg row"), ("p2", "sort table window"),
+                   ("p3", "value table part")]
+
+
+@register("docs_conjunctive_search", """
+    WITH q(query_id, terms) AS (VALUES
+        ('q1', ['dup', 'merge', 'window']),
+        ('q2', ['customer', 'join', 'stream']),
+        ('q3', ['line', 'filter', 'group', 'sort'])),
+    qt AS (SELECT query_id, unnest(list_distinct(terms)) AS term,
+                  len(list_distinct(terms)) AS n_terms FROM q),
+    posts AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                  AS term FROM documents),
+    m AS (SELECT query_id, doc_id, n_terms, count(*) AS c
+          FROM posts JOIN qt USING (term) GROUP BY 1, 2, 3)
+    SELECT query_id, doc_id, CAST(n_terms AS BIGINT) AS n_terms
+    FROM m WHERE c = n_terms
+""")
+def docs_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings-intersection AND retrieval: distinct (doc, token) postings
+    ⋈ broadcast query terms, qualify when all |terms| match. Cost is
+    Σ df(query terms), not the corpus."""
+    q = spark.createDataFrame(_SEARCH_QUERIES, "query_id string, terms array<string>")
+    return ranking.conjunctive_search(_docs(spark, sf_dir), q,
+                                      "doc_id", "text")
+
+
+@register("docs_phrase_search", """
+    WITH p(phrase_id, phrase) AS (VALUES
+        ('p1', 'key agg row'), ('p2', 'sort table window'),
+        ('p3', 'value table part'))
+    SELECT phrase_id, doc_id,
+           CAST((length(text) - length(replace(text, phrase, '')))
+                / length(phrase) AS BIGINT) AS n_occurrences
+    FROM documents JOIN p ON contains(text, phrase)
+""")
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase containment with occurrence counts via the
+    split-length identity — one scan applies all phrases (bounded
+    broadcast nested-loop, the documented human-scale exception)."""
+    p = spark.createDataFrame(_SEARCH_PHRASES, "phrase_id string, phrase string")
+    return ranking.phrase_search(_docs(spark, sf_dir), p, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# E124 — vocabulary growth curve (operators/text.py): Heaps'-law table via
+# the first-occurrence trick (cumulative-distinct reduced to equi-joins +
+# a k-row cumsum).
+# --------------------------------------------------------------------------
+
+@register("vocab_growth_curve", """
+    WITH b AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket
+               FROM documents),
+    f AS (SELECT tok, min(doc_id) AS fd
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents) GROUP BY 1),
+    np AS (SELECT bucket, count(*) AS new_tokens
+           FROM f JOIN b ON f.fd = b.doc_id GROUP BY 1),
+    pb AS (SELECT bucket, count(*) AS nd FROM b GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(nd) OVER (ORDER BY bucket) AS BIGINT) AS n_docs_cum,
+           CAST(COALESCE(new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(sum(COALESCE(new_tokens, 0)) OVER (ORDER BY bucket)
+                AS BIGINT) AS vocab_size
+    FROM pb LEFT JOIN np USING (bucket)
+""")
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct vocabulary per ingestion decile — the marginal-
+    novelty dashboard of a growing corpus."""
+    return text.vocab_growth(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# E125 — gate-certified STREAM-STATIC join (streaming/joins.py): the third
+# Structured Streaming join mode (§2.9), executed as a REAL stream — each
+# micro-batch broadcast-joins the static profile dim, then a stateful
+# rollup drains complete-mode; hash-matched against the all-batch oracle.
+# --------------------------------------------------------------------------
+
+@register("events_enriched_streamed", """
+    WITH prof AS (
+      SELECT user_id,
+             CASE WHEN sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) >= 60000
+                  THEN 'high' ELSE 'low' END AS spend_bucket
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT spend_bucket, event_type, count(*) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events e JOIN prof USING (user_id)
+    GROUP BY 1, 2
+""")
+def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment on a live stream: the static spend-profile dim
+    (built batch-side from purchase totals) broadcast-joins INSIDE every
+    micro-batch — no join state across batches — then the enriched stream
+    rolls up per (bucket, event_type) and drains complete-mode through a
+    memory sink. Same oracle as the equivalent batch join ⇒ batch ≡
+    stream certified at the gate."""
+    from .operators.stats import cents
+
+    batch_ev = catalog.load_table(spark, sf_dir, "events")
+    prof = (batch_ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.when(F.sum(cents("value")) >= 60000, "high")
+                 .otherwise("low").alias("spend_bucket")))
+    enriched = joins.stream_static_enrich(
+        _events_stream(spark, sf_dir), prof, "user_id")
+    agg = (enriched.groupBy("spend_bucket", "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(cents("value")).alias("sum_cents")))
+    return _drain_to_memory(agg, "ese_streamed", "complete")
+
+
+# --------------------------------------------------------------------------
+# E126 — curation funnel report (operators/corpus.py): per-stage attrition
+# census of the corpus build — the governance table next to the data card.
+# Oracle = the corpus_build CTE chain re-counted per stage.
+# --------------------------------------------------------------------------
+
+@register("curation_funnel_report", """
+    WITH quality AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                    t -> length(t)), 'sum') AS DOUBLE)
+                   / len(string_split(text, ' '))                 AS mean_token_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','an','and','or','of','to','in',
+                                        'is','it','that','for','on','with','as',
+                                        'at','by','this'], t))) AS DOUBLE)
+                   / len(string_split(text, ' '))                 AS stopword_ratio
+        FROM documents)
+      WHERE n_tokens >= 20 AND n_tokens <= 10000
+        AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+        AND stopword_ratio > 0.0
+    ),
+    uniq AS (
+      SELECT doc_id, text
+      FROM (SELECT d.doc_id, d.text,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents d JOIN quality USING (doc_id))
+      WHERE rn = 1
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS s
+      FROM uniq),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    losers AS (
+      SELECT DISTINCT doc_b FROM common
+      JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8),
+    counts AS (
+      SELECT 0 AS stage_idx, 'input' AS stage,
+             (SELECT count(*) FROM documents) AS n_kept
+      UNION ALL SELECT 1, 'quality_gate', (SELECT count(*) FROM quality)
+      UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM uniq)
+      UNION ALL SELECT 3, 'neardup_prune',
+        (SELECT count(*) FROM uniq
+         WHERE doc_id NOT IN (SELECT doc_b FROM losers)))
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(COALESCE(lag(n_kept) OVER (ORDER BY stage_idx), n_kept)
+                AS BIGINT) AS n_in,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(COALESCE(lag(n_kept) OVER (ORDER BY stage_idx), n_kept)
+                - n_kept AS BIGINT) AS n_dropped
+    FROM counts
+""")
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input → quality gate → exact dedup → near-dup prune, each stage one
+    1-row count of the SAME staged frames corpus_build runs (shared
+    localCheckpoint on the dedup output); n_in/n_dropped via a 4-row lag
+    window — nothing driver-side."""
+    return corpus.curation_funnel(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# E127 — grouped OHLC resampling (operators/stats.py): first/last as
+# lexicographic struct min/max — ONE map-side-combinable hash aggregate,
+# no window, no sort; oracle mirrors via row_number extremes.
+# --------------------------------------------------------------------------
+
+@register("user_daily_ohlc", """
+    WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM c)
+    SELECT user_id, day,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+               AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+               AS close_cents,
+           count(*) AS n_events
+    FROM r GROUP BY 1, 2
+""")
+def user_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) open/high/low/close in exact cents; open/close are
+    the values at the (ts, event_id) extremes, NOT min/max of value."""
+    ev = (catalog.load_table(spark, sf_dir, "events")
+          .withColumn("day", F.col("ts").cast("date")))
+    return stats.daily_ohlc(ev, ["user_id", "day"], "ts", "event_id",
+                            "value")
+
+
+# --------------------------------------------------------------------------
+# E128 — ORC scan/sink round-trip (sources/io.py): Spark's second built-in
+# columnar lake format, same pushdown/pruning properties as parquet. The
+# oracle reads the ORIGINAL documents table — equality of the round-trip
+# IS the check (DuckDB cannot read ORC, and doesn't need to).
+# --------------------------------------------------------------------------
+
+def _orc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    def build(fix: str) -> None:
+        io.write_orc(catalog.load_table(spark, sf_dir, "documents"),
+                     os.path.join(fix, "docs_orc"))
+
+    return os.path.join(_fixture_dir(sf_dir, "orc_docs_v1", build),
+                        "docs_orc")
+
+
+@register("orc_scan_roundtrip", """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC sink → ORC scan must equal the source table
+    bit-for-bit (schema from the file footer; OrcScan reports pushed
+    filters/pruned columns exactly like parquet — plan-asserted in
+    tests/test_round5_additions.py)."""
+    return io.read_orc(spark, _orc_fixture(spark, sf_dir)) \
+        .select("doc_id", "text", "lang", "source", "n_chars")

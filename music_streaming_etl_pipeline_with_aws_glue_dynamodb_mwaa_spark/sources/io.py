@@ -190,3 +190,18 @@ def union_evolving(frames: list[DataFrame]) -> DataFrame:
     for df in frames[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Columnar ORC sink — Spark's built-in second columnar format (the
+    lake-interchange alternative where the warehouse side is Hive/Trino-
+    first). Same splittable, predicate-pushdown scan properties as
+    parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — schema from the file footer, filters and column pruning
+    push down exactly as for parquet (OrcScan reports PushedFilters)."""
+    paths = path if isinstance(path, list) else [path]
+    return spark.read.orc(*paths)

@@ -74,3 +74,24 @@ def time_interval_join(left: DataFrame, right: DataFrame, key: str, *,
                      keys=[key], bin_width=lo_us + hi_us + 1,
                      closed="both")
     return out.drop("_p", "_lo", "_hi")
+
+
+def stream_static_enrich(stream: DataFrame, static: DataFrame,
+                         key: str | list[str], *,
+                         how: str = "inner") -> DataFrame:
+    """Stream-static equi-join — the dimension-enrichment pattern of
+    Structured Streaming (§2.9's third join mode alongside stream-stream
+    and batch): each micro-batch of the stream joins the static frame as
+    of that batch's execution, with NO join state kept between batches
+    (the static side is re-resolvable, so Spark plans a plain broadcast
+    join inside every micro-batch).
+
+    The broadcast hint keeps the per-batch plan shuffle-free on the
+    stream side — at 100 TB of stream the dim table is the small side by
+    construction (profiles, genres, geo), exactly the KPI chain's J1
+    shape. Stream-side rows with no match drop under ``inner`` (Spark
+    disallows right/full joins whose null side would need stream state);
+    ``left`` keeps them with nulls."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError("stream-static join supports inner/left only")
+    return stream.join(F.broadcast(static), key, how)
