@@ -291,17 +291,31 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, id_col: str,
     left-to-right NON-overlapping occurrences (both engines' ``replace``
     semantics). Returns (phrase_id, doc_id, n_occurrences).
 
-    The scan applies all phrases in one pass over the text (broadcast
-    nested-loop against the human-scale phrase list — the deliberate,
-    bounded exception to the no-BNLJ rule, like the scalar-bound joins);
-    occurrence counting is the standard split-length identity
+    The human-scale phrase list collects to the driver ONCE (the same
+    bounded-collect contract as ``similarity.assign_nearest_seed``'s seed
+    codebook) and inlines as an array-of-structs literal, so the whole
+    search is ONE codegen'd explode+filter over the scan — no join
+    operator at all, not even a broadcast nested-loop; each doc row fans
+    out |phrases| ways in-row and non-matches drop immediately.
+    Occurrence counting is the standard split-length identity
     ``(len(text) - len(replace(text, p, ''))) / len(p)`` — pure string
     arithmetic, no regex escape hazards, oracle-exact."""
-    p = phrases.select(F.col(phrase_id_col), F.col(phrase_col))
+    rows = phrases.select(F.col(phrase_id_col).alias("_pid"),
+                          F.col(phrase_col).alias("_p")).collect()
+    if not rows:
+        raise ValueError("need at least one phrase")
+    if any(not r["_p"] for r in rows):
+        raise ValueError("phrases must be non-empty")
+    arr = F.array(*[
+        F.struct(F.lit(r["_pid"]).alias("pid"), F.lit(r["_p"]).alias("p"))
+        for r in sorted(rows, key=lambda r: str(r["_pid"]))
+    ])
+    ph = F.col("_ph")
     occ = ((F.length(F.col(text_col))
-            - F.length(F.replace(F.col(text_col), F.col(phrase_col))))
-           / F.length(F.col(phrase_col))).cast("long")
-    return (docs.select(F.col(id_col), F.col(text_col))
-            .join(F.broadcast(p), F.contains(F.col(text_col),
-                                             F.col(phrase_col)))
-            .select(phrase_id_col, id_col, occ.alias("n_occurrences")))
+            - F.length(F.replace(F.col(text_col), ph["p"])))
+           / F.length(ph["p"])).cast("long")
+    return (docs.select(F.col(id_col), F.col(text_col),
+                        F.explode(arr).alias("_ph"))
+            .where(F.contains(F.col(text_col), ph["p"]))
+            .select(ph["pid"].alias(phrase_id_col), F.col(id_col),
+                    occ.alias("n_occurrences")))
