@@ -434,3 +434,23 @@ def daily_ohlc(df: DataFrame, group_cols: list[str], ts_col: str,
                  F.min(v).alias("low_cents"),
                  last.getField("v").alias("close_cents"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+def zscore_apply(df: DataFrame, params: DataFrame, keys: list[str],
+                 value_col: str) -> DataFrame:
+    """Apply TRAIN-FITTED normalization parameters to another frame — the
+    leakage-free feature-transform pattern: ``params`` is a
+    ``group_moments`` table fitted on the training split only; this
+    broadcast-joins it on the (k-row) key and appends
+    ``z = (cents - mean) / stddev``. Groups absent from the fit (inner
+    join) drop — an unseen category at apply time is a modeling decision,
+    not a silent 0. The z tree is the same portable
+    subtract-one-division shape ``events_value_anomalies`` already
+    hash-certifies."""
+    c = cents(value_col)
+    out = df.join(
+        F.broadcast(params.select(*keys, "mean_cents", "stddev_cents")),
+        keys)
+    z = ((c.cast("double") - F.col("mean_cents"))
+         / F.col("stddev_cents"))
+    return out.withColumn("z", z)

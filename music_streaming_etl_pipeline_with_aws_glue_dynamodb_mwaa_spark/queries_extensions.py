@@ -6884,3 +6884,41 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round5_additions.py)."""
     return io.read_orc(spark, _orc_fixture(spark, sf_dir)) \
         .select("doc_id", "text", "lang", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# E129 — train-fitted feature normalization (operators/stats.py): moments
+# fitted on the TEMPORAL-TRAIN split only (E121), applied to the test
+# split — the leakage-free transform discipline (fit-on-train only),
+# exercised cross-frame rather than within one window.
+# --------------------------------------------------------------------------
+
+@register("events_test_zscore_trainfit", f"""
+    WITH lab AS ({_TEMPORAL_LAB_SQL}),
+    tr AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum({_CENTS_SQL}) AS BIGINT) AS s,
+             CAST(sum({_CENTS_SQL} * {_CENTS_SQL}) AS BIGINT) AS ss
+      FROM lab WHERE split = 'train' GROUP BY 1)
+    SELECT event_id, event_type, value,
+           (CAST({_CENTS_SQL} AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(n * ss - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) AS z
+    FROM lab JOIN tr USING (event_type)
+    WHERE split = 'test'
+""")
+def events_test_zscore_trainfit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-event_type moments fitted on temporal-train rows ONLY, then
+    broadcast-applied to the test split: train statistics never see test
+    data (the transform twin of the embargo split's feature-leakage
+    guarantee). k-row params join + map-side z — one small-dim broadcast
+    at any scale."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    lab = sampling.temporal_embargo_split(ev, "ts", test_days=7,
+                                          embargo_days=2)
+    params = stats.group_moments(lab.filter(F.col("split") == "train"),
+                                 ["event_type"], "value")
+    test = lab.filter(F.col("split") == "test")
+    return stats.zscore_apply(test, params, ["event_type"], "value") \
+        .select("event_id", "event_type", "value", "z")

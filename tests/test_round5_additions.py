@@ -209,3 +209,20 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "IsNotNull(doc_id)" in plan
     assert "ReadSchema" in plan
+
+
+def test_zscore_trainfit_uses_train_only(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+
+    train = spark.createDataFrame(
+        [("a", 1.00), ("a", 3.00), ("b", 5.00), ("b", 7.00)],
+        "k string, value double")
+    test = spark.createDataFrame(
+        [(1, "a", 99.00), (2, "c", 1.00)], "id long, k string, value double")
+    params = stats.group_moments(train, ["k"], "value")
+    got = stats.zscore_apply(test, params, ["k"], "value").collect()
+    # unseen category 'c' drops (inner join); 'a' scored by TRAIN stats
+    assert [r.id for r in got] == [1]
+    # train a: mean 200 cents, sample std sqrt(20000) — test value ignored
+    import math
+    assert abs(got[0].z - (9900 - 200) / math.sqrt(20000)) < 1e-12
