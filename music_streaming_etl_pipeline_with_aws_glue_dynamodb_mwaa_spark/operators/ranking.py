@@ -319,3 +319,37 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, id_col: str,
             .where(F.contains(F.col(text_col), ph["p"]))
             .select(ph["pid"].alias(phrase_id_col), F.col(id_col),
                     occ.alias("n_occurrences")))
+
+
+def vocab_index(docs: DataFrame, id_col: str, text_col: str, *,
+                min_df: int = 1) -> DataFrame:
+    """Deterministic dense vocabulary index for bag-of-words featurization:
+    (term, term_idx, df), terms ranked by (df DESC, term ASC) so index 0 is
+    the most frequent term and the mapping is reproducible across engines,
+    runs, and partitionings. ``min_df`` prunes the hapax tail (the standard
+    CountVectorizer knob — at corpus scale the tail IS most of the
+    vocabulary). One docfreq aggregation + one vocabulary-sized rank
+    window (single partition over |vocab| rows — the same bounded-window
+    contract as the k-row funnel cumsum; shard by a term-hash prefix if a
+    vocabulary ever outgrows one task)."""
+    dfreq = (docs.select(F.explode(distinct_tokens(text_col)).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+             .where(F.col("df") >= min_df))
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return dfreq.select(
+        "term", (F.row_number().over(w) - 1).cast("long").alias("term_idx"),
+        "df")
+
+
+def doc_term_matrix(docs: DataFrame, id_col: str, text_col: str, *,
+                    min_df: int = 1) -> DataFrame:
+    """Sparse document-term matrix in COO form — (doc_id, term_idx, tf) —
+    the bag-of-words featurization every classical downstream model
+    (NB/LR quality classifiers, topic models) consumes. Exact integers;
+    the vocabulary index is broadcast (vocab-sized) and the tf table is
+    the one (doc, term) shuffle ``doc_term_stats`` already pays."""
+    tf = (docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    vocab = vocab_index(docs, id_col, text_col, min_df=min_df)
+    return (tf.join(F.broadcast(vocab.select("term", "term_idx")), "term")
+            .select(id_col, "term_idx", "tf"))

@@ -6922,3 +6922,47 @@ def events_test_zscore_trainfit(spark: SparkSession,
     test = lab.filter(F.col("split") == "test")
     return stats.zscore_apply(test, params, ["event_type"], "value") \
         .select("event_id", "event_type", "value", "z")
+
+
+# --------------------------------------------------------------------------
+# E130 — bag-of-words featurization (operators/ranking.py): deterministic
+# dense vocabulary index + sparse COO doc-term matrix — the classical-ML
+# feature export next to the embedding path.
+# --------------------------------------------------------------------------
+
+@register("docs_vocab_index", """
+    SELECT term,
+           CAST(row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS BIGINT)
+               AS term_idx,
+           df
+    FROM (SELECT term, count(*) AS df
+          FROM (SELECT DISTINCT doc_id,
+                       unnest(list_distinct(string_split(text, ' '))) AS term
+                FROM documents)
+          GROUP BY 1)
+""")
+def docs_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, dense index, df) ranked by (df DESC, term ASC) — the
+    reproducible CountVectorizer vocabulary."""
+    return ranking.vocab_index(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("docs_term_matrix_sparse", """
+    WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents) GROUP BY 1, 2),
+    vocab AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS BIGINT)
+                 AS term_idx
+      FROM (SELECT term, count(*) AS df
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(list_distinct(string_split(text, ' '))) AS term
+                  FROM documents)
+            GROUP BY 1))
+    SELECT doc_id, term_idx, tf FROM tf JOIN vocab USING (term)
+""")
+def docs_term_matrix_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse COO (doc_id, term_idx, tf) — vocabulary broadcast onto the
+    (doc, term) tf table; exact integers throughout."""
+    return ranking.doc_term_matrix(_docs(spark, sf_dir), "doc_id", "text")

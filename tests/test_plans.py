@@ -293,3 +293,35 @@ def test_q22_threshold_is_broadcast_scalar(spark):
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_is_join_free(spark):
+    """Inlined phrase literals: the whole search is explode+filter inside
+    codegen — no join operator of any kind."""
+    plan = _executed(q("docs_phrase_search")(spark, SF_SMOKE))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_signbit_pairs_no_cartesian(spark):
+    """Multi-index Hamming blocking: candidates come from the postings
+    equi-join — never an all-pairs product."""
+    plan = _executed(q("neardup_embedding_signbit_pairs")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_term_matrix_vocab_is_broadcast(spark):
+    """The vocabulary index joins the tf table as a broadcast — the big
+    (doc, term) side never reshuffles for the dictionary lookup."""
+    plan = _executed(q("docs_term_matrix_sparse")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_aggregate_no_window(spark):
+    """OHLC via struct min/max: one hash aggregate, zero window operators,
+    zero joins."""
+    plan = _executed(q("user_daily_ohlc")(spark, SF_SMOKE))
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

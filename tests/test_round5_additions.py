@@ -226,3 +226,18 @@ def test_zscore_trainfit_uses_train_only(spark):
     # train a: mean 200 cents, sample std sqrt(20000) — test value ignored
     import math
     assert abs(got[0].z - (9900 - 200) / math.sqrt(20000)) < 1e-12
+
+
+def test_vocab_index_and_term_matrix(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c"), (3, "a")], "doc_id long, text string")
+    vocab = {r.term: (r.term_idx, r.df)
+             for r in ranking.vocab_index(docs, "doc_id", "text").collect()}
+    # df: a=3, b=1, c=1 → a idx 0; ties (b, c) break alphabetically
+    assert vocab == {"a": (0, 3), "b": (1, 1), "c": (2, 1)}
+    m = {(r.doc_id, r.term_idx): r.tf
+         for r in ranking.doc_term_matrix(docs, "doc_id", "text").collect()}
+    assert m == {(1, 0): 1, (1, 1): 2, (2, 0): 1, (2, 2): 1, (3, 0): 1}
+    # min_df prunes the tail
+    v2 = ranking.vocab_index(docs, "doc_id", "text", min_df=2)
+    assert [r.term for r in v2.collect()] == ["a"]
