@@ -29,6 +29,7 @@ from .operators import (
     corpus,
     decontam,
     dedup,
+    evaluation,
     freq,
     funnel,
     fuzzy,
@@ -46,6 +47,7 @@ from .operators import (
     ranking,
     quality,
     rangejoin,
+    regression,
     repetition,
     sampling,
     scd,
@@ -6966,3 +6968,285 @@ def docs_term_matrix_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse COO (doc_id, term_idx, tf) — vocabulary broadcast onto the
     (doc, term) tf table; exact integers throughout."""
     return ranking.doc_term_matrix(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# E131 — closed-form linear regression (operators/regression.py): normal
+# equations in ONE aggregation pass (10 BIGINT sufficient statistics cross
+# the exchange), Cramer solve + R² as a fixed IEEE tree shared verbatim
+# with the oracle, broadcast-applied residuals. The "train a model where
+# only d² numbers move" primitive of every distributed ML system.
+# --------------------------------------------------------------------------
+
+#: events feature frame: y = exact cents, x1 = hour-of-day, x2 = epoch-day
+#: mod 7 (TZ-free weekday index — portable unlike dayofweek()).
+_LINFIT_F_SQL = f"""
+      SELECT event_id, {_CENTS_SQL} AS y,
+             CAST(hour(ts) AS BIGINT) AS x1,
+             CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS x2
+      FROM events"""
+
+_LINFIT_FIT_SQL = f"""
+    f AS ({_LINFIT_F_SQL}),
+    s AS (SELECT count(*) AS n,
+                 CAST(sum(x1) AS BIGINT) AS s1,
+                 CAST(sum(x2) AS BIGINT) AS s2,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                 CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                 CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                 CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                 CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM f),
+    d AS (SELECT {', '.join(regression.CAST_COLS)} FROM s),
+    dd AS (SELECT *, {regression.DET_SQL} AS det,
+                  {regression.DET0_SQL} AS det0,
+                  {regression.DET1_SQL} AS det1,
+                  {regression.DET2_SQL} AS det2
+           FROM d),
+    fit AS (SELECT {', '.join(regression.SOLVE_COLS)} FROM dd)"""
+
+
+def _events_linfit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", stats.cents("value").alias("y"),
+        F.hour("ts").cast("long").alias("x1"),
+        F.expr("CAST((unix_micros(ts) div 86400000000) % 7 AS BIGINT)")
+         .alias("x2"))
+
+
+@register("events_value_linfit", f"""
+    WITH {_LINFIT_FIT_SQL}
+    SELECT * FROM fit
+""")
+def events_value_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality baseline y_cents ≈ b0 + b1·hour + b2·weekday fitted
+    over the whole events fact in one pass
+    (operators/regression.py::linear_fit) — even the learned COEFFICIENTS
+    and R² are oracle-hashed, because the sufficient statistics are exact
+    BIGINTs and the Cramer tree is engine-portable IEEE arithmetic."""
+    f = _events_linfit_features(spark, sf_dir)
+    return regression.linear_fit(f, "y", "x1", "x2")
+
+
+@register("events_value_linfit_residuals", f"""
+    WITH {_LINFIT_FIT_SQL}
+    SELECT event_id, y,
+           b0 + CAST(x1 AS DOUBLE) * b1 + CAST(x2 AS DOUBLE) * b2 AS pred,
+           CAST(y AS DOUBLE)
+           - (b0 + CAST(x1 AS DOUBLE) * b1 + CAST(x2 AS DOUBLE) * b2)
+               AS resid
+    FROM f CROSS JOIN fit
+""")
+def events_value_linfit_residuals(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-event prediction + residual under the fitted seasonality
+    baseline — the de-trending / anomaly-substrate apply pass. The 1-row
+    fit broadcast-joins onto the fact scan (scalar join, no shuffle);
+    residual doubles hash-match the oracle through the same fixed tree."""
+    f = _events_linfit_features(spark, sf_dir)
+    fit = regression.linear_fit(f, "y", "x1", "x2")
+    return regression.linear_predict(f, fit, "y", "x1", "x2") \
+        .select("event_id", "y", "pred", "resid")
+
+
+# --------------------------------------------------------------------------
+# E132 — weighted bag-of-words cosine all-pairs (operators/dedup.py):
+# the frequency-aware near-dup detector next to set-Jaccard; postings
+# self-join with singleton prune, BIGINT dot products, portable-IEEE
+# cosine (sqrt, not ln) — the one weighted-similarity family that can be
+# oracle-EXACT.
+# --------------------------------------------------------------------------
+
+@register("neardup_bow_cosine_pairs", """
+    WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents) GROUP BY 1, 2),
+    keep AS (SELECT term FROM tf GROUP BY term HAVING count(*) > 1),
+    norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nsq
+              FROM tf GROUP BY 1),
+    p AS (SELECT doc_id, term, tf FROM tf JOIN keep USING (term)),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+             FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b, dot,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots JOIN norms x ON doc_a = x.doc_id
+              JOIN norms y ON doc_b = y.doc_id
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+          >= 0.9
+""")
+def neardup_bow_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with tf-vector cosine ≥ 0.9
+    (operators/dedup.py::bow_cosine_pairs_dense) — weighted lexical
+    near-dup, exact integers + portable IEEE cosine. The DENSE blocked
+    path is chosen deliberately: this corpus's 31-term vocabulary makes
+    the postings self-join (bow_cosine_pairs) emit Σdf² ≈ V·n² rows
+    (measured 112 s at sf0.1 vs ~2 s for dense tiles — same hashes);
+    dense tiles pay only the inherent n²·V integer MACs, BLAS-shaped,
+    with per-task memory capped by max_block_rows."""
+    return dedup.bow_cosine_pairs_dense(_docs(spark, sf_dir), "doc_id",
+                                        "text", threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# E133 — classifier evaluation (operators/evaluation.py): confusion
+# matrix + accuracy/precision/recall/F1/Cohen's-kappa of the in-engine
+# hashed quality classifier against its lang='en' proxy label — the
+# eval loop every curation gate needs, as ONE aggregation.
+# --------------------------------------------------------------------------
+
+@register("classifier_eval_metrics", f"""
+    WITH scored AS ({{}}),
+    lab AS (SELECT s.doc_id, s.keep AS pred, (d.lang = 'en') AS label
+            FROM scored s JOIN documents d USING (doc_id)),
+    c AS (SELECT
+            CAST(sum(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT)
+                AS tp,
+            CAST(sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tn
+          FROM lab),
+    cd AS (SELECT {', '.join(evaluation.CAST_COLS)} FROM c)
+    SELECT {', '.join(evaluation.METRIC_COLS)} FROM cd
+""".format(_REG["doc_quality_classifier"][1]))
+def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the hashed linear quality gate actually learn its proxy?
+    One row: confusion counts (exact BIGINT) and the metric suite
+    (IEEE-portable doubles, kappa included) scoring the classifier's keep
+    decision against the lang='en' label it was trained on
+    (training-set agreement — the standard first sanity gate;
+    operators/evaluation.py::binary_report)."""
+    docs = _docs(spark, sf_dir)
+    from .operators import classify
+    scored = classify.quality_classifier(docs, F.col("lang") == "en",
+                                         width=4096)
+    lab = scored.join(docs.select("doc_id",
+                                  (F.col("lang") == "en").alias("label")),
+                      "doc_id")
+    return evaluation.binary_report(lab, F.col("label"), F.col("keep"))
+
+
+@register("classifier_calibration_bins", """
+    WITH scored AS ({}),
+    lab AS (SELECT s.margin, (d.lang = 'en') AS label
+            FROM scored s JOIN documents d USING (doc_id)),
+    b AS (SELECT CAST(floor(margin * 10.0) AS BIGINT) AS bin, label
+          FROM lab)
+    SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS frac_pos
+    FROM b GROUP BY bin
+""".format(_REG["doc_quality_classifier"][1]))
+def classifier_calibration_bins(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality classifier's margin vs its
+    lang='en' label in width-0.1 bins
+    (operators/evaluation.py::calibration_bins): the margin bin id is a
+    portable floor(double), counts exact, so even the calibration CURVE
+    oracle-hashes. Bin-count-bounded groupBy — free at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    from .operators import classify
+    scored = classify.quality_classifier(docs, F.col("lang") == "en",
+                                         width=4096)
+    lab = scored.join(docs.select("doc_id",
+                                  (F.col("lang") == "en").alias("label")),
+                      "doc_id")
+    return evaluation.calibration_bins(lab, F.col("label"),
+                                       F.col("margin"), inv_width=10)
+
+
+@register("classifier_auc", """
+    WITH scored AS ({}),
+    lab AS (SELECT s.margin AS s, (d.lang = 'en') AS label
+            FROM scored s JOIN documents d USING (doc_id)),
+    g AS (SELECT s,
+                 CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                     AS np,
+                 CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT)
+                     AS nn
+          FROM lab GROUP BY 1),
+    c AS (SELECT np, nn,
+                 CAST(sum(nn) OVER (ORDER BY s) AS BIGINT) AS cum_nn
+          FROM g),
+    a AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+                 CAST(sum(nn) AS BIGINT) AS n_neg,
+                 CAST(sum(2 * np * (cum_nn - nn) + np * nn) AS BIGINT) AS w2
+          FROM c)
+    SELECT p, n_neg, w2,
+           CAST(w2 AS DOUBLE)
+           / (2.0 * CAST(p AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM a
+""".format(_REG["doc_quality_classifier"][1]))
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality classifier's margin against its
+    lang='en' proxy (operators/evaluation.py::auc): rank-sum identity
+    over distinct margins, negatives-below running total via the
+    two-phase global cumsum (never a single-task window), integer pair
+    counts + ONE IEEE division — the threshold-free eval metric,
+    oracle-hashed."""
+    docs = _docs(spark, sf_dir)
+    from .operators import classify
+    scored = classify.quality_classifier(docs, F.col("lang") == "en",
+                                         width=4096)
+    lab = scored.join(docs.select("doc_id",
+                                  (F.col("lang") == "en").alias("label")),
+                      "doc_id")
+    return evaluation.auc(lab, F.col("label"), F.col("margin"))
+
+
+# --------------------------------------------------------------------------
+# E134 — grouped linear fits: one model PER SEGMENT from a single groupBy
+# pass (per-event-type seasonality baselines). The shuffle carries ten
+# longs per (task, group); the Cramer solve is a map-side projection.
+# --------------------------------------------------------------------------
+
+@register("events_value_linfit_by_type", f"""
+    WITH f AS (
+      SELECT event_type, {_CENTS_SQL} AS y,
+             CAST(hour(ts) AS BIGINT) AS x1,
+             CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS x2
+      FROM events),
+    s AS (SELECT event_type, count(*) AS n,
+                 CAST(sum(x1) AS BIGINT) AS s1,
+                 CAST(sum(x2) AS BIGINT) AS s2,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                 CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                 CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                 CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                 CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM f GROUP BY 1),
+    d AS (SELECT event_type, {', '.join(regression.CAST_COLS)} FROM s),
+    dd AS (SELECT *, {regression.DET_SQL} AS det,
+                  {regression.DET0_SQL} AS det0,
+                  {regression.DET1_SQL} AS det1,
+                  {regression.DET2_SQL} AS det2
+           FROM d)
+    SELECT event_type, {', '.join(regression.SOLVE_COLS)} FROM dd
+""")
+def events_value_linfit_by_type(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-event-type seasonality fit (hour + weekday) — k models from
+    ONE pass (operators/regression.py::linear_fit_grouped); coefficients
+    and per-segment R² all oracle-hashed through the shared Cramer
+    tree."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    f = ev.select(
+        "event_type", stats.cents("value").alias("y"),
+        F.hour("ts").cast("long").alias("x1"),
+        F.expr("CAST((unix_micros(ts) div 86400000000) % 7 AS BIGINT)")
+         .alias("x2"))
+    return regression.linear_fit_grouped(f, ["event_type"], "y", "x1", "x2")
