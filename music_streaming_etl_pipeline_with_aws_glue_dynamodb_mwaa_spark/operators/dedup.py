@@ -877,6 +877,76 @@ def bow_cosine_pairs_dense(df: DataFrame, id_col: str, text_col: str, *,
                                   "dot long, cosine double")))
 
 
+def edit_verify_pairs(pairs: DataFrame, docs: DataFrame, id_col: str,
+                      text_col: str, *, min_sim: float = 0.0) -> DataFrame:
+    """SEQUENCE-LEVEL verification of candidate near-dup pairs: exact
+    Levenshtein distance + normalized edit similarity
+    ``1 − lev / max(len_a, len_b)`` appended to each (doc_a, doc_b) row.
+
+    The third stage of the production dedup pipeline (candidate-gen →
+    set-similarity filter → sequence verify): shingle Jaccard is
+    order-blind, so two documents that permute the same sentences score
+    j ≈ 1 while being different texts — the edit check is the
+    order-SENSITIVE authority, and it is affordable precisely because it
+    runs on |candidates|, not |pairs| (Levenshtein is O(len²) per pair;
+    running it all-pairs would be the classic quadratic blowup the LSH
+    stages exist to avoid).
+
+    Exactness: ``levenshtein`` is built-in unit-cost character edits on
+    BOTH engines (JVM-side in Spark — no UDF), the distance is an exact
+    BIGINT and the similarity one fixed IEEE division — hash-exact.
+
+    Scale shape: two hash joins keyed by doc id (broadcast-able when the
+    candidate set is small, shuffle otherwise — left to AQE), then a
+    row-local expression. Texts travel the exchange once per side; at
+    100 TB pair the ids first and semi-join ``docs`` down to referenced
+    ids before the text join if candidates touch a small doc subset.
+    """
+    a = docs.select(F.col(id_col).alias("doc_a"),
+                    F.col(text_col).alias("_ta"))
+    b = docs.select(F.col(id_col).alias("doc_b"),
+                    F.col(text_col).alias("_tb"))
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb")).cast("long")
+    sim = (F.lit(1.0)
+           - lev.cast("double")
+           / F.greatest(F.length("_ta"), F.length("_tb")).cast("double"))
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("edit_distance", lev)
+            .withColumn("edit_sim", sim)
+            .drop("_ta", "_tb")
+            .filter(F.col("edit_sim") >= F.lit(min_sim)))
+
+
+def cross_source_overlap(df: DataFrame, id_col: str, text_col: str,
+                         group_col: str, *, prefix_k: int = 8) -> DataFrame:
+    """Corpus-governance overlap matrix: for every pair of sources, how
+    many distinct ``prefix_k``-token HEAD fingerprints they share —
+    the boilerplate/provenance-leak detector (shared headers, mirrored
+    feeds, re-crawled subsets) run BEFORE committing to a source mix.
+    Head fingerprints rather than whole-text md5 because real mirrored
+    content diverges in tails (ads, timestamps) while heads survive; the
+    whole-text variant is this same query with ``fingerprint_index``'s
+    full fingerprint.
+
+    Shape: doc → one (fp, group) row (md5 of the first-k-token prefix),
+    DISTINCT, then a self-equi-join on fp with group_a < group_b and one
+    count-distinct roll-up — Σdf² bounded because head-fp frequencies
+    are dedup'd per source first. Output is at most |sources|² rows:
+    driver-safe to act on, never to compute from.
+    """
+    fp = (df.select(
+            F.md5(F.concat_ws(" ", F.slice(tokens(text_col), 1, prefix_k)))
+            .alias("_fp"),
+            F.col(group_col).alias("_g"))
+          .distinct())
+    a = fp.select(F.col("_fp"), F.col("_g").alias("source_a"))
+    b = fp.select(F.col("_fp"), F.col("_g").alias("source_b"))
+    return (a.join(b, "_fp")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.countDistinct("_fp").alias("n_shared_prefixes")))
+
+
 # --------------------------------------------------------------------------
 # Incremental exact dedup (ingest-time shape)
 # --------------------------------------------------------------------------

@@ -131,3 +131,92 @@ def calibration_bins(df: DataFrame, label: Column, score: Column, *,
                     "n", "n_pos",
                     (F.col("n_pos").cast("double")
                      / F.col("n").cast("double")).alias("frac_pos")))
+
+
+#: Pearson-over-doubled-average-ranks solve; fixed parenthesization,
+#: shared verbatim with the DuckDB oracle.
+RHO_SQL = ("(dn * dab - da * db) "
+           "/ (sqrt(dn * daa - da * da) * sqrt(dn * dbb - db * db))")
+
+
+def _doubled_avg_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Per-row 2×average-rank of ``col`` — an exact BIGINT even under
+    ties (avg rank is half-integral; doubling clears the fraction):
+    R2 = 2·competition_rank + ties − 1 = 2·cum_cnt − cnt + 1 over the
+    per-value counts. Computed scalably: ONE groupBy to distinct values
+    + ``ids.global_cumsum`` (range-partition two-phase, never a
+    single-task global window) + an equi-join back onto the rows."""
+    g = df.groupBy(F.col(col).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+    c = ids.global_cumsum(g, ["_v"], "_c", out_col="_cum")
+    r2 = c.select(F.col("_v"),
+                  (F.lit(2) * F.col("_cum") - F.col("_c") + F.lit(1))
+                  .cast("long").alias(out))
+    return df.join(r2, df[col] == r2["_v"]).drop("_v")
+
+
+def spearman_rho(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman rank correlation between two numeric columns, EXACT and
+    tie-correct: classical tie-averaged ranks are half-integers, so both
+    rank vectors are carried as 2×avg-rank BIGINTs (scaling both sides
+    doesn't move a correlation) and every sufficient statistic
+    (n, Σr_a, Σr_b, Σr_a², Σr_b², Σr_a·r_b) is an exact integer sum —
+    order-independent — before ONE fixed IEEE tree (``RHO_SQL``, the
+    Pearson solve) yields the rho double, which therefore oracle-hashes.
+
+    The curation use: agreement between two quality SIGNALS (a fast
+    heuristic vs an expensive model score) is a rank question — Pearson
+    on raw scores rewards matching magnitudes, Spearman asks "do they
+    ORDER the corpus the same way", which is what a filter threshold
+    actually consumes.
+
+    Shape: two rank passes (each = value-groupBy + two-phase global
+    cumsum + join back — the ``auc`` skeleton, no global window), one
+    6-sum reduce. Overflow envelope: Σr_a·r_b ≤ 4n³ caps BIGINT safety
+    at n ≈ 1.3×10⁶ rows; past that, bucket the signals first (rank
+    correlation over quantized buckets — same operator over the bucket
+    ids) or lift the six sums to DECIMAL(38,0), which both engines sum
+    exactly. Returns ONE row (n, rho).
+    """
+    ranked = _doubled_avg_ranks(
+        _doubled_avg_ranks(df.select(col_a, col_b), col_a, "_ra"),
+        col_b, "_rb")
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_ra").alias("sa"), F.sum("_rb").alias("sb"),
+        F.sum(F.col("_ra") * F.col("_ra")).alias("saa"),
+        F.sum(F.col("_rb") * F.col("_rb")).alias("sbb"),
+        F.sum(F.col("_ra") * F.col("_rb")).alias("sab"))
+    return (sums.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n AS DOUBLE) AS dn", "CAST(sa AS DOUBLE) AS da",
+        "CAST(sb AS DOUBLE) AS db", "CAST(saa AS DOUBLE) AS daa",
+        "CAST(sbb AS DOUBLE) AS dbb", "CAST(sab AS DOUBLE) AS dab")
+        .selectExpr("n", f"{RHO_SQL} AS rho"))
+
+
+def label_gini_by_group(df: DataFrame, group_col: str,
+                        label_col: str) -> DataFrame:
+    """Label-distribution Gini impurity per group:
+    ``1 − Σ_label (c/n)²`` — 0 = pure (one label), →1 = uniform mix.
+    The no-logarithm diversity measure (entropy's ln is not portable
+    across engines; Gini's squares and one division are), used as the
+    per-source language-mix governance row next to
+    ``cross_source_overlap``.
+
+    Two stacked hash aggregations — (group, label) counts, then per-group
+    Σc and Σc² — both map-side combinable; BIGINT counts, one IEEE tree.
+    Returns (group, n, n_labels, gini). Σc² ≤ n² caps BIGINT safety at
+    n ≈ 3×10⁹ rows per group.
+    """
+    cnt = (df.groupBy(F.col(group_col).alias("grp"),
+                      F.col(label_col).alias("_l"))
+           .agg(F.count(F.lit(1)).alias("_c")))
+    agg = cnt.groupBy("grp").agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum(F.col("_c") * F.col("_c")).alias("ssq"))
+    return agg.selectExpr(
+        "grp", "CAST(n AS BIGINT) AS n",
+        "CAST(n_labels AS BIGINT) AS n_labels",
+        "1.0 - CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+        " AS gini")

@@ -7250,3 +7250,130 @@ def events_value_linfit_by_type(spark: SparkSession,
         F.expr("CAST((unix_micros(ts) div 86400000000) % 7 AS BIGINT)")
          .alias("x2"))
     return regression.linear_fit_grouped(f, ["event_type"], "y", "x1", "x2")
+
+
+# --------------------------------------------------------------------------
+# E135 — sequence-level edit verification (operators/dedup.py): the third
+# dedup-pipeline stage — LSH candidates → set-similarity filter → exact
+# Levenshtein authority (order-SENSITIVE, catches permuted-sentence false
+# positives Jaccard cannot); built-in JVM levenshtein, O(len²) only on
+# |candidates|.
+# --------------------------------------------------------------------------
+
+@register("neardup_edit_verified", f"""
+    WITH pairs AS ({_minhash_pairs_sql(threshold=0.7)})
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+           1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                 / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+               AS edit_sim
+    FROM pairs p
+    JOIN documents a ON p.doc_a = a.doc_id
+    JOIN documents b ON p.doc_b = b.doc_id
+    WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+          / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) >= 0.5
+""")
+def neardup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (md5 portable scheme, verified jaccard
+    ≥ 0.7) re-verified at the CHARACTER level: exact Levenshtein distance
+    and normalized edit similarity ≥ 0.5 appended per pair
+    (operators/dedup.py::edit_verify_pairs). Distance is exact BIGINT,
+    similarity one fixed IEEE division — the full three-stage pipeline
+    hash-matches the oracle end-to-end."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "doc_id", "text",
+        n=3, num_hashes=48, bands=12, threshold=0.7, hash_scheme="md5")
+    return dedup.edit_verify_pairs(pairs, docs, "doc_id", "text",
+                                   min_sim=0.5)
+
+
+# --------------------------------------------------------------------------
+# E136 — Spearman rank correlation (operators/evaluation.py): tie-correct
+# via doubled average ranks (exact BIGINTs), six integer sufficient sums,
+# one shared IEEE Pearson tree — signal-agreement governance for quality
+# scorers, no global window (two-phase cumsum ranks).
+# --------------------------------------------------------------------------
+
+@register("docs_quality_rank_corr", f"""
+    WITH s AS (SELECT CAST(n_chars AS BIGINT) AS a,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+               FROM documents),
+    r AS (SELECT CAST(2 * rank() OVER (ORDER BY a)
+                      + count(*) OVER (PARTITION BY a) - 1 AS BIGINT) AS ra,
+                 CAST(2 * rank() OVER (ORDER BY b)
+                      + count(*) OVER (PARTITION BY b) - 1 AS BIGINT) AS rb
+          FROM s),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(ra) AS BIGINT) AS sa,
+                 CAST(sum(rb) AS BIGINT) AS sb,
+                 CAST(sum(ra * ra) AS BIGINT) AS saa,
+                 CAST(sum(rb * rb) AS BIGINT) AS sbb,
+                 CAST(sum(ra * rb) AS BIGINT) AS sab
+          FROM r),
+    d AS (SELECT n, CAST(n AS DOUBLE) AS dn, CAST(sa AS DOUBLE) AS da,
+                 CAST(sb AS DOUBLE) AS db, CAST(saa AS DOUBLE) AS daa,
+                 CAST(sbb AS DOUBLE) AS dbb, CAST(sab AS DOUBLE) AS dab
+          FROM m)
+    SELECT n, {evaluation.RHO_SQL} AS rho FROM d
+""")
+def docs_quality_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between two document quality signals — char length vs
+    token count (operators/evaluation.py::spearman_rho): do the two
+    signals ORDER the corpus the same way, which is what a filter
+    threshold consumes. Tie-averaged ranks as exact 2× BIGINTs, rho
+    hash-exact through the shared Pearson tree."""
+    d = (_docs(spark, sf_dir)
+         .select(F.col("n_chars").cast("long").alias("a"),
+                 F.size(F.split(F.col("text"), " ")).cast("long")
+                 .alias("b")))
+    return evaluation.spearman_rho(d, "a", "b")
+
+
+# --------------------------------------------------------------------------
+# E137 — source-mix governance (operators/dedup.py + evaluation.py):
+# cross-source head-fingerprint overlap matrix (provenance-leak detector)
+# and per-source language Gini impurity (the no-ln diversity measure) —
+# the two tables a mixture decision reads before committing weights.
+# --------------------------------------------------------------------------
+
+@register("source_overlap_prefixes", """
+    WITH fp AS (SELECT DISTINCT
+                  md5(array_to_string(
+                      list_slice(string_split(text, ' '), 1, 8), ' ')) AS f,
+                  source
+                FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(DISTINCT a.f) AS BIGINT) AS n_shared_prefixes
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+""")
+def source_overlap_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of sources sharing 8-token HEAD fingerprints
+    (operators/dedup.py::cross_source_overlap) — mirrored-feed /
+    boilerplate-leak governance; heads survive tail divergence that
+    defeats whole-text md5."""
+    return dedup.cross_source_overlap(_docs(spark, sf_dir), "doc_id",
+                                      "text", "source", prefix_k=8)
+
+
+@register("source_lang_gini", """
+    WITH c AS (SELECT source, lang, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_labels,
+                 CAST(sum(c * c) AS BIGINT) AS ssq
+          FROM c GROUP BY 1)
+    SELECT source, n, n_labels,
+           1.0 - CAST(ssq AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini
+    FROM g
+""")
+def source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Gini impurity per source
+    (operators/evaluation.py::label_gini_by_group) — 0 = monolingual,
+    →1 = uniform mix; squares and one division, so the diversity DOUBLE
+    itself oracle-hashes (entropy's ln would not)."""
+    return (evaluation.label_gini_by_group(_docs(spark, sf_dir),
+                                           "source", "lang")
+            .withColumnRenamed("grp", "source"))

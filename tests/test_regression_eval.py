@@ -296,3 +296,82 @@ def test_bow_cosine_dense_vocab_guard(spark):
     df = spark.createDataFrame(_DOCS, "doc_id long, text string")
     with pytest.raises(ValueError, match="vocab"):
         dedup.bow_cosine_pairs_dense(df, "doc_id", "text", max_vocab=3)
+
+
+# --------------------------------------------------------------------- #
+# spearman_rho / label_gini_by_group / edit_verify / cross_source_overlap
+# --------------------------------------------------------------------- #
+
+def test_spearman_monotone_and_reversed(spark):
+    rows = [(i, i * 10, 100 - i) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    up = evaluation.spearman_rho(df.select("id", F.col("a").alias("x"),
+                                           F.col("id").alias("y")),
+                                 "x", "y").collect()[0]
+    assert up["n"] == 20 and abs(up["rho"] - 1.0) < 1e-12
+    down = evaluation.spearman_rho(df, "a", "b").collect()[0]
+    assert abs(down["rho"] + 1.0) < 1e-12
+
+
+def test_spearman_ties_match_numpy(spark):
+    # tie-averaged ranks: compare against a direct numpy computation
+    a = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    b = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8]
+    def avg_ranks(v):
+        v = np.asarray(v, dtype=np.float64)
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j - 1) / 2.0 + 1.0
+            i = j
+        return r
+    ra, rb = avg_ranks(a), avg_ranks(b)
+    want = np.corrcoef(ra, rb)[0, 1]
+    df = spark.createDataFrame(list(zip(a, b)), "a long, b long")
+    got = evaluation.spearman_rho(df, "a", "b").collect()[0]["rho"]
+    assert abs(got - want) < 1e-12
+
+
+def test_label_gini_by_group(spark):
+    rows = [("s1", "en")] * 4 + [("s2", "en"), ("s2", "fr"),
+                                 ("s2", "de"), ("s2", "zh")]
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {r["grp"]: r for r in
+           evaluation.label_gini_by_group(df, "src", "lang").collect()}
+    assert got["s1"]["gini"] == 0.0 and got["s1"]["n_labels"] == 1
+    assert abs(got["s2"]["gini"] - 0.75) < 1e-12   # uniform over 4
+    assert got["s2"]["n"] == 4
+
+
+def test_edit_verify_pairs_known_distances(spark):
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {(r["doc_a"], r["doc_b"]): r for r in dedup.edit_verify_pairs(
+        pairs, docs, "doc_id", "text").collect()}
+    assert got[(1, 2)]["edit_distance"] == 3       # classic kitten/sitting
+    assert abs(got[(1, 2)]["edit_sim"] - (1 - 3 / 7)) < 1e-15
+    assert got[(1, 3)]["edit_distance"] == 0
+    assert got[(1, 3)]["edit_sim"] == 1.0
+    # min_sim filter drops the weaker pair
+    assert {(r["doc_a"], r["doc_b"]) for r in dedup.edit_verify_pairs(
+        pairs, docs, "doc_id", "text", min_sim=0.9).collect()} == {(1, 3)}
+
+
+def test_cross_source_overlap(spark):
+    head = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, head + " tail one", "s1"), (2, head + " other tail", "s2"),
+         (3, "x y z totally different doc here now", "s1"),
+         (4, head + " third", "s3"), (5, "unshared words only here", "s2")],
+        "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared_prefixes"]
+           for r in dedup.cross_source_overlap(
+               docs, "doc_id", "text", "source", prefix_k=8).collect()}
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
