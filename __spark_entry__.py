@@ -107,4 +107,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _registry().items() if sql is not None}
+    """Static SQL strings pass through; CALLABLE entries are replay-oracle
+    builders (operators/pyref.py — deterministic pure-Python re-execution
+    of iterative tokenizer training, serialized to a VALUES table) and are
+    resolved here, lazily. A builder failure downgrades that one query to
+    rows-only instead of breaking the whole oracle map."""
+    out: dict[str, str] = {}
+    for name, (_, sql) in _registry().items():
+        if sql is None:
+            continue
+        if callable(sql):
+            try:
+                out[name] = sql()
+            except Exception:
+                continue
+        else:
+            out[name] = sql
+    return out

@@ -1,0 +1,243 @@
+"""Pure-Python reference oracles for the ITERATIVE tokenizer operators —
+the bridge that promotes the BPE / unigram-LM query family from rows-only
+to driver-oracle-exact.
+
+The DuckDB correctness oracle can express most of this repo in SQL, but
+data-dependent iterative control flow (greedy BPE merge rounds, unigram
+hard-EM) is exactly the class SQL can't replay.  Both tokenizers, however,
+document DETERMINISTIC training contracts (``operators/bpe.py``: merge
+pick = (count desc, left, right); ``operators/unigram.py``: Viterbi ties
+to the shortest final piece, pruning by (count asc, desc-key)) and emit
+pure-integer outputs — so an independent single-machine replay of the
+contract IS a legitimate oracle.  These functions compute that replay on
+the driver from the raw sf0.01 parquet (500 docs — milliseconds) and the
+query registrations serialize the result into a ``VALUES`` table the
+driver's DuckDB comparison executes verbatim.  The Spark implementations
+under test never run here: training math is re-executed sequentially from
+the corpus text (the same pure functions the distributed E-step shares,
+``unigram._viterbi``/``_logp_table``, applied in a driver loop — what the
+pytest parity references in tests/test_bpe.py / test_unigram.py pin).
+
+Scale note: the oracle path is sf0.01-only by the driver contract; the
+Spark operators keep their distributed shape (vocab-sized rounds, eager
+checkpoints) regardless.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+
+from . import bpe as _bpe
+from . import unigram as _uni
+
+#: the driver's correctness gate runs oracles at sf0.01 by contract
+#: (TESTDATA.md); these replay oracles are built from the same parquet
+#: the DuckDB views read, so a testdata regeneration refreshes them
+#: automatically (lru_cache is per-process — each driver run recomputes).
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def load_texts(sf_dir: str) -> list[tuple[int, str]]:
+    """(doc_id, text) rows straight from the parquet — no Spark session."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+
+
+def word_counts(texts: list[str]) -> Counter:
+    c: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                c[w] += 1
+    return c
+
+
+# -- BPE (mirrors operators/bpe.py's documented contract) -------------------
+
+def ref_bpe(texts: list[str], n_merges: int,
+            min_pair_count: int = 2) -> list[tuple[int, str, str, int]]:
+    """Sequential Sennrich vocab-BPE: greedy left-to-right pair replay,
+    merge pick by (count desc, left, right). Returns
+    [(step, left, right, pair_count)]."""
+    vocab = word_counts(texts)
+    syms = {w: list(w) + [_bpe.EOW] for w in vocab}
+    merges = []
+    for step in range(n_merges):
+        pc: Counter = Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_pair_count:
+            break
+        merges.append((step, a, b, cnt))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+def ref_bpe_encode_len(word: str,
+                       merges: list[tuple[int, str, str, int]]) -> int:
+    """Piece count of ``word`` under a learned merge table (ordered
+    greedy left-to-right replay, EOW folded into the last piece)."""
+    s = list(word) + [_bpe.EOW]
+    for _, a, b, _cnt in merges:
+        out: list[str] = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        s = out
+    return len(s)
+
+
+# -- unigram LM (mirrors operators/unigram.py's documented contract) --------
+
+def ref_unigram_train(counts: Counter, *, vocab_size: int, max_len: int,
+                      cap: int, prune_frac: float,
+                      rounds: int) -> list[tuple[str, int]]:
+    """Sequential hard-EM replay: candidate substrings → Viterbi E-step
+    with exact integer counts → deterministic prune, ``rounds`` times.
+    Shares the pure Viterbi/log-prob helpers with the distributed
+    implementation (the DP contract is pinned there)."""
+    c: Counter = Counter()
+    for w, n in counts.items():
+        for s in range(len(w)):
+            for ln in range(1, min(max_len, len(w) - s) + 1):
+                c[w[s:s + ln]] += n
+    singles = {p: n for p, n in c.items() if len(p) == 1}
+    multi = sorted(((p, n) for p, n in c.items() if len(p) > 1),
+                   key=lambda pc: (-pc[1], pc[0]))[:cap]
+    pieces = sorted(list(singles.items()) + multi,
+                    key=lambda pc: (-pc[1], pc[0]))
+    for _ in range(rounds):
+        logp = _uni._logp_table(pieces)
+        floor_lp = min(logp.values()) - 10.0
+        agg: Counter = Counter()
+        for w, n in counts.items():
+            for p in _uni._viterbi(w, logp, max_len, floor_lp):
+                agg[p] += n
+        survivors = [(p, agg.get(p, 0)) for p, _ in pieces]
+        sing = [(p, cnt) for p, cnt in survivors if len(p) == 1]
+        mult = [(p, cnt) for p, cnt in survivors if len(p) > 1 and cnt > 0]
+        target = max(vocab_size - len(sing), 0)
+        if len(mult) > target:
+            mult.sort(key=lambda pc: (pc[1], _uni._desc_key(pc[0])))
+            n_drop = min(len(mult) - target,
+                         max(1, int(len(mult) * prune_frac)))
+            mult = mult[n_drop:]
+        pieces = sorted(sing + mult, key=lambda pc: (-pc[1], pc[0]))
+        if len(pieces) <= vocab_size:
+            break
+    return pieces
+
+
+def ref_unigram_encode_len(word: str, pieces: list[tuple[str, int]],
+                           max_len: int) -> int:
+    logp = _uni._logp_table(pieces)
+    floor_lp = min(logp.values()) - 10.0
+    return len(_uni._viterbi(word, logp, max_len, floor_lp))
+
+
+# -- VALUES serialization ---------------------------------------------------
+
+def sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def values_table(rows: list[tuple], cols: list[str],
+                 select: list[str] | None = None) -> str:
+    """``SELECT <select> FROM (VALUES ...) AS t(<cols>)`` — str cells are
+    escaped, ints emitted bare (CAST in ``select`` fixes widths)."""
+    def cell(v) -> str:
+        return sql_str(v) if isinstance(v, str) else str(v)
+    vals = ", ".join("(" + ", ".join(cell(v) for v in r) + ")"
+                     for r in rows)
+    return (f"SELECT {', '.join(select or cols)} "
+            f"FROM (VALUES {vals}) AS t({', '.join(cols)})")
+
+
+# -- oracle builders (zero-arg callables resolved by oracle_sql()) ----------
+# Parameters MUST mirror the query registrations in queries_extensions.py.
+
+_STATS_SELECT = [
+    "CAST(doc_id AS BIGINT) AS doc_id",
+    "CAST(n_words AS BIGINT) AS n_words",
+    "CAST(n_pieces AS BIGINT) AS n_pieces",
+    "CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS pieces_per_word",
+]
+
+
+def _doc_stats_rows(docs: list[tuple[int, str]],
+                    piece_len) -> list[tuple[int, int, int]]:
+    cache: dict[str, int] = {}
+    rows = []
+    for doc_id, text in docs:
+        words = [w for w in (text or "").split(" ") if w]
+        np_ = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = piece_len(w)
+            np_ += cache[w]
+        if words:
+            rows.append((doc_id, len(words), np_))
+    return rows
+
+
+@lru_cache(maxsize=None)
+def bpe_merge_oracle() -> str:
+    texts = [t for _, t in load_texts(ORACLE_SF_DIR)]
+    rows = ref_bpe(texts, n_merges=8, min_pair_count=2)
+    return values_table(
+        rows, ["step", '"left"', '"right"', "pair_count"],
+        ["CAST(step AS INTEGER) AS step", '"left"', '"right"',
+         "CAST(pair_count AS BIGINT) AS pair_count"])
+
+
+@lru_cache(maxsize=None)
+def doc_bpe_stats_oracle() -> str:
+    docs = load_texts(ORACLE_SF_DIR)
+    merges = ref_bpe([t for _, t in docs], n_merges=8, min_pair_count=2)
+    rows = _doc_stats_rows(docs, lambda w: ref_bpe_encode_len(w, merges))
+    return values_table(rows, ["doc_id", "n_words", "n_pieces"],
+                        _STATS_SELECT)
+
+
+@lru_cache(maxsize=None)
+def _unigram_pieces_ref() -> list[tuple[str, int]]:
+    texts = [t for _, t in load_texts(ORACLE_SF_DIR)]
+    return ref_unigram_train(word_counts(texts), vocab_size=120,
+                             max_len=5, cap=400, prune_frac=0.25,
+                             rounds=4)
+
+
+@lru_cache(maxsize=None)
+def unigram_piece_oracle() -> str:
+    return values_table(_unigram_pieces_ref(), ["piece", "count"],
+                        ["piece", 'CAST("count" AS BIGINT) AS "count"'])
+
+
+@lru_cache(maxsize=None)
+def doc_unigram_stats_oracle() -> str:
+    docs = load_texts(ORACLE_SF_DIR)
+    pieces = _unigram_pieces_ref()
+    rows = _doc_stats_rows(
+        docs, lambda w: ref_unigram_encode_len(w, pieces, max_len=6))
+    return values_table(rows, ["doc_id", "n_words", "n_pieces"],
+                        _STATS_SELECT)

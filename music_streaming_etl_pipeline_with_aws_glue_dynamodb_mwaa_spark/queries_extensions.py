@@ -58,7 +58,7 @@ from .operators import (
     text,
     transcripts,
 )
-from .operators import validate
+from .operators import pyref, validate
 from .queries_reference import register
 from .streaming import dedupe, joins, stateful, windowed
 from .sources import catalog, io, layout
@@ -3427,7 +3427,7 @@ def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E72 — BPE merge learning (tokenizer training)
 # --------------------------------------------------------------------------
 
-@register("bpe_merge_table", None)   # iterative, data-dependent → rows-only
+@register("bpe_merge_table", pyref.bpe_merge_oracle)  # replay oracle
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned from the corpus word vocabulary
     (operators/bpe.py) — one corpus-sized word-count pass, then
@@ -3575,7 +3575,7 @@ def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E76 — BPE tokenizer APPLY (vocab-level encode + corpus map-through)
 # --------------------------------------------------------------------------
 
-@register("doc_bpe_stats", None)   # learned merges: iterative → rows-only
+@register("doc_bpe_stats", pyref.doc_bpe_stats_oracle)  # replay oracle
 def doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document tokenization profile (n_words, n_pieces,
     pieces_per_word) under a corpus-trained 8-merge BPE table
@@ -5613,7 +5613,7 @@ def _unigram_pieces(spark: SparkSession, sf_dir: str) -> list:
     return _UNIGRAM_MEMO[sf_dir]
 
 
-@register("unigram_piece_table", None)  # iterative EM → rows-only
+@register("unigram_piece_table", pyref.unigram_piece_oracle)  # replay
 def unigram_piece_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned unigram piece inventory (piece, count), hard-EM-trained
     on the corpus: candidates from in-row substring explosion, Viterbi
@@ -5623,7 +5623,7 @@ def unigram_piece_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "piece string, count long")
 
 
-@register("doc_unigram_stats", None)  # trained table → rows-only
+@register("doc_unigram_stats", pyref.doc_unigram_stats_oracle)  # replay
 def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenized with the learned unigram inventory: per-doc word
     and piece counts + compression ratio, via one Viterbi pass over
