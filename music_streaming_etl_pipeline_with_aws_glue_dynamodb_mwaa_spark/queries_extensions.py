@@ -7281,9 +7281,13 @@ def neardup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity one fixed IEEE division — the full three-stage pipeline
     hash-matches the oracle end-to-end."""
     docs = _docs(spark, sf_dir)
+    # ONE checkpointed shingle stream feeds both the band index and the
+    # jaccard verification (the minhash_eval lesson: unshared postings
+    # re-shingle the corpus once per subtree)
+    sh = dedup._shingled(docs, "doc_id", "text", 3).localCheckpoint()
     pairs = dedup.minhash_near_dup_pairs(
-        docs, "doc_id", "text",
-        n=3, num_hashes=48, bands=12, threshold=0.7, hash_scheme="md5")
+        docs, "doc_id", "text", n=3, num_hashes=48, bands=12,
+        threshold=0.7, hash_scheme="md5", postings=sh)
     return dedup.edit_verify_pairs(pairs, docs, "doc_id", "text",
                                    min_sim=0.5)
 
