@@ -30,7 +30,7 @@ AFTER frequent-item pruning, so it bounds actual join fan-out.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,40 @@ def pair_support(df: DataFrame, basket_col: str, item_col: str, *,
                     ((F.col("n_pair") * F.col("n_baskets")).cast("double")
                      / (F.col("n_a") * F.col("n_b")).cast("double"))
                     .alias("lift")))
+
+
+def topk_neighbors(pairs: DataFrame, *, k: int = 3) -> DataFrame:
+    """Item-item collaborative-filtering serving table from a
+    ``pair_support`` frame: per item, its top-``k`` co-occurrence
+    neighbors by cosine affinity.
+
+    cosine = n_pair / sqrt(n_a · n_b) — sqrt of an exact long product
+    then ONE division, so the score itself oracle-hashes bit for bit.
+    The canonical ``item_a < item_b`` pairs are symmetrized (each edge
+    serves both endpoints), ranked per item with a deterministic total
+    order (cosine desc, n_pair desc, neighbor asc — float ties broken
+    on exact longs), and cut at rank ``k``.
+
+    At 100 TB: the rank window partitions by item — the same key the
+    pair aggregation already shuffled on — and Catalyst rewrites the
+    rank-≤-k filter to WindowGroupLimit, so per-item heaps never
+    materialize full neighbor lists. Output is the k·|catalog| serving
+    table a recommender ships to the KV store.
+    """
+    fwd = pairs.select(F.col("item_a").alias("item"),
+                       F.col("item_b").alias("neighbor"),
+                       "n_pair", "n_a", "n_b")
+    rev = pairs.select(F.col("item_b").alias("item"),
+                       F.col("item_a").alias("neighbor"),
+                       "n_pair",
+                       F.col("n_b").alias("n_a"),
+                       F.col("n_a").alias("n_b"))
+    sym = fwd.unionByName(rev)
+    cosine = (F.col("n_pair").cast("double")
+              / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")))
+    w = Window.partitionBy("item").orderBy(
+        cosine.desc(), F.col("n_pair").desc(), F.col("neighbor").asc())
+    return (sym.withColumn("cosine", cosine)
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("item", "neighbor", "n_pair", "cosine", "rank"))

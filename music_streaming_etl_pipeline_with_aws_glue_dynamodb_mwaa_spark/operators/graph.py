@@ -209,3 +209,36 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
             .unionAll(tri.select("v"))
             .unionAll(tri.select("w"))
             .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def clustering_coefficient(edges: DataFrame, *, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: (node, degree, n_triangles, clustering_coeff) for every node,
+    cc = 2·T(v) / (deg(v)·(deg(v)−1)), defined as 0 when deg < 2.
+
+    Reuses ``triangle_count``'s degree-oriented enumeration for T(v) and
+    one more degree aggregation; the coefficient is ONE IEEE division of
+    exact longs, so it oracle-hashes. Zero-triangle nodes are kept (left
+    join + coalesce) — a coefficient table missing its zeros would bias
+    any downstream average.
+    """
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select("b"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_count(und, src="a", dst="b")
+    joined = (deg.join(tri, "node", "left")
+              .withColumn("n_triangles",
+                          F.coalesce("n_triangles",
+                                     F.lit(0).cast("bigint"))))
+    cc = F.when(
+        F.col("degree") >= 2,
+        (2 * F.col("n_triangles")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    ).otherwise(F.lit(0.0))
+    return joined.select("node", "degree", "n_triangles",
+                         cc.alias("clustering_coeff"))

@@ -42,3 +42,25 @@ def profile_table(df: DataFrame, cols: list[str] | None = None, *,
         for c in sorted(cols)])
     return (one.select(F.explode(stack).alias("p"))
             .select("p.col_name", "p.n_rows", "p.n_nonnull", "p.n_distinct"))
+
+
+def benford_leading_digit(df: DataFrame, value: "F.Column") -> DataFrame:
+    """Benford's-law audit table: distribution of the leading significant
+    digit of an exact positive long measure — (digit, n, share), digits
+    1–9, share = ONE division of exact longs (hash-exact). The ln-based
+    Benford expectation (log10(1+1/d)) is deliberately NOT emitted —
+    ln/exp aren't in the portable IEEE tree; compare client-side.
+
+    One groupBy on a 9-value key; the digit extraction is string head of
+    the long (no float log10), JVM-side.
+    """
+    digit = F.substring(value.cast("string"), 1, 1).cast("bigint")
+    counts = (df.where(value > 0)
+              .groupBy(digit.alias("digit"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    (F.col("n").cast("double")
+                     / F.col("_tot").cast("double")).alias("share"))
+            .orderBy("digit"))

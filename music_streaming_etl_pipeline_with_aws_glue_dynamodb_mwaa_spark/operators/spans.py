@@ -87,3 +87,51 @@ def interval_coverage(df: DataFrame, keys: list[str], start_col: str,
             .agg(F.count(F.lit(1)).alias("n_islands"),
                  F.sum("n_spans").alias("n_spans"),
                  F.sum("_len").alias("covered")))
+
+
+def concurrency_histogram(df: DataFrame, start_col: str, end_col: str, *,
+                          length: "callable | None" = None) -> DataFrame:
+    """Sweep-line load profile over half-open ``[start, end)`` intervals:
+    how much wall-clock time the system spent at each concurrency level.
+
+    The classic plane sweep as DataFrame ops: every interval emits a
+    ``+1`` boundary at its start and a ``-1`` at its end; boundaries are
+    totally ordered by (time, delta) — the ``-1`` sorts first, so an
+    interval ending exactly when another starts never counts as
+    overlapping (half-open semantics). A running sum over that order is
+    the concurrency level holding from each boundary until the next;
+    zero-length segments (coincident boundaries) are dropped, then one
+    groupBy rolls the timeline up to (level, total_us, n_segments).
+
+    Timestamps compare exactly and durations are long microsecond sums —
+    fully oracle-hashable. ``length`` maps (seg_start, seg_end) → a
+    numeric Column; default is microseconds between timestamps (pass
+    ``lambda s, e: e - s`` for numeric span columns).
+
+    The running sum here is ONE global window (all boundaries through a
+    single task) — exact and fine for dashboard-sized interval sets. At
+    lake scale swap in the two-phase prefix sum (per-partition partials
+    + broadcast offsets, the ``ids.global_row_numbers`` plan) over a
+    ``repartitionByRange(time)`` exchange; the algebra is unchanged.
+    """
+    starts = df.select(F.col(start_col).alias("_t"),
+                       F.lit(1).cast("bigint").alias("_d"))
+    ends = df.select(F.col(end_col).alias("_t"),
+                     F.lit(-1).cast("bigint").alias("_d"))
+    bounds = starts.unionByName(ends)
+    w = Window.orderBy("_t", "_d")
+    level = F.sum("_d").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    nxt = F.lead("_t").over(w)
+    segs = (bounds
+            .withColumn("level", level)
+            .withColumn("_next", nxt)
+            .filter(F.col("_next").isNotNull()
+                    & (F.col("_next") > F.col("_t"))))
+    if length is None:
+        def length(s, e):          # noqa: E731 — timestamp default
+            return F.unix_micros(e) - F.unix_micros(s)
+    dur = length(F.col("_t"), F.col("_next"))
+    return (segs.groupBy("level")
+            .agg(F.sum(dur).alias("total_us"),
+                 F.count(F.lit(1)).alias("n_segments"))
+            .orderBy("level"))

@@ -7381,3 +7381,463 @@ def source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (evaluation.label_gini_by_group(_docs(spark, sf_dir),
                                            "source", "lang")
             .withColumnRenamed("grp", "source"))
+
+
+# --------------------------------------------------------------------------
+# E138 — item-item collaborative filtering (operators/baskets.py):
+# the "customers who bought X also bought Y" serving table — per-item
+# top-k co-purchase neighbors by cosine affinity over exact pair counts.
+# --------------------------------------------------------------------------
+
+@register("part_neighbors_topk", """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+    f AS (SELECT b.bk, b.it, ic.n_item FROM b JOIN ic USING (it)
+          WHERE ic.n_item >= 2),
+    p AS (SELECT a.it AS item_a, b2.it AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_pair,
+                 max(a.n_item) AS n_a, max(b2.n_item) AS n_b
+          FROM f a JOIN f b2 ON a.bk = b2.bk AND a.it < b2.it
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT item_a AS item, item_b AS neighbor, n_pair, n_a, n_b
+            FROM p
+            UNION ALL
+            SELECT item_b, item_a, n_pair, n_b, n_a FROM p),
+    s AS (SELECT item, neighbor, n_pair,
+                 CAST(n_pair AS DOUBLE)
+                     / sqrt(CAST(n_a * n_b AS DOUBLE)) AS cosine
+          FROM sym),
+    r AS (SELECT item, neighbor, n_pair, cosine,
+                 CAST(row_number() OVER (
+                     PARTITION BY item
+                     ORDER BY cosine DESC, n_pair DESC, neighbor ASC)
+                 AS BIGINT) AS rnk
+          FROM s)
+    SELECT item, neighbor, n_pair, cosine, rnk FROM r WHERE rnk <= 3
+""")
+def part_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part top-3 co-purchase neighbors
+    (operators/baskets.py::topk_neighbors) — cosine = n_pair /
+    sqrt(n_a·n_b) of exact longs (bit-hashable), rank window rides the
+    pair aggregation's item key and collapses to WindowGroupLimit.
+    The CF answer to the reference's static per-genre charts."""
+    from .operators import baskets
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    pairs = baskets.pair_support(li, "l_orderkey", "l_partkey",
+                                 min_support=2, max_basket_size=None)
+    return (baskets.topk_neighbors(pairs, k=3)
+            .withColumnRenamed("rank", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# E139 — calendar gap-fill + linear interpolation
+# (operators/timeseries.py): densify a sparse per-user daily purchase
+# series to a regular grid — the resample step before any sequence model.
+# --------------------------------------------------------------------------
+
+@register("user_daily_value_gapfill", """
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY 1, 2),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM d GROUP BY 1),
+    grid AS (SELECT user_id,
+                    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                         AS DATE) AS day
+             FROM span),
+    j AS (SELECT g.user_id, g.day, d.cents
+          FROM grid g LEFT JOIN d ON g.user_id = d.user_id
+                                 AND g.day = d.day),
+    w AS (SELECT user_id, day, cents,
+                 last_value(cents IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv,
+                 first_value(cents IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nv,
+                 last_value(CASE WHEN cents IS NOT NULL THEN day END
+                            IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pd,
+                 first_value(CASE WHEN cents IS NOT NULL THEN day END
+                             IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nd
+          FROM j)
+    SELECT user_id, day, cents AS val,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                     + CAST(nv - pv AS DOUBLE)
+                       * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                          / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END AS filled_value,
+           cents IS NULL AS is_interpolated
+    FROM w
+""")
+def user_daily_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase cents densified to each user's full
+    calendar span with linear interpolation on missing days
+    (operators/timeseries.py::gapfill_linear). Observed values are
+    exact long cents; the fill is subtractions of exact longs plus one
+    (div, mul, add) IEEE tail mirrored token-for-token in the oracle,
+    so even interpolated DOUBLEs hash."""
+    from .operators import timeseries
+    ev = catalog.load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                  .alias("cents")))
+    return timeseries.gapfill_linear(daily, ["user_id"], "day", "cents")
+
+
+# --------------------------------------------------------------------------
+# E140 — RFM customer segmentation (operators/segments.py): quintile
+# recency/frequency/monetary scores over exact integer metrics.
+# --------------------------------------------------------------------------
+
+@register("customer_rfm_segments", """
+    WITH pk AS (SELECT o_custkey,
+                       max(CAST(o_orderdate AS DATE)) AS last_d,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT)
+                           AS monetary_cents
+                FROM orders GROUP BY 1),
+    mx AS (SELECT max(last_d) AS cmax FROM pk),
+    m AS (SELECT o_custkey,
+                 CAST(date_diff('day', last_d, cmax) AS BIGINT)
+                     AS recency_days,
+                 frequency, monetary_cents
+          FROM pk, mx),
+    s AS (SELECT o_custkey, recency_days, frequency, monetary_cents,
+                 CAST(ntile(5) OVER (ORDER BY recency_days DESC,
+                                     o_custkey) AS BIGINT) AS r_score,
+                 CAST(ntile(5) OVER (ORDER BY frequency ASC,
+                                     o_custkey) AS BIGINT) AS f_score,
+                 CAST(ntile(5) OVER (ORDER BY monetary_cents ASC,
+                                     o_custkey) AS BIGINT) AS m_score
+          FROM m)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+    FROM s
+""")
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of customers from the order fact
+    (operators/segments.py::rfm_scores) — all three metrics exact
+    integers (day diffs / counts / cents), ntile over a TOTAL order
+    (metric + custkey tie-break) so bucket assignment is deterministic
+    ANSI semantics in both engines."""
+    from .operators import segments
+    od = (catalog.load_table(spark, sf_dir, "orders")
+          .select("o_custkey", F.col("o_orderdate").cast("date")
+                  .alias("_od"), "o_totalprice"))
+    return segments.rfm_scores(
+        od, "o_custkey", "_od",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# E141 — 2-D skyline / Pareto frontier (operators/skyline.py): the
+# multi-objective shortlist, certified against the literal NOT EXISTS
+# dominance definition.
+# --------------------------------------------------------------------------
+
+@register("part_price_size_skyline", """
+    WITH p AS (SELECT p_partkey,
+                      CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                          AS price_cents,
+                      CAST(p_size AS BIGINT) AS psize
+               FROM part)
+    SELECT p_partkey, price_cents, psize
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.psize >= a.psize
+          AND (b.price_cents < a.price_cents OR b.psize > a.psize))
+""")
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (minimize price, maximize size) Pareto frontier
+    (operators/skyline.py::pareto_frontier_2d) — the sort-based prefix-
+    maximum rewrite, NOT the O(n²) dominance join; the oracle IS the
+    quadratic NOT EXISTS definition, so the hash match certifies the
+    rewrite itself."""
+    from .operators import skyline
+    p = (catalog.load_table(spark, sf_dir, "part")
+         .select("p_partkey",
+                 F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+                 .alias("price_cents"),
+                 F.col("p_size").cast("bigint").alias("psize")))
+    return skyline.pareto_frontier_2d(p, "price_cents", "psize")
+
+
+# --------------------------------------------------------------------------
+# E142 — sweep-line concurrency profile (operators/spans.py): time spent
+# at each simultaneous-activity level across all users.
+# --------------------------------------------------------------------------
+
+@register("events_concurrency_histogram", """
+    WITH iv AS (SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events),
+    b AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+          UNION ALL
+          SELECT e AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+    r AS (SELECT t, d,
+                 CAST(sum(d) OVER (ORDER BY t, d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS level,
+                 lead(t) OVER (ORDER BY t, d) AS nxt
+          FROM b)
+    SELECT level,
+           CAST(sum(epoch_us(nxt) - epoch_us(t)) AS BIGINT) AS total_us,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM r WHERE nxt IS NOT NULL AND nxt > t
+    GROUP BY 1
+""")
+def events_concurrency_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """System load profile: microseconds spent at each concurrency
+    level over all users' [ts, ts+10min) activity intervals
+    (operators/spans.py::concurrency_histogram) — the plane sweep as
+    DataFrame ops; (time, delta) ordering pins half-open semantics and
+    makes intra-tie order irrelevant (only the last boundary of a
+    timestamp group yields a positive-length segment)."""
+    from .operators import spans
+    ev = catalog.load_table(spark, sf_dir, "events")
+    iv = ev.select(F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"))
+    return spans.concurrency_histogram(iv, "s", "e")
+
+
+# --------------------------------------------------------------------------
+# E143 — Welch two-sample t readout (operators/experiment.py): the A/B
+# experiment layer over exact integer sufficient statistics.
+# --------------------------------------------------------------------------
+
+@register("ab_purchase_welch_t", """
+    WITH x AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v
+               FROM events WHERE event_type = 'purchase'),
+    suf AS (SELECT
+              CAST(count(CASE WHEN g = 'a' THEN 1 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN g = 'a' THEN v END) AS BIGINT) AS s_a,
+              CAST(sum(CASE WHEN g = 'a' THEN v * v END) AS BIGINT) AS ss_a,
+              CAST(count(CASE WHEN g = 'b' THEN 1 END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN g = 'b' THEN v END) AS BIGINT) AS s_b,
+              CAST(sum(CASE WHEN g = 'b' THEN v * v END) AS BIGINT) AS ss_b
+            FROM x),
+    d1 AS (SELECT n_a, n_b,
+                  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+                  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+                  CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+                      / CAST(n_a * (n_a - 1) AS DOUBLE) AS var_a,
+                  CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+                      / CAST(n_b * (n_b - 1) AS DOUBLE) AS var_b
+           FROM suf),
+    d2 AS (SELECT *, var_a / CAST(n_a AS DOUBLE) AS q_a,
+                     var_b / CAST(n_b AS DOUBLE) AS q_b
+           FROM d1),
+    d3 AS (SELECT *, q_a + q_b AS se2 FROM d2)
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b) / sqrt(se2) AS t_stat,
+           (se2 * se2) / ((q_a * q_a) / CAST(n_a - 1 AS DOUBLE)
+                          + (q_b * q_b) / CAST(n_b - 1 AS DOUBLE))
+               AS welch_df
+    FROM d3
+""")
+def ab_purchase_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t comparing purchase cents between the even/odd user-id
+    cohorts (operators/experiment.py::welch_t) — ONE map-combinable
+    aggregation of exact longs (n, Σx, Σx² per arm), then the t and
+    Welch df through a fixed IEEE tree mirrored step-for-step in the
+    oracle CTEs, so both DOUBLEs hash. No p-value by design: ln/exp
+    aren't portable."""
+    from .operators import experiment
+    ev = catalog.load_table(spark, sf_dir, "events")
+    x = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+                 .alias("g"),
+                 F.round(F.col("value") * 100, 0).cast("bigint")
+                 .alias("v")))
+    return experiment.welch_t(x, "g", F.col("v"), group_a="a", group_b="b")
+
+
+# --------------------------------------------------------------------------
+# E144 — chi-square independence cells (operators/experiment.py): full
+# dim×dim contingency table with exact-long-cleared contributions.
+# --------------------------------------------------------------------------
+
+@register("events_type_dow_independence", """
+    WITH x AS (SELECT event_type AS r,
+                      CAST(date_part('isodow', ts) - 1 AS BIGINT) AS c
+               FROM events),
+    obs AS (SELECT r, c, CAST(count(*) AS BIGINT) AS observed
+            FROM x GROUP BY 1, 2),
+    rt AS (SELECT r, CAST(sum(observed) AS BIGINT) AS row_total
+           FROM obs GROUP BY 1),
+    ct AS (SELECT c, CAST(sum(observed) AS BIGINT) AS col_total
+           FROM obs GROUP BY 1),
+    n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs),
+    grid AS (SELECT rt.r, ct.c FROM rt, ct)
+    SELECT g.r AS event_type, g.c AS dow,
+           CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+           rt.row_total, ct.col_total,
+           CAST(rt.row_total * ct.col_total AS DOUBLE)
+               / CAST(n.n_total AS DOUBLE) AS expected,
+           CAST((coalesce(o.observed, 0) * n.n_total
+                 - rt.row_total * ct.col_total)
+                * (coalesce(o.observed, 0) * n.n_total
+                   - rt.row_total * ct.col_total) AS DOUBLE)
+               / CAST(n.n_total * rt.row_total * ct.col_total AS DOUBLE)
+               AS contribution
+    FROM grid g
+    LEFT JOIN obs o ON o.r = g.r AND o.c = g.c
+    JOIN rt ON rt.r = g.r JOIN ct ON ct.c = g.c CROSS JOIN n
+""")
+def events_type_dow_independence(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Is event mix independent of weekday? Full event_type × ISO-weekday
+    chi-square cell table (operators/experiment.py::chi_square_cells),
+    zero cells included; expected and contribution are single divisions
+    of exact long products ((o·N − rt·ct)²/(N·rt·ct) — the cleared
+    (o−e)²/e). Per-cell output deliberately: a scalar Σ would stack
+    engine-ordered float adds."""
+    from .operators import experiment
+    ev = catalog.load_table(spark, sf_dir, "events")
+    x = ev.select(F.col("event_type"),
+                  F.weekday("ts").cast("bigint").alias("dow"))
+    return experiment.chi_square_cells(x, "event_type", "dow")
+
+
+# --------------------------------------------------------------------------
+# E145 — local clustering coefficient (operators/graph.py): triangle
+# closure rate per node of the co-purchase graph.
+# --------------------------------------------------------------------------
+
+@register("part_clustering_coeff", """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a AS node FROM und
+                  UNION ALL SELECT b FROM und)
+            GROUP BY 1),
+    tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM und e1 JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (SELECT u AS node FROM tri UNION ALL
+                 SELECT v FROM tri UNION ALL
+                 SELECT w FROM tri)
+           GROUP BY 1)
+    SELECT deg.node, deg.degree,
+           CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)
+                     / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN tc ON tc.node = deg.node
+""")
+def part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient over the support-≥2
+    co-purchase graph (operators/graph.py::clustering_coefficient) —
+    degree-oriented triangle enumeration (O(√m) wedge fan-out) plus one
+    degree aggregation; cc = 2T/(d(d−1)) is ONE division of exact longs.
+    Zero-triangle nodes kept — dropping them would bias any average."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("src"),
+                      F.col("b.l_partkey").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("_sup"))
+             .where(F.col("_sup") >= 2)
+             .select("src", "dst"))
+    from .operators import graph
+    return graph.clustering_coefficient(edges)
+
+
+# --------------------------------------------------------------------------
+# E146 — Benford leading-digit audit (operators/profile.py): the
+# fraud/synthetic-data smell test on a money column.
+# --------------------------------------------------------------------------
+
+@register("orders_benford_digits", """
+    WITH v AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders),
+    c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM v WHERE cents > 0 GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT digit, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+    FROM c, t
+""")
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-significant-digit distribution of order totals in cents
+    (operators/profile.py::benford_leading_digit) — the Benford audit
+    every finance/data-quality pipeline runs on a new feed. Digit via
+    string head of the exact long (no float log10); share is one
+    division. The ln-based expectation column is deliberately absent
+    (not IEEE-portable) — compare client-side."""
+    from .operators import profile
+    od = catalog.load_table(spark, sf_dir, "orders")
+    return profile.benford_leading_digit(
+        od, F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# E147 — integer-exact CUSUM change-point (operators/timeseries.py):
+# where did each event type's mean value shift?
+# --------------------------------------------------------------------------
+
+@register("events_cusum_by_type", """
+    WITH x AS (SELECT event_type, ts, event_id,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v
+               FROM events),
+    r AS (SELECT event_type, ts,
+                 CAST(sum(v) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS s,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)
+                      AS BIGINT) AS i,
+                 CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS tot,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS n
+          FROM x),
+    c AS (SELECT event_type, n, i, ts,
+                 CAST(n * s - i * tot AS BIGINT) AS cusum_scaled
+          FROM r),
+    k AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(cusum_scaled) DESC,
+                                                i ASC) AS rk
+          FROM c)
+    SELECT event_type, n, i AS split_idx, ts AS split_at, cusum_scaled
+    FROM k WHERE rk = 1
+""")
+def events_cusum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean-shift locator via the INTEGER-exact scaled
+    CUSUM C_i = n·S_i − i·S_n over value cents, ordered by (ts,
+    event_id) (operators/timeseries.py::cusum_changepoint) — Page's
+    statistic with both divisions algebraically cleared, so the whole
+    argmax is BIGINT comparisons. One key exchange + a rank-1 window."""
+    from .operators import timeseries
+    ev = catalog.load_table(spark, sf_dir, "events")
+    x = ev.select("event_type", "ts", "event_id",
+                  F.round(F.col("value") * 100, 0).cast("bigint")
+                  .alias("v"))
+    return timeseries.cusum_changepoint(x, ["event_type"], "ts", "v",
+                                        tiebreak=["event_id"])

@@ -1,0 +1,256 @@
+"""Round-5 batch 2: item-item CF top-k, gap-fill interpolation, RFM
+segmentation, 2-D skyline, sweep-line concurrency histogram."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import (
+    baskets, segments, skyline, spans, timeseries)
+
+
+# ------------------------------------------------------ topk_neighbors ---
+
+def test_topk_neighbors_symmetry_and_score(spark):
+    # baskets: {1,2,3}, {1,2}, {1,3} → n1=3 n2=2 n3=2,
+    # pairs (1,2):2 (1,3):2 (2,3):1(<min_support, dropped)
+    df = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (12, 1), (12, 3)],
+        "bk long, it long")
+    pairs = baskets.pair_support(df, "bk", "it", min_support=2,
+                                 max_basket_size=None)
+    got = {(r["item"], r["neighbor"]): (r["n_pair"], r["cosine"], r["rank"])
+           for r in baskets.topk_neighbors(pairs, k=3).collect()}
+    # every surviving edge serves both endpoints
+    assert set(got) == {(1, 2), (2, 1), (1, 3), (3, 1)}
+    c12 = 2 / math.sqrt(3 * 2)
+    assert got[(1, 2)] == (2, c12, 1) or got[(1, 2)] == (2, c12, 2)
+    assert got[(2, 1)] == (2, c12, 1)   # item 2's only neighbor
+
+
+def test_topk_neighbors_cut_and_tiebreak(spark):
+    # item 1 co-occurs equally with 2,3,4 (identical cosines) → rank by
+    # neighbor asc; k=2 keeps neighbors 2 and 3 only.
+    df = spark.createDataFrame([(b * 10 + i, it)
+                                for b, pr in enumerate([(1, 2), (1, 3),
+                                                        (1, 4)] * 2)
+                                for i, it in [(0, pr[0]), (0, pr[1])]],
+                               "bk long, it long")
+    pairs = baskets.pair_support(df, "bk", "it", min_support=2,
+                                 max_basket_size=None)
+    mine = (baskets.topk_neighbors(pairs, k=2)
+            .filter(F.col("item") == 1).orderBy("rank").collect())
+    assert [r["neighbor"] for r in mine] == [2, 3]
+
+
+# ------------------------------------------------------ gapfill_linear ---
+
+def test_gapfill_linear_exact_interpolation(spark):
+    d = dt.date
+    daily = spark.createDataFrame(
+        [("u", d(2024, 1, 1), 100), ("u", d(2024, 1, 4), 400),
+         ("u", d(2024, 1, 5), 50),
+         ("v", d(2024, 1, 2), 7)],
+        "user string, day date, cents long")
+    out = {(r["user"], r["day"]): (r["val"], r["filled_value"],
+                                   r["is_interpolated"])
+           for r in timeseries.gapfill_linear(
+               daily, ["user"], "day", "cents").collect()}
+    # u: 5-day grid, days 2 and 3 interpolated on the 100→400 segment
+    assert len(out) == 6
+    assert out[("u", d(2024, 1, 1))] == (100, 100.0, False)
+    assert out[("u", d(2024, 1, 2))] == (None, 100.0 + 300.0 * (1 / 3), True)
+    assert out[("u", d(2024, 1, 3))] == (None, 100.0 + 300.0 * (2 / 3), True)
+    assert out[("u", d(2024, 1, 4))] == (400, 400.0, False)
+    assert out[("u", d(2024, 1, 5))] == (50, 50.0, False)
+    # single-observation key → just its own day, no fills
+    assert out[("v", d(2024, 1, 2))] == (7, 7.0, False)
+
+
+# ---------------------------------------------------------- rfm_scores ---
+
+def test_rfm_scores_deterministic_quintiles(spark):
+    d = dt.date
+    # 5 customers, one order each: recency/frequency/monetary all distinct
+    rows = [(k, d(2024, 1, k), float(k)) for k in range(1, 6)]
+    df = spark.createDataFrame(rows, "cust long, od date, amt double")
+    out = {r["cust"]: r for r in segments.rfm_scores(
+        df, "cust", "od",
+        F.round(F.col("amt") * 100, 0).cast("bigint")).collect()}
+    # cust 5 ordered last (most recent) → r_score 5; largest amt → m 5
+    assert out[5]["recency_days"] == 0 and out[5]["r_score"] == 5
+    assert out[1]["recency_days"] == 4 and out[1]["r_score"] == 1
+    assert out[5]["m_score"] == 5 and out[1]["m_score"] == 1
+    # equal frequency everywhere → tie-break on custkey, ascending
+    assert [out[k]["f_score"] for k in range(1, 6)] == [1, 2, 3, 4, 5]
+    assert out[5]["monetary_cents"] == 500
+    assert out[5]["segment"] == "555"
+
+
+# -------------------------------------------------- pareto_frontier_2d ---
+
+def _brute_skyline(pts):
+    keep = []
+    for x, y in pts:
+        dom = any((bx <= x and by >= y and (bx < x or by > y))
+                  for bx, by in pts)
+        if not dom:
+            keep.append((x, y))
+    return sorted(keep)
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    import random
+    rng = random.Random(7)
+    pts = [(rng.randrange(20), rng.randrange(20)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted((r["x"], r["y"]) for r in
+                 skyline.pareto_frontier_2d(df, "x", "y").collect())
+    assert got == _brute_skyline(pts)
+
+
+def test_pareto_frontier_ties_survive_together(spark):
+    # identical points are mutually non-dominating → both kept
+    df = spark.createDataFrame([(1, 5, "a"), (1, 5, "b"), (2, 5, "c")],
+                               "x long, y long, tag string")
+    got = sorted(r["tag"] for r in
+                 skyline.pareto_frontier_2d(df, "x", "y").collect())
+    assert got == ["a", "b"]   # c dominated by (1,5): cheaper, same y
+
+
+# ------------------------------------------------ concurrency_histogram ---
+
+def test_concurrency_histogram_hand_case(spark):
+    # [0,10) [5,15) [20,30): levels 1:[0,5)+[10,15)+[20,30)=20, 2:[5,10)=5,
+    # 0 between 15 and 20 = 5
+    df = spark.createDataFrame([(0, 10), (5, 15), (20, 30)],
+                               "s long, e long")
+    got = {r["level"]: (r["total_us"], r["n_segments"])
+           for r in spans.concurrency_histogram(
+               df, "s", "e", length=lambda s, e: e - s).collect()}
+    assert got == {0: (5, 1), 1: (20, 3), 2: (5, 1)}
+
+
+def test_concurrency_histogram_halfopen_touch(spark):
+    # [0,10) then [10,20): never concurrent — end boundary sorts first
+    df = spark.createDataFrame([(0, 10), (10, 20)], "s long, e long")
+    got = {r["level"]: r["total_us"]
+           for r in spans.concurrency_histogram(
+               df, "s", "e", length=lambda s, e: e - s).collect()}
+    assert got == {1: 20}
+
+
+def test_concurrency_histogram_integral_invariant(spark):
+    # ∫ level dt == Σ interval lengths, whatever the overlap structure
+    import random
+    rng = random.Random(11)
+    ivs = []
+    for _ in range(100):
+        s = rng.randrange(1000)
+        ivs.append((s, s + 1 + rng.randrange(50)))
+    df = spark.createDataFrame(ivs, "s long, e long")
+    rows = spans.concurrency_histogram(
+        df, "s", "e", length=lambda s, e: e - s).collect()
+    integral = sum(r["level"] * r["total_us"] for r in rows)
+    assert integral == sum(e - s for s, e in ivs)
+
+
+# ------------------------------------------------------------- welch_t ---
+
+def test_welch_t_matches_scipy_formula(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import experiment
+    a = [10, 12, 14, 9, 11, 13]
+    b = [20, 22, 19, 25]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = experiment.welch_t(df, "g", F.col("v"),
+                           group_a="a", group_b="b").collect()[0]
+    import statistics as st
+    ma, mb = st.mean(a), st.mean(b)
+    va, vb = st.variance(a), st.variance(b)
+    qa, qb = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(qa + qb)
+    dof = (qa + qb) ** 2 / (qa * qa / (len(a) - 1) + qb * qb / (len(b) - 1))
+    assert r["n_a"] == 6 and r["n_b"] == 4
+    assert abs(r["mean_a"] - ma) < 1e-12 and abs(r["var_b"] - vb) < 1e-12
+    assert abs(r["t_stat"] - t) < 1e-12
+    assert abs(r["welch_df"] - dof) < 1e-12
+
+
+# ---------------------------------------------------- chi_square_cells ---
+
+def test_chi_square_cells_zero_cells_and_totals(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import experiment
+    rows = [("x", 1)] * 3 + [("x", 2)] * 1 + [("y", 1)] * 2
+    df = spark.createDataFrame(rows, "r string, c long")
+    out = {(r["r"], r["c"]): r
+           for r in experiment.chi_square_cells(df, "r", "c").collect()}
+    # full 2x2 grid, including the unobserved (y, 2) cell
+    assert set(out) == {("x", 1), ("x", 2), ("y", 1), ("y", 2)}
+    z = out[("y", 2)]
+    assert z["observed"] == 0 and z["row_total"] == 2 and z["col_total"] == 1
+    assert abs(z["expected"] - 2 * 1 / 6) < 1e-15
+    # contribution == (o-e)^2/e for an observed cell
+    cell = out[("x", 1)]
+    e = 4 * 5 / 6
+    assert abs(cell["contribution"] - (3 - e) ** 2 / e) < 1e-12
+    # marginal identity: sum of observed == N per construction
+    assert sum(r["observed"] for r in out.values()) == 6
+
+
+# ---------------------------------------------- clustering_coefficient ---
+
+def test_clustering_coefficient_known_graph(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import graph
+    # triangle 1-2-3 plus pendant 4 attached to 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    out = {r["node"]: r for r in
+           graph.clustering_coefficient(edges).collect()}
+    assert out[1]["clustering_coeff"] == 1.0     # deg 2, 1 triangle
+    assert out[2]["clustering_coeff"] == 1.0
+    assert out[3]["degree"] == 3 and out[3]["n_triangles"] == 1
+    assert abs(out[3]["clustering_coeff"] - 2 * 1 / (3 * 2)) < 1e-15
+    assert out[4]["degree"] == 1 and out[4]["clustering_coeff"] == 0.0
+
+
+# ------------------------------------------------ benford_leading_digit ---
+
+def test_benford_leading_digit(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import profile
+    df = spark.createDataFrame(
+        [(1,), (19,), (123,), (2,), (999,), (0,), (-5,)], "v long")
+    out = {r["digit"]: (r["n"], r["share"]) for r in
+           profile.benford_leading_digit(df, F.col("v")).collect()}
+    # zero and negative rows excluded; digits from 1,19,123 → 1; 2 → 2; 999 → 9
+    assert out == {1: (3, 3 / 5), 2: (1, 1 / 5), 9: (1, 1 / 5)}
+
+
+# ------------------------------------------------- cusum_changepoint ---
+
+def test_cusum_changepoint_finds_mean_shift(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import timeseries
+    # 10 points at 0, then 10 points at 100 → split at position 10
+    rows = [("k", i, 0 if i < 10 else 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    r = timeseries.cusum_changepoint(df, ["k"], "t", "v").collect()[0]
+    assert r["n"] == 20 and r["split_idx"] == 10 and r["split_at"] == 9
+    # C_10 = 20*0 - 10*1000 = -10000
+    assert r["cusum_scaled"] == -10000
+
+
+def test_cusum_changepoint_matches_brute(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import timeseries
+    import random
+    rng = random.Random(3)
+    vals = [rng.randrange(100) for _ in range(50)]
+    df = spark.createDataFrame([("k", i, v) for i, v in enumerate(vals)],
+                               "k string, t long, v long")
+    r = timeseries.cusum_changepoint(df, ["k"], "t", "v").collect()[0]
+    n, tot = len(vals), sum(vals)
+    best = max(((abs(n * sum(vals[:i]) - i * tot), -i)
+                for i in range(1, n + 1)))
+    assert abs(r["cusum_scaled"]) == best[0] and r["split_idx"] == -best[1]
