@@ -78,3 +78,24 @@ def heavy_hitters(df: DataFrame, col: str, *, k: int = 100) -> DataFrame:
     total = src.agg(F.count(F.lit(1)).alias("n_total"))
     return (counted.crossJoin(F.broadcast(total))
             .filter(F.col("count") * k > F.col("n_total")))
+
+
+def mode_per_group(df: DataFrame, keys: list[str], val_col: str) -> DataFrame:
+    """Exact per-key mode: (keys, ``val_col``'s most frequent value, n) —
+    ties broken to the SMALLEST value, so the answer is deterministic
+    and oracle-comparable.
+
+    One hash aggregation on (keys, value) then a rank-1 window on the
+    same key prefix (the window's partition keys are a subset of the
+    agg's grouping keys, so it rides the agg's exchange) — Catalyst
+    rewrites the filter to WindowGroupLimit: per-key single-value state,
+    never a per-key value list.
+    """
+    from pyspark.sql import Window
+    counts = (df.groupBy(*keys, val_col)
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy(*keys).orderBy(F.col("n").desc(),
+                                          F.col(val_col).asc())
+    return (counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk"))

@@ -223,10 +223,14 @@ def clustering_coefficient(edges: DataFrame, *, src: str = "src",
     join + coalesce) — a coefficient table missing its zeros would bias
     any downstream average.
     """
+    # Materialize the canonical edge set ONCE — the degree and triangle
+    # subtrees would otherwise each re-derive it from `edges`, re-running
+    # whatever (possibly expensive) plan produced the input.
     und = (edges.select(F.least(src, dst).alias("a"),
                         F.greatest(src, dst).alias("b"))
            .where(F.col("a") != F.col("b"))
-           .distinct())
+           .distinct()
+           .localCheckpoint())
     deg = (und.select(F.col("a").alias("node"))
            .unionAll(und.select("b"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))

@@ -135,3 +135,34 @@ def concurrency_histogram(df: DataFrame, start_col: str, end_col: str, *,
             .agg(F.sum(dur).alias("total_us"),
                  F.count(F.lit(1)).alias("n_segments"))
             .orderBy("level"))
+
+
+def value_runs(df: DataFrame, keys: list[str], order_col: str,
+               val_col: str, *,
+               tiebreak: list[str] | None = None) -> DataFrame:
+    """Run-length encoding of a keyed ordered stream: maximal runs of
+    consecutive IDENTICAL ``val_col`` values — the value-change twin of
+    ``merge_intervals``'s time-gap islands (streak analytics, state-dwell
+    times, repeated-token compression).
+
+    Same gaps-and-islands skeleton, but the new-island flag fires on
+    value CHANGE (null-safe ``lag`` comparison) instead of a time gap:
+    two windows + one roll-up on a single key exchange. Returns (keys,
+    ``val_col``, run_start, run_end, run_len) with run boundaries taken
+    from ``order_col``. Pass ``tiebreak`` when ``order_col`` isn't
+    unique per key — runs are order-dependent.
+    """
+    order = [F.col(order_col), *map(F.col, tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # first row of a key (row_number 1) or a null-safe value change
+    changed = ~F.lag(val_col).over(w).eqNullSafe(F.col(val_col))
+    first = F.row_number().over(w) == 1
+    flagged = df.withColumn("_new",
+                            F.when(first | changed, 1).otherwise(0))
+    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (flagged.withColumn("_island", island)
+            .groupBy(*keys, "_island", val_col)
+            .agg(F.min(order_col).alias("run_start"),
+                 F.max(order_col).alias("run_end"),
+                 F.count(F.lit(1)).alias("run_len"))
+            .drop("_island"))

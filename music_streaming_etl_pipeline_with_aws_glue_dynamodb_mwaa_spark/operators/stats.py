@@ -454,3 +454,73 @@ def zscore_apply(df: DataFrame, params: DataFrame, keys: list[str],
     z = ((c.cast("double") - F.col("mean_cents"))
          / F.col("stddev_cents"))
     return out.withColumn("z", z)
+
+
+def concentration_coverage(df: DataFrame, key_col: str, weight: Column, *,
+                           num: int = 4, den: int = 5) -> DataFrame:
+    """Pareto-principle readout: the smallest set of keys (taken in
+    descending weight order, key asc on ties) whose weight covers at
+    least ``num/den`` of the total — "how many customers make 80 % of
+    revenue". One row: (n_keys, n_covering, covered_weight,
+    total_weight, covered_share, target_num, target_den).
+
+    The threshold test is the cross-multiplied INTEGER comparison
+    cum·den ≥ total·num (no float ratio ever feeds a comparison); a key
+    belongs to the covering prefix iff the PREVIOUS cumulative weight
+    had not yet reached the target. ``covered_share`` is the single
+    final IEEE division — hash-exact.
+
+    Plan: one key aggregation, one ordered global window over the
+    key-grain frame (customer-grain ≪ fact-grain; past ~10⁹ keys use
+    the two-phase prefix sum), one scalar roll-up.
+    """
+    per_key = df.groupBy(key_col).agg(F.sum(weight).alias("_w"))
+    w = Window.orderBy(F.col("_w").desc(), F.col(key_col).asc())
+    cum = F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("_w").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    marked = per_key.select(
+        "_w", cum.alias("_cum"), tot.alias("_tot"),
+        (((cum - F.col("_w")) * den) < (tot * F.lit(num)))
+        .alias("_covering"))
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("_covering").cast("bigint")).alias("n_covering"),
+        F.max(F.when(F.col("_covering"), F.col("_cum")))
+        .alias("covered_weight"),
+        F.max("_tot").alias("total_weight"),
+        (F.max(F.when(F.col("_covering"), F.col("_cum"))).cast("double")
+         / F.max("_tot").cast("double")).alias("covered_share"),
+        F.lit(num).cast("bigint").alias("target_num"),
+        F.lit(den).cast("bigint").alias("target_den"))
+
+
+def weighted_median(df: DataFrame, keys: list[str], val_col: str,
+                    weight: Column) -> DataFrame:
+    """Exact per-key lower weighted median: the smallest value v such
+    that the cumulative weight of rows with value ≤ v reaches half the
+    total — 2·cum ≥ total as an INTEGER comparison (weights are exact
+    longs; no float quantile interpolation). Returns (keys, median,
+    total_weight).
+
+    Plan: per-(key, value) weight aggregation, ordered cumulative window
+    + per-key total on the same key exchange, then a rank-1 window over
+    the qualifying rows → WindowGroupLimit. Unweighted exact percentiles
+    live in ``group_percentiles``; this is their weighted sibling.
+    """
+    per_val = (df.groupBy(*keys, val_col)
+               .agg(F.sum(weight).alias("_w")))
+    w = Window.partitionBy(*keys).orderBy(val_col)
+    cum = F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("_w").over(
+        Window.partitionBy(*keys).rowsBetween(Window.unboundedPreceding,
+                                              Window.unboundedFollowing))
+    q = (per_val.select(*keys, val_col, cum.alias("_cum"),
+                        tot.alias("_tot"))
+         .filter(F.col("_cum") * 2 >= F.col("_tot")))
+    pick = Window.partitionBy(*keys).orderBy(F.col(val_col).asc())
+    return (q.withColumn("_rk", F.row_number().over(pick))
+            .filter(F.col("_rk") == 1)
+            .select(*keys, F.col(val_col).alias("median"),
+                    F.col("_tot").alias("total_weight")))

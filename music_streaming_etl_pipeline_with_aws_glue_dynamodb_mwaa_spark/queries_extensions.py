@@ -7841,3 +7841,145 @@ def events_cusum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("v"))
     return timeseries.cusum_changepoint(x, ["event_type"], "ts", "v",
                                         tiebreak=["event_id"])
+
+
+# --------------------------------------------------------------------------
+# E148 — exact per-key mode (operators/freq.py): deterministic argmax of
+# a value frequency distribution.
+# --------------------------------------------------------------------------
+
+@register("user_modal_event_type", """
+    WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type ASC)
+                        AS rk
+          FROM c)
+    SELECT user_id, event_type, n FROM r WHERE rk = 1
+""")
+def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most frequent event type
+    (operators/freq.py::mode_per_group) — exact mode with smallest-value
+    tie-break; the rank-1 window rides the count agg's user key and
+    collapses to WindowGroupLimit."""
+    from .operators import freq
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return freq.mode_per_group(ev, ["user_id"], "event_type")
+
+
+# --------------------------------------------------------------------------
+# E149 — value-change run-length encoding (operators/spans.py): the
+# streak twin of the time-gap islands.
+# --------------------------------------------------------------------------
+
+@register("user_event_streaks", """
+    WITH o AS (SELECT user_id, ts, event_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS pv,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    f AS (SELECT *, CASE WHEN rn = 1 OR pv IS DISTINCT FROM event_type
+                         THEN 1 ELSE 0 END AS ni
+          FROM o),
+    i AS (SELECT user_id, ts, event_type,
+                 CAST(sum(ni) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS isl
+          FROM f)
+    SELECT user_id, event_type,
+           min(ts) AS run_start, max(ts) AS run_end,
+           CAST(count(*) AS BIGINT) AS run_len
+    FROM i GROUP BY user_id, isl, event_type
+""")
+def user_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal runs of consecutive identical event types per user
+    (operators/spans.py::value_runs) — gaps-and-islands keyed on value
+    CHANGE (null-safe lag compare) instead of time gap; two windows +
+    roll-up on one user exchange, (ts, event_id) total order pinned."""
+    from .operators import spans
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return spans.value_runs(ev, ["user_id"], "ts", "event_type",
+                            tiebreak=["event_id"])
+
+
+# --------------------------------------------------------------------------
+# E150 — Pareto-principle concentration (operators/stats.py): smallest
+# key set covering num/den of total weight, integer-compared.
+# --------------------------------------------------------------------------
+
+@register("orders_revenue_8020", """
+    WITH pk AS (SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS w
+                FROM orders GROUP BY 1),
+    c AS (SELECT o_custkey, w,
+                 CAST(sum(w) OVER (ORDER BY w DESC, o_custkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(w) OVER () AS BIGINT) AS tot
+          FROM pk),
+    m AS (SELECT *, ((cum - w) * 5) < (tot * 4) AS covering FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN covering THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covering,
+           CAST(max(CASE WHEN covering THEN cum END) AS BIGINT)
+               AS covered_weight,
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           CAST(max(CASE WHEN covering THEN cum END) AS DOUBLE)
+               / CAST(max(tot) AS DOUBLE) AS covered_share,
+           CAST(4 AS BIGINT) AS target_num, CAST(5 AS BIGINT) AS target_den
+    FROM m
+""")
+def orders_revenue_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers make 80 % of revenue
+    (operators/stats.py::concentration_coverage) — covering-prefix test
+    is the cross-multiplied integer comparison cum·5 vs total·4 (no
+    float ratio feeds a comparison); covered_share is the single final
+    division."""
+    from .operators import stats
+    od = catalog.load_table(spark, sf_dir, "orders")
+    return stats.concentration_coverage(
+        od, "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+        num=4, den=5)
+
+
+# --------------------------------------------------------------------------
+# E151 — exact weighted median (operators/stats.py): the weighted
+# sibling of group_percentiles, integer-compared.
+# --------------------------------------------------------------------------
+
+@register("lineitem_weighted_median_qty", """
+    WITH pv AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS w
+                FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT l_returnflag, q, w,
+                 CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY q
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                     AS tot
+          FROM pv),
+    k AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY q ASC) AS rk
+          FROM c WHERE cum * 2 >= tot)
+    SELECT l_returnflag, q AS median, tot AS total_weight
+    FROM k WHERE rk = 1
+""")
+def lineitem_weighted_median_qty(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-returnflag median quantity weighted by revenue cents
+    (operators/stats.py::weighted_median) — lower weighted median via
+    the 2·cum ≥ total INTEGER comparison over exact long weights; no
+    float quantile interpolation anywhere."""
+    from .operators import stats
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return stats.weighted_median(
+        li.select("l_returnflag",
+                  F.col("l_quantity").cast("bigint").alias("q"),
+                  "l_extendedprice"),
+        ["l_returnflag"], "q",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))

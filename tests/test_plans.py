@@ -325,3 +325,38 @@ def test_ohlc_single_aggregate_no_window(spark):
     plan = _executed(q("user_daily_ohlc")(spark, SF_SMOKE))
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ------------------------------------------------- round-5 batch 2/3 ---
+
+def test_cf_topk_and_mode_use_window_group_limit(spark):
+    # rank-≤-k filters must collapse to per-key bounded state, not a
+    # full sort of every neighbor/value list
+    for name in ("part_neighbors_topk", "user_modal_event_type",
+                 "lineitem_weighted_median_qty", "events_cusum_by_type"):
+        plan = _executed(q(name)(spark, SF_SMOKE))
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_skyline_has_no_quadratic_join(spark):
+    # the operator is the prefix-max rewrite; only the oracle is O(n²)
+    plan = _executed(q("part_price_size_skyline")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan       # threshold table broadcast
+
+
+def test_gapfill_single_key_exchange(spark):
+    # grid explode, left join, and both LOCF/NOCB windows must ride ONE
+    # user-keyed exchange: hashpartitioning(user_id) appears exactly once
+    plan = _executed(q("user_daily_value_gapfill")(spark, SF_SMOKE))
+    import re
+    keys = re.findall(r"hashpartitioning\(([^,]+)", plan)
+    assert all(k.startswith("user_id") for k in keys), keys
+
+
+def test_welch_is_single_pass_partial_agg(spark):
+    # one map-combinable aggregation: partial + final, no join, no window
+    plan = _executed(q("ab_purchase_welch_t")(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan and "Window" not in plan

@@ -254,3 +254,85 @@ def test_cusum_changepoint_matches_brute(spark):
     best = max(((abs(n * sum(vals[:i]) - i * tot), -i)
                 for i in range(1, n + 1)))
     assert abs(r["cusum_scaled"]) == best[0] and r["split_idx"] == -best[1]
+
+
+# ------------------------------------------------------- mode_per_group ---
+
+def test_mode_per_group_tiebreak(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import freq
+    df = spark.createDataFrame(
+        [("u", "b"), ("u", "b"), ("u", "a"), ("u", "a"), ("u", "c"),
+         ("v", "z")],
+        "k string, v string")
+    got = {(r["k"]): (r["v"], r["n"]) for r in
+           freq.mode_per_group(df, ["k"], "v").collect()}
+    # tie between a and b at 2 → smallest value wins
+    assert got == {"u": ("a", 2), "v": ("z", 1)}
+
+
+# ----------------------------------------------------------- value_runs ---
+
+def test_value_runs_rle(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import spans
+    seq = ["a", "a", "b", "b", "b", "a", None, None, "c"]
+    df = spark.createDataFrame([("u", i, v) for i, v in enumerate(seq)],
+                               "k string, t long, v string")
+    got = sorted((r["run_start"], r["v"], r["run_len"], r["run_end"])
+                 for r in spans.value_runs(df, ["k"], "t", "v").collect())
+    assert got == [(0, "a", 2, 1), (2, "b", 3, 4), (5, "a", 1, 5),
+                   (6, None, 2, 7), (8, "c", 1, 8)]
+
+
+# ------------------------------------------- concentration_coverage ---
+
+def test_concentration_coverage_8020(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    # weights 50, 30, 15, 5 (total 100): 80% needs {50, 30}
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 5)], "k long, w long")
+    r = stats.concentration_coverage(df, "k", F.col("w")).collect()[0]
+    assert r["n_keys"] == 4 and r["n_covering"] == 2
+    assert r["covered_weight"] == 80 and r["total_weight"] == 100
+    assert r["covered_share"] == 0.8
+
+
+def test_concentration_coverage_exact_boundary(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    # first key alone covers exactly 80% → covering set is 1 key
+    df = spark.createDataFrame([(1, 8), (2, 2)], "k long, w long")
+    r = stats.concentration_coverage(df, "k", F.col("w")).collect()[0]
+    assert r["n_covering"] == 1 and r["covered_weight"] == 8
+
+
+# ------------------------------------------------------ weighted_median ---
+
+def test_weighted_median_exact(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    # values 1..4 with weights 1,1,1,7 → lower weighted median = 4
+    # (cum at 4 = 10, 2*10 >= 10; cum at 3 = 3, 2*3 < 10)
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 1), ("g", 4, 7),
+         ("h", 5, 1), ("h", 6, 1)],
+        "k string, v long, w long")
+    got = {r["k"]: (r["median"], r["total_weight"]) for r in
+           stats.weighted_median(df, ["k"], "v", F.col("w")).collect()}
+    # h: equal weights → lower median = 5 (2*1 >= 2)
+    assert got == {"g": (4, 10), "h": (5, 2)}
+
+
+def test_weighted_median_matches_brute(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    import random
+    rng = random.Random(5)
+    rows = [("k", rng.randrange(30), 1 + rng.randrange(9))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    r = stats.weighted_median(df, ["k"], "v", F.col("w")).collect()[0]
+    tot = sum(w for _, _, w in rows)
+    acc, med = 0, None
+    for v in sorted({v for _, v, _ in rows}):
+        acc += sum(w for _, vv, w in rows if vv == v)
+        if 2 * acc >= tot:
+            med = v
+            break
+    assert r["median"] == med and r["total_weight"] == tot
