@@ -7983,3 +7983,55 @@ def lineitem_weighted_median_qty(spark: SparkSession,
                   "l_extendedprice"),
         ["l_returnflag"], "q",
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# E152 — higher-order array function surface, certified EXACT: the ANN /
+# embedding operators lean on transform/filter/aggregate/zip_with, but
+# their float outputs are rows-only — this is the same HOF surface on
+# exact longs, so the lambdas themselves get a hash-exact certification.
+# --------------------------------------------------------------------------
+
+@register("order_qty_hof_stats", """
+    WITH a AS (SELECT l_orderkey,
+                      list_sort(list(CAST(l_quantity AS BIGINT))) AS arr
+               FROM lineitem GROUP BY 1)
+    SELECT l_orderkey,
+           CAST(len(arr) AS BIGINT) AS n_items,
+           CAST(list_sum(arr) AS BIGINT) AS qty_sum,
+           arr[-1] AS qty_max,
+           CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+           CAST(list_sum(list_transform(arr, x -> x * 2)) AS BIGINT)
+               AS doubled_sum,
+           arr[1] + arr[-1] AS minmax_sum
+    FROM a
+""")
+def order_qty_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order quantity-array metrics through Spark's higher-order
+    functions — sort_array(collect_list) is a deterministic multiset →
+    array, then aggregate (fold), element_at, array_distinct, filter
+    (lambda predicate), transform (lambda map), and zip_with(arr,
+    reverse(arr)) all on exact longs, each mirrored by a DuckDB list
+    function. Certifies the HOF lambda surface hash-exactly where the
+    embedding operators can only certify it rows-only. All JVM
+    whole-stage codegen — no UDFs."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("bigint")
+    a = (li.groupBy("l_orderkey")
+         .agg(F.sort_array(F.collect_list(
+             F.col("l_quantity").cast("bigint"))).alias("arr")))
+    arr = F.col("arr")
+    return a.select(
+        "l_orderkey",
+        F.size(arr).cast("bigint").alias("n_items"),
+        F.aggregate(arr, zero, lambda acc, x: acc + x).alias("qty_sum"),
+        F.element_at(arr, -1).alias("qty_max"),
+        F.size(F.array_distinct(arr)).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).cast("bigint")
+        .alias("n_even"),
+        F.aggregate(F.transform(arr, lambda x: x * 2), zero,
+                    lambda acc, x: acc + x).alias("doubled_sum"),
+        F.element_at(F.zip_with(arr, F.reverse(arr),
+                                lambda a_, b_: a_ + b_), 1)
+        .alias("minmax_sum"))

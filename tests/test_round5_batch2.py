@@ -336,3 +336,24 @@ def test_weighted_median_matches_brute(spark):
             med = v
             break
     assert r["median"] == med and r["total_weight"] == tot
+
+
+# ------------------------------------------------- order_qty_hof_stats ---
+
+def test_hof_stats_hand_case(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import queries_reference as qr
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import queries_extensions  # noqa: F401 — populates REGISTRY
+    import tempfile, os
+    # tiny lineitem stand-in through the registered query's own lambda set
+    df = spark.createDataFrame(
+        [(1, 3.0), (1, 1.0), (1, 4.0), (2, 2.0)],
+        "l_orderkey long, l_quantity double")
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "lineitem.parquet"))
+    out = {r["l_orderkey"]: r for r in
+           qr.REGISTRY["order_qty_hof_stats"][0](spark, d).collect()}
+    r1 = out[1]
+    assert (r1["n_items"], r1["qty_sum"], r1["qty_max"]) == (3, 8, 4)
+    assert (r1["n_distinct"], r1["n_even"]) == (3, 1)
+    assert r1["doubled_sum"] == 16 and r1["minmax_sum"] == 5  # 1+4
+    assert out[2]["minmax_sum"] == 4
