@@ -246,3 +246,48 @@ def clustering_coefficient(edges: DataFrame, *, src: str = "src",
     ).otherwise(F.lit(0.0))
     return joined.select("node", "degree", "n_triangles",
                          cc.alias("clustering_coeff"))
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame, *, src: str = "src",
+             dst: str = "dst", node: str = "node",
+             max_hops: int = 3) -> DataFrame:
+    """Breadth-first hop distance from a seed set over the undirected
+    simple graph: (node, hops) for every node reachable within
+    ``max_hops`` (seeds at 0) — hop = LENGTH OF THE SHORTEST PATH, the
+    k-hop neighborhood primitive (blast-radius, related-items within k,
+    feature propagation depth).
+
+    Spark-first shape — frontier-expansion BFS, the level-synchronous
+    MPC formulation: each round is ONE equi-join (frontier ⋈ adjacency)
+    + an anti-join against the visited set, then the round's result is
+    ``localCheckpoint``ed so round k's plan never re-executes rounds
+    0..k−1 (same eager-iteration lesson as ``pagerank`` above). Work per
+    round is O(|frontier-adjacent edges|); no node is expanded twice.
+
+    The DuckDB twin is the literal WITH RECURSIVE + min(hops) GROUP BY —
+    certifying the iterative DataFrame loop against recursive SQL, the
+    same pattern that certifies connected components (cluster.py).
+    """
+    sym = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .where(F.col("a") != F.col("b")).distinct())
+    adj = (sym.select(F.col("a").alias("_s"), F.col("b").alias("_t"))
+           .unionAll(sym.select(F.col("b").alias("_s"),
+                                F.col("a").alias("_t")))
+           .localCheckpoint())
+    visited = (sources.select(F.col(node).alias("node"),
+                              F.lit(0).cast("bigint").alias("hops"))
+               .distinct().localCheckpoint())
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (frontier.join(adj, frontier["node"] == adj["_s"])
+               .select(F.col("_t").alias("node"))
+               .distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(k).cast("bigint"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

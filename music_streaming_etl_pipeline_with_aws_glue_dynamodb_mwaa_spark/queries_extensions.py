@@ -8035,3 +8035,93 @@ def order_qty_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.zip_with(arr, F.reverse(arr),
                                 lambda a_, b_: a_ + b_), 1)
         .alias("minmax_sum"))
+
+
+# --------------------------------------------------------------------------
+# E153 — BFS hop distance (operators/graph.py): level-synchronous
+# frontier expansion certified against the literal WITH RECURSIVE twin.
+# --------------------------------------------------------------------------
+
+@register("part_bfs_hops", """
+    WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey
+                         FROM lineitem),
+    und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT a AS s, b AS t FROM und
+            UNION ALL SELECT b, a FROM und),
+    bfs AS (
+        SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+        FROM part WHERE p_partkey < 3
+        UNION
+        SELECT sym.t, bfs.hops + 1
+        FROM bfs JOIN sym ON sym.s = bfs.node
+        WHERE bfs.hops < 3)
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM bfs GROUP BY 1
+""")
+def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop neighborhood (shortest-path hop distance) of seed parts
+    {0,1,2} over the support-≥2 co-purchase graph
+    (operators/graph.py::bfs_hops) — level-synchronous frontier BFS
+    (one equi-join + one anti-join per round, localCheckpoint lineage
+    cuts), hash-certified against the recursive-SQL min(hops) twin:
+    the iterative-DataFrame-vs-WITH-RECURSIVE equivalence, same class
+    of certification as connected components."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    pt = catalog.load_table(spark, sf_dir, "part")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("src"),
+                      F.col("b.l_partkey").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("_sup"))
+             .where(F.col("_sup") >= 2)
+             .select("src", "dst"))
+    seeds = (pt.where(F.col("p_partkey") < 3)
+             .select(F.col("p_partkey").cast("bigint").alias("node")))
+    from .operators import graph
+    return graph.bfs_hops(edges, seeds, node="node", max_hops=3)
+
+
+# --------------------------------------------------------------------------
+# E154 — linear multi-touch attribution (operators/attribution.py): the
+# marketing-analytics sibling of the asof last-touch join.
+# --------------------------------------------------------------------------
+
+@register("purchase_touch_attribution", """
+    WITH c AS (SELECT user_id, event_id AS conv_id, ts AS cts,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts
+          FROM events WHERE event_type IN ('view', 'click')),
+    j AS (SELECT c.user_id, c.conv_id, t.touch_id, t.touch_ts, c.v
+          FROM c JOIN t ON c.user_id = t.user_id
+           AND t.touch_ts < c.cts
+           AND t.touch_ts >= c.cts - INTERVAL 30 MINUTE),
+    n AS (SELECT *, CAST(count(*) OVER (PARTITION BY user_id, conv_id)
+                         AS BIGINT) AS n_touches
+          FROM j)
+    SELECT user_id, conv_id, touch_id, touch_ts, n_touches,
+           CAST(v AS DOUBLE) / CAST(n_touches AS DOUBLE) AS credit
+    FROM n
+""")
+def purchase_touch_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click within 30 min
+    before a purchase by the same user gets purchase_cents/n_touches
+    (operators/attribution.py::linear_attribution) — ONE user-keyed join
+    with the banded time predicate in the join condition, per-conversion
+    count window on the same exchange, credit = one IEEE division of
+    exact longs (hash-exact). Last-touch = asof_purchase_click;
+    this is its fractional-credit sibling."""
+    from .operators import attribution
+    ev = catalog.load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase")
+    touch = ev.filter(F.col("event_type").isin("view", "click"))
+    return attribution.linear_attribution(
+        conv, touch, "user_id", "ts",
+        conv_id="event_id", touch_id="event_id",
+        value=F.round(F.col("value") * 100, 0).cast("bigint"),
+        window_expr=F.expr("INTERVAL 30 MINUTES"))

@@ -357,3 +357,61 @@ def test_hof_stats_hand_case(spark):
     assert (r1["n_distinct"], r1["n_even"]) == (3, 1)
     assert r1["doubled_sum"] == 16 and r1["minmax_sum"] == 5  # 1+4
     assert out[2]["minmax_sum"] == 4
+
+
+# ------------------------------------------------------------- bfs_hops ---
+
+def test_bfs_hops_path_and_bound(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import graph
+    # path 1-2-3-4-5, seed 1, max 3 hops → 5 unreachable; isolated seed 9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r["node"]: r["hops"] for r in
+           graph.bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_shortest_path_not_any_path(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import graph
+    # diamond 1-2-4, 1-3-4 plus long way 2-5-6-4: hop(4) must be 2
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5), (5, 6), (6, 4)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in
+           graph.bfs_hops(edges, seeds, max_hops=4).collect()}
+    assert got[4] == 2 and got[5] == 2 and got[6] == 3
+
+
+# --------------------------------------------------- linear_attribution ---
+
+def test_linear_attribution_split_and_window(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import attribution
+    import datetime as dtm
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+    m = dtm.timedelta(minutes=1)
+    conv = spark.createDataFrame(
+        [("u", 100, t0, 900), ("u", 101, t0 + 60 * m, 500),
+         ("v", 102, t0, 300)],
+        "user string, event_id long, ts timestamp, cents long")
+    touch = spark.createDataFrame(
+        [("u", 1, t0 - 5 * m), ("u", 2, t0 - 29 * m),   # both in window
+         ("u", 3, t0 - 31 * m),                           # outside
+         ("u", 4, t0),                                    # not strictly before
+         ("w", 5, t0 - m)],                               # other user
+        "user string, event_id long, ts timestamp")
+    out = attribution.linear_attribution(
+        conv, touch, "user", "ts", conv_id="event_id",
+        touch_id="event_id", value=F.col("cents"),
+        window_expr=F.expr("INTERVAL 30 MINUTES")).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    # conv 100: touches 1 and 2 split 900 → 450 each
+    assert sorted(r["touch_id"] for r in by_conv[100]) == [1, 2]
+    assert all(r["n_touches"] == 2 and r["credit"] == 450.0
+               for r in by_conv[100])
+    # conv 101 (13:00): touch at 12:00 is not >= cts-30min → no touches;
+    # conv 102 (user v): no touches → dropped
+    assert set(by_conv) == {100}
