@@ -90,7 +90,9 @@ def interval_coverage(df: DataFrame, keys: list[str], start_col: str,
 
 
 def concurrency_histogram(df: DataFrame, start_col: str, end_col: str, *,
-                          length: "callable | None" = None) -> DataFrame:
+                          length: "callable | None" = None,
+                          scaled: bool = False,
+                          num_partitions: int | None = None) -> DataFrame:
     """Sweep-line load profile over half-open ``[start, end)`` intervals:
     how much wall-clock time the system spent at each concurrency level.
 
@@ -108,17 +110,25 @@ def concurrency_histogram(df: DataFrame, start_col: str, end_col: str, *,
     numeric Column; default is microseconds between timestamps (pass
     ``lambda s, e: e - s`` for numeric span columns).
 
-    The running sum here is ONE global window (all boundaries through a
-    single task) — exact and fine for dashboard-sized interval sets. At
-    lake scale swap in the two-phase prefix sum (per-partition partials
-    + broadcast offsets, the ``ids.global_row_numbers`` plan) over a
-    ``repartitionByRange(time)`` exchange; the algebra is unchanged.
+    Default path: the running sum is ONE global window (all boundaries
+    through a single task) — exact and fine for dashboard-sized interval
+    sets. ``scaled=True`` is the lake path: range-partition the
+    boundaries on (time, delta), per-partition delta sums + head
+    timestamps to the driver (k rows), prefix-sum into level offsets,
+    then each partition folds its own rows with the NEXT partition's
+    head as the final segment end (the ``ids.global_cumsum`` plan plus a
+    boundary handoff) — identical output, certified against the same
+    oracle, with no single-task stage. The scaled path computes
+    durations natively (timestamps are converted to unix micros
+    JVM-side first); ``length`` applies to the default path only.
     """
     starts = df.select(F.col(start_col).alias("_t"),
                        F.lit(1).cast("bigint").alias("_d"))
     ends = df.select(F.col(end_col).alias("_t"),
                      F.lit(-1).cast("bigint").alias("_d"))
     bounds = starts.unionByName(ends)
+    if scaled:
+        return _concurrency_histogram_scaled(bounds, num_partitions)
     w = Window.orderBy("_t", "_d")
     level = F.sum("_d").over(w.rowsBetween(Window.unboundedPreceding, 0))
     nxt = F.lead("_t").over(w)
@@ -166,3 +176,83 @@ def value_runs(df: DataFrame, keys: list[str], order_col: str,
                  F.max(order_col).alias("run_end"),
                  F.count(F.lit(1)).alias("run_len"))
             .drop("_island"))
+
+
+def _concurrency_histogram_scaled(bounds: DataFrame,
+                                  num_partitions: int | None) -> DataFrame:
+    """Two-phase sweep (the 100 TB path of ``concurrency_histogram``):
+    no global window — a range exchange on the boundary order, one
+    k-row driver job (per-partition delta sum + head time + count),
+    broadcast offsets, then a partition-local Arrow fold whose last
+    segment closes at the next partition's head boundary.
+
+    Exactness: levels are offset[pid] + local integer cumsum — integer
+    addition is order-free across the partition split, and a (time,
+    delta) tie group split across partitions only produces zero-length
+    segments on the boundary rows, which both paths drop; so the output
+    is bit-identical to the single-window form for ANY partition count
+    (pytest sweeps partition counts; the registered twin query shares
+    the window form's oracle).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    if bounds.schema["_t"].dataType.typeName().startswith("timestamp"):
+        bounds = bounds.select(F.unix_micros("_t").alias("_t"), "_d")
+    parts = (num_partitions
+             or bounds.sparkSession.sparkContext.defaultParallelism)
+    b = (bounds.repartitionByRange(parts, F.col("_t"), F.col("_d"))
+         .sortWithinPartitions("_t", "_d")
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint())
+    stats = (b.groupBy("_pid")
+             .agg(F.sum("_d").alias("s"), F.min("_t").alias("h"))
+             .collect())
+    pids = sorted(r["_pid"] for r in stats)
+    by_pid = {r["_pid"]: r for r in stats}
+    offsets, acc = {}, 0
+    for pid in pids:
+        offsets[pid] = acc
+        acc += by_pid[pid]["s"]
+    next_head = {pid: (by_pid[pids[i + 1]]["h"] if i + 1 < len(pids)
+                       else None)
+                 for i, pid in enumerate(pids)}
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow may split one partition into several batches: a batch's
+        # last boundary closes at the NEXT batch's first time, so it is
+        # held pending until that time (or the next PARTITION's head, at
+        # iterator end) is known.
+        run, pid = 0, None
+        pend_t = pend_level = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iat[0])
+            t = pdf["_t"].astype("int64").reset_index(drop=True)
+            level = (offsets[pid] + run
+                     + pdf["_d"].astype("int64").cumsum()
+                     .reset_index(drop=True))
+            if pend_t is not None and int(t.iloc[0]) > pend_t:
+                yield pd.DataFrame({"level": [pend_level],
+                                    "_dur": [int(t.iloc[0]) - pend_t]})
+            if len(t) > 1:
+                dur = (t.shift(-1) - t).iloc[:-1]
+                keep = dur > 0
+                yield pd.DataFrame(
+                    {"level": level.iloc[:-1][keep].astype("int64"),
+                     "_dur": dur[keep].astype("int64")})
+            pend_t, pend_level = int(t.iloc[-1]), int(level.iloc[-1])
+            run += int(pdf["_d"].astype("int64").sum())
+        if pend_t is not None:
+            tail = next_head[pid]
+            if tail is not None and tail > pend_t:
+                yield pd.DataFrame({"level": [pend_level],
+                                    "_dur": [tail - pend_t]})
+
+    segs = b.mapInPandas(fold, "level long, _dur long")
+    return (segs.groupBy("level")
+            .agg(F.sum("_dur").alias("total_us"),
+                 F.count(F.lit(1)).alias("n_segments"))
+            .orderBy("level"))

@@ -8125,3 +8125,41 @@ def purchase_touch_attribution(spark: SparkSession,
         conv_id="event_id", touch_id="event_id",
         value=F.round(F.col("value") * 100, 0).cast("bigint"),
         window_expr=F.expr("INTERVAL 30 MINUTES"))
+
+
+# --------------------------------------------------------------------------
+# E155 — the sweep's 100 TB path, certified against the SAME oracle as
+# the window form: two-phase prefix sum, no single-task stage.
+# --------------------------------------------------------------------------
+
+@register("events_concurrency_histogram_scaled", """
+    WITH iv AS (SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events),
+    b AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+          UNION ALL
+          SELECT e AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+    r AS (SELECT t, d,
+                 CAST(sum(d) OVER (ORDER BY t, d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS level,
+                 lead(t) OVER (ORDER BY t, d) AS nxt
+          FROM b)
+    SELECT level,
+           CAST(sum(epoch_us(nxt) - epoch_us(t)) AS BIGINT) AS total_us,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM r WHERE nxt IS NOT NULL AND nxt > t
+    GROUP BY 1
+""")
+def events_concurrency_histogram_scaled(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """The SAME sweep-line load profile as events_concurrency_histogram,
+    through the scale path (operators/spans.py::concurrency_histogram
+    ``scaled=True``): range exchange on the boundary order, k-row driver
+    prefix of per-partition delta sums, Arrow fold with next-partition
+    head handoff — NO single-task window anywhere. Shares the window
+    form's oracle verbatim, so the driver hash certifies the two-phase
+    rewrite is bit-identical, not merely plausible."""
+    from .operators import spans
+    ev = catalog.load_table(spark, sf_dir, "events")
+    iv = ev.select(F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"))
+    return spans.concurrency_histogram(iv, "s", "e", scaled=True)

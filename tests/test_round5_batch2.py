@@ -415,3 +415,36 @@ def test_linear_attribution_split_and_window(spark):
     # conv 101 (13:00): touch at 12:00 is not >= cts-30min → no touches;
     # conv 102 (user v): no touches → dropped
     assert set(by_conv) == {100}
+
+
+def test_concurrency_histogram_scaled_matches_window_path(spark):
+    # same random intervals, window vs two-phase, several partition counts
+    import random
+    rng = random.Random(23)
+    ivs = []
+    for _ in range(500):
+        s = rng.randrange(5000)
+        ivs.append((s, s + 1 + rng.randrange(200)))
+    df = spark.createDataFrame(ivs, "s long, e long")
+    ref = sorted((r["level"], r["total_us"], r["n_segments"])
+                 for r in spans.concurrency_histogram(
+                     df, "s", "e", length=lambda s, e: e - s).collect())
+    for parts in (1, 3, 8):
+        got = sorted((r["level"], r["total_us"], r["n_segments"])
+                     for r in spans.concurrency_histogram(
+                         df, "s", "e", scaled=True,
+                         num_partitions=parts).collect())
+        assert got == ref, parts
+
+
+def test_concurrency_histogram_scaled_timestamps(spark):
+    import datetime as dtm
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+    s = dtm.timedelta(seconds=1)
+    df = spark.createDataFrame(
+        [(t0, t0 + 10 * s), (t0 + 5 * s, t0 + 15 * s)],
+        "s timestamp, e timestamp")
+    got = {r["level"]: r["total_us"] for r in
+           spans.concurrency_histogram(df, "s", "e", scaled=True,
+                                       num_partitions=2).collect()}
+    assert got == {1: 10_000_000, 2: 5_000_000}
