@@ -122,3 +122,55 @@ def cusum_changepoint(df: DataFrame, keys: list[str], order_col: str,
             .filter(F.col("_rk") == 1)
             .select(*keys, "n", F.col("_i").alias("split_idx"),
                     F.col(order_col).alias("split_at"), "cusum_scaled"))
+
+
+def series_ssd_topk(daily: DataFrame, key_col: str, day_col: str,
+                    val_col: str, query_keys: list, *,
+                    k: int = 3) -> DataFrame:
+    """Distributed top-k time-series similarity search (the
+    EDBT'19/'20 / REPOSE problem re-expressed relationally): for each
+    query key, the ``k`` keys whose daily ``val_col`` series (missing
+    days = 0) is closest by squared Euclidean distance.
+
+    EXACT and hash-portable because the whole computation stays in
+    BIGINT: SSD(a, b) = Σa² + Σb² − 2·Σ(a_d·b_d over SHARED days) — the
+    sparse decomposition, so there is NO dense per-key vector and no
+    float fold anywhere. Plan:
+
+    1. per-key norm² (one aggregation over the sparse daily table);
+    2. dot products: query slice (bounded, broadcast) ⋈ daily on the
+       day key — only co-observed days produce terms, so the join is
+       sparse-sized, never |keys|²·|days|;
+    3. assemble SSD via broadcast norm lookups (missing dot ⇒ 0), drop
+       self-pairs, rank-k per query on (ssd asc, key asc) →
+       WindowGroupLimit.
+
+    ``query_keys`` is a bounded literal set (same contract as
+    ann_cosine_topk's query slice); for all-pairs similarity use the
+    LSH/banding machinery in operators/similarity.py instead.
+    """
+    d = daily.select(F.col(key_col).alias("_k"),
+                     F.col(day_col).alias("_day"),
+                     F.col(val_col).alias("_v"))
+    norms = d.groupBy("_k").agg(F.sum(F.col("_v") * F.col("_v"))
+                                .alias("_n2"))
+    q = d.where(F.col("_k").isin(query_keys)).select(
+        F.col("_k").alias("query_key"), "_day",
+        F.col("_v").alias("_qv"))
+    dots = (F.broadcast(q).join(d, "_day")
+            .groupBy("query_key", "_k")
+            .agg(F.sum(F.col("_qv") * F.col("_v")).alias("_dot")))
+    qn = norms.where(F.col("_k").isin(query_keys)).select(
+        F.col("_k").alias("query_key"), F.col("_n2").alias("_qn2"))
+    pairs = (norms.crossJoin(F.broadcast(qn))
+             .where(F.col("_k") != F.col("query_key"))
+             .join(dots, ["query_key", "_k"], "left")
+             .select("query_key", F.col("_k").alias(key_col),
+                     (F.col("_qn2") + F.col("_n2")
+                      - 2 * F.coalesce("_dot", F.lit(0).cast("bigint")))
+                     .alias("ssd")))
+    w = Window.partitionBy("query_key").orderBy(
+        F.col("ssd").asc(), F.col(key_col).asc())
+    return (pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rnk") <= k)
+            .select("query_key", key_col, "ssd", "rnk"))

@@ -8163,3 +8163,52 @@ def events_concurrency_histogram_scaled(spark: SparkSession,
     iv = ev.select(F.col("ts").alias("s"),
                    (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"))
     return spans.concurrency_histogram(iv, "s", "e", scaled=True)
+
+
+# --------------------------------------------------------------------------
+# E156 — distributed top-k time-series similarity search (the retrieved
+# EDBT'19/'20 + REPOSE problem, PAPERS.md), INTEGER-exact via the sparse
+# SSD decomposition.
+# --------------------------------------------------------------------------
+
+@register("user_series_similarity_topk", """
+    WITH d AS (SELECT user_id AS k, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS v
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    norms AS (SELECT k, CAST(sum(v * v) AS BIGINT) AS n2 FROM d GROUP BY 1),
+    q AS (SELECT k AS qk, day, v AS qv FROM d WHERE k IN (0, 1, 2, 3, 4)),
+    dots AS (SELECT q.qk, d.k, CAST(sum(q.qv * d.v) AS BIGINT) AS dot
+             FROM q JOIN d ON q.day = d.day GROUP BY 1, 2),
+    qn AS (SELECT k AS qk, n2 AS qn2 FROM norms WHERE k IN (0, 1, 2, 3, 4)),
+    pairs AS (SELECT qn.qk AS query_key, norms.k AS user_id,
+                     CAST(qn.qn2 + norms.n2
+                          - 2 * coalesce(dots.dot, 0) AS BIGINT) AS ssd
+              FROM norms CROSS JOIN qn
+              LEFT JOIN dots ON dots.qk = qn.qk AND dots.k = norms.k
+              WHERE norms.k != qn.qk),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_key
+                                            ORDER BY ssd ASC, user_id ASC)
+                         AS BIGINT) AS rnk
+          FROM pairs)
+    SELECT query_key, user_id, ssd, rnk FROM r WHERE rnk <= 3
+""")
+def user_series_similarity_topk(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Top-3 most similar users to each query user by squared Euclidean
+    distance between daily purchase-cents series
+    (operators/timeseries.py::series_ssd_topk) — the distributed top-k
+    time-series similarity search of the retrieved papers (PAPERS.md),
+    INTEGER-exact via SSD = Σa² + Σb² − 2·dot over SHARED days only: no
+    dense vectors, no float fold; the query slice broadcasts (the
+    audit's sanctioned bounded-frame cross), the dot join is
+    day-keyed and sparse-sized."""
+    from .operators import timeseries
+    ev = catalog.load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy(F.col("user_id"),
+                      F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                  .alias("cents")))
+    return timeseries.series_ssd_topk(daily, "user_id", "day", "cents",
+                                      [0, 1, 2, 3, 4], k=3)

@@ -448,3 +448,31 @@ def test_concurrency_histogram_scaled_timestamps(spark):
            spans.concurrency_histogram(df, "s", "e", scaled=True,
                                        num_partitions=2).collect()}
     assert got == {1: 10_000_000, 2: 5_000_000}
+
+
+# ------------------------------------------------------ series_ssd_topk ---
+
+def test_series_ssd_topk_matches_brute(spark):
+    import random
+    rng = random.Random(17)
+    # sparse series over 10 days for 12 users
+    rows = []
+    for u in range(12):
+        for day in range(10):
+            if rng.random() < 0.6:
+                rows.append((u, day, rng.randrange(1, 50)))
+    df = spark.createDataFrame(rows, "u long, day long, v long")
+    got = {(r["query_key"], r["rnk"]): (r["u"], r["ssd"]) for r in
+           timeseries.series_ssd_topk(df, "u", "day", "v", [0, 1],
+                                      k=3).collect()}
+    # brute force with dense zero-filled vectors
+    # only users with ≥1 observation exist in the sparse table
+    dense = {}
+    for u, day, v in rows:
+        dense.setdefault(u, [0] * 10)[day] = v
+    for q in (0, 1):
+        ssds = sorted(
+            (sum((a - b) ** 2 for a, b in zip(dense[q], dense[u])), u)
+            for u in dense if u != q)
+        for rnk, (ssd, u) in enumerate(ssds[:3], 1):
+            assert got[(q, rnk)] == (u, ssd), (q, rnk)
