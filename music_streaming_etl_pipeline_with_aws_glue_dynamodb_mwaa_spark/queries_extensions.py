@@ -8212,3 +8212,173 @@ def user_series_similarity_topk(spark: SparkSession,
                   .alias("cents")))
     return timeseries.series_ssd_topk(daily, "user_id", "day", "cents",
                                       [0, 1, 2, 3, 4], k=3)
+
+
+# --------------------------------------------------------------------------
+# E157 — NULL-semantics certification probe: the classic cross-engine
+# divergence corners (null group keys, null-safe joins, SUM over all-NULL,
+# explicit null ordering) pinned against a VALUES oracle.
+# --------------------------------------------------------------------------
+
+@register("null_semantics_audit", """
+    WITH t(k, v) AS (VALUES
+        (CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(NULL AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(NULL AS BIGINT)),
+        (CAST(NULL AS BIGINT), CAST(5 AS BIGINT)),
+        (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        (CAST(3 AS BIGINT), CAST(30 AS BIGINT))),
+    g AS (SELECT k, CAST(count(*) AS BIGINT) AS grp_n,
+                 CAST(count(v) AS BIGINT) AS grp_nonnull,
+                 CAST(sum(v) AS BIGINT) AS grp_sum
+          FROM t GROUP BY k),
+    ns AS (SELECT a.k, CAST(count(*) AS BIGINT) AS nullsafe_sq
+           FROM t a JOIN t b ON a.k IS NOT DISTINCT FROM b.k
+           GROUP BY a.k),
+    r AS (SELECT k, v,
+                 CAST(row_number() OVER (ORDER BY v ASC NULLS FIRST,
+                                         k ASC NULLS FIRST) AS BIGINT)
+                     AS rn
+          FROM t)
+    SELECT r.k, r.v, r.rn, g.grp_n, g.grp_nonnull, g.grp_sum,
+           ns.nullsafe_sq
+    FROM r
+    LEFT JOIN g ON r.k IS NOT DISTINCT FROM g.k
+    LEFT JOIN ns ON r.k IS NOT DISTINCT FROM ns.k
+""")
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One probe pinning four NULL corners where engines classically
+    diverge, all hash-certified at once: (1) a NULL group key is its OWN
+    aggregation group; (2) an eqNullSafe / IS NOT DISTINCT FROM join
+    MATCHES null keys (the null group's self-join count is n², where a
+    plain equi-join would give 0); (3) SUM over an all-NULL group is
+    NULL, not 0; (4) explicit ASC NULLS FIRST ordering — Spark's
+    default, which DuckDB must be told — through a row_number over a
+    pinned total order. Engine-behavior certification, not data
+    analytics; ignores sf_dir by design (VALUES on both sides)."""
+    rows = [(1, 10), (1, None), (2, None), (None, 5), (None, None),
+            (3, 30)]
+    t = spark.createDataFrame(rows, "k long, v long")
+    g = t.groupBy("k").agg(F.count(F.lit(1)).alias("grp_n"),
+                           F.count("v").alias("grp_nonnull"),
+                           F.sum("v").alias("grp_sum"))
+    a, b = t.alias("a"), t.alias("b")
+    ns = (a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+          .groupBy(F.col("a.k").alias("k"))
+          .agg(F.count(F.lit(1)).alias("nullsafe_sq")))
+    w = Window.orderBy(F.col("v").asc_nulls_first(),
+                       F.col("k").asc_nulls_first())
+    r = t.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    return (r.join(g.withColumnRenamed("k", "_gk"),
+                   F.col("k").eqNullSafe(F.col("_gk")), "left")
+            .join(ns.withColumnRenamed("k", "_nk"),
+                  F.col("k").eqNullSafe(F.col("_nk")), "left")
+            .select("k", "v", "rn", "grp_n", "grp_nonnull", "grp_sum",
+                    "nullsafe_sq"))
+
+
+# --------------------------------------------------------------------------
+# E158 — string scalar-surface certification probe: pin the exact
+# cross-engine semantics of the string functions the pipelines lean on
+# (1-based indexing, trim classes, null propagation, separator skipping).
+# --------------------------------------------------------------------------
+
+@register("string_semantics_audit", """
+    WITH t(id, s) AS (VALUES
+        (CAST(1 AS BIGINT), 'hello world'),
+        (CAST(2 AS BIGINT), '  padded  '),
+        (CAST(3 AS BIGINT), ''),
+        (CAST(4 AS BIGINT), 'a'),
+        (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR)))
+    SELECT id, s,
+           upper(s) AS up, lower(s) AS lo,
+           trim(s) AS trimmed, ltrim(s) AS l_trimmed, rtrim(s) AS r_trimmed,
+           CAST(length(s) AS BIGINT) AS n_chars,
+           substr(s, 2, 3) AS sub_2_3,
+           CAST(strpos(s, 'o') AS BIGINT) AS pos_o,
+           lpad(s, 6, '.') AS padded6,
+           reverse(s) AS rev,
+           repeat(s, 2) AS doubled,
+           translate(s, 'lo', 'LO') AS xlate,
+           s || '!' AS bang,
+           concat_ws('-', s, 'tail') AS ws_tail
+    FROM t
+""")
+def string_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the string scalar surface hash-exactly across engines:
+    1-based substr/strpos (0 = absent), trim/ltrim/rtrim whitespace
+    classes, length in CHARACTERS, lpad truncation-on-overflow, reverse,
+    repeat, translate, `||` NULL propagation (NULL in → NULL out) vs
+    concat_ws NULL SKIPPING (the two composition idioms every PII/
+    normalization pipeline must keep straight). Engine-behavior probe —
+    VALUES on both sides, ignores sf_dir."""
+    rows = [(1, "hello world"), (2, "  padded  "), (3, ""), (4, "a"),
+            (5, None)]
+    t = spark.createDataFrame(rows, "id long, s string")
+    s = F.col("s")
+    return t.select(
+        "id", "s",
+        F.upper(s).alias("up"), F.lower(s).alias("lo"),
+        F.trim(s).alias("trimmed"), F.ltrim(s).alias("l_trimmed"),
+        F.rtrim(s).alias("r_trimmed"),
+        F.length(s).cast("bigint").alias("n_chars"),
+        F.substring(s, 2, 3).alias("sub_2_3"),
+        F.instr(s, "o").cast("bigint").alias("pos_o"),
+        F.lpad(s, 6, ".").alias("padded6"),
+        F.reverse(s).alias("rev"),
+        F.repeat(s, 2).alias("doubled"),
+        F.translate(s, "lo", "LO").alias("xlate"),
+        F.concat(s, F.lit("!")).alias("bang"),
+        F.concat_ws("-", s, F.lit("tail")).alias("ws_tail"))
+
+
+# --------------------------------------------------------------------------
+# E159 — calendar/datetime semantics certification probe: month-end
+# clamping, week truncation day, leap handling, quarter/dow extraction.
+# --------------------------------------------------------------------------
+
+@register("datetime_semantics_audit", """
+    WITH t(id, d) AS (VALUES
+        (CAST(1 AS BIGINT), DATE '2024-01-31'),
+        (CAST(2 AS BIGINT), DATE '2024-02-29'),
+        (CAST(3 AS BIGINT), DATE '2024-03-10'),
+        (CAST(4 AS BIGINT), DATE '2023-12-31'),
+        (CAST(5 AS BIGINT), DATE '2024-01-01'))
+    SELECT id, d,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_month,
+           last_day(d) AS month_end,
+           CAST(date_trunc('week', d) AS DATE) AS week_start,
+           CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
+           CAST(date_part('isodow', d) - 1 AS BIGINT) AS weekday0,
+           CAST(date_part('quarter', d) AS BIGINT) AS quarter,
+           CAST(date_diff('day', DATE '2024-03-01', d) AS BIGINT)
+               AS days_from_mar1,
+           CAST(d - INTERVAL 90 DAY AS DATE) AS minus_90d
+    FROM t
+""")
+def datetime_semantics_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Pins the calendar corners hash-exactly: add_months CLAMPS to
+    month-end (Jan 31 + 1 mo = Feb 29 on a leap year), last_day,
+    date_trunc('week') starts MONDAY in both engines, quarter
+    truncation/extraction, ISO weekday mapping (Spark weekday() =
+    isodow − 1), signed datediff (negative when before the anchor), and
+    date_sub across a month boundary. Engine-behavior probe — VALUES on
+    both sides, ignores sf_dir."""
+    import datetime as _dt
+    rows = [(1, _dt.date(2024, 1, 31)), (2, _dt.date(2024, 2, 29)),
+            (3, _dt.date(2024, 3, 10)), (4, _dt.date(2023, 12, 31)),
+            (5, _dt.date(2024, 1, 1))]
+    t = spark.createDataFrame(rows, "id long, d date")
+    d = F.col("d")
+    return t.select(
+        "id", "d",
+        F.add_months(d, 1).alias("plus_month"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "week").alias("week_start"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.weekday(d).cast("bigint").alias("weekday0"),
+        F.quarter(d).cast("bigint").alias("quarter"),
+        F.datediff(d, F.lit("2024-03-01").cast("date")).cast("bigint")
+        .alias("days_from_mar1"),
+        F.date_sub(d, 90).alias("minus_90d"))
