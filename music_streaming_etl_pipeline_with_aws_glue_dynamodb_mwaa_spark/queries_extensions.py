@@ -8382,3 +8382,57 @@ def datetime_semantics_audit(spark: SparkSession,
         F.datediff(d, F.lit("2024-03-01").cast("date")).cast("bigint")
         .alias("days_from_mar1"),
         F.date_sub(d, 90).alias("minus_90d"))
+
+
+# --------------------------------------------------------------------------
+# E160 — aggregate/bitwise/conditional semantics probe: bitwise
+# aggregates skip NULLs, boolean aggregates, count_if, greatest/least
+# NULL-skipping, nullif, truncated signed modulo.
+# --------------------------------------------------------------------------
+
+@register("aggregate_semantics_audit", """
+    WITH t(k, v) AS (VALUES
+        (CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(NULL AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(12 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(10 AS BIGINT)))
+    SELECT k,
+           CAST(bit_and(v) AS BIGINT) AS band,
+           CAST(bit_or(v) AS BIGINT) AS bor,
+           CAST(bit_xor(v) AS BIGINT) AS bxor,
+           bool_and(v > 4) AS all_gt4,
+           bool_or(v > 4) AS any_gt4,
+           CAST(count_if(v > 4) AS BIGINT) AS n_gt4,
+           CAST(greatest(max(v), 7) AS BIGINT) AS hi7,
+           CAST(least(min(v), 7) AS BIGINT) AS lo7,
+           CAST(nullif(max(v), 12) AS BIGINT) AS max_unless_12,
+           CAST(greatest(CAST(NULL AS BIGINT), min(v)) AS BIGINT)
+               AS greatest_skips_null,
+           CAST((min(v) - 10) % 4 AS BIGINT) AS signed_mod
+    FROM t GROUP BY k
+""")
+def aggregate_semantics_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Pins the aggregate/conditional corners: bitwise AND/OR/XOR
+    aggregates SKIP nulls (not poison), bool_and/bool_or, count_if,
+    greatest/least skip NULL arguments (null only when ALL null — both
+    engines, unlike ANSI-strict two-arg comparison), nullif, and signed
+    modulo TRUNCATES toward zero ((3−10) % 4 = −3, not +1). VALUES on
+    both sides, ignores sf_dir."""
+    rows = [(1, 5), (1, 3), (1, None), (2, 12), (2, 10)]
+    t = spark.createDataFrame(rows, "k long, v long")
+    v = F.col("v")
+    return (t.groupBy("k")
+            .agg(F.bit_and(v).alias("band"),
+                 F.bit_or(v).alias("bor"),
+                 F.bit_xor(v).alias("bxor"),
+                 F.every(v > 4).alias("all_gt4"),
+                 F.some(v > 4).alias("any_gt4"),
+                 F.count_if(v > 4).alias("n_gt4"),
+                 F.greatest(F.max(v), F.lit(7)).alias("hi7"),
+                 F.least(F.min(v), F.lit(7)).alias("lo7"),
+                 F.nullif(F.max(v), F.lit(12)).alias("max_unless_12"),
+                 F.greatest(F.lit(None).cast("bigint"), F.min(v))
+                 .alias("greatest_skips_null"),
+                 ((F.min(v) - 10) % 4).alias("signed_mod")))
