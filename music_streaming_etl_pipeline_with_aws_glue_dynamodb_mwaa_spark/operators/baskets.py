@@ -97,6 +97,11 @@ def topk_neighbors(pairs: DataFrame, *, k: int = 3) -> DataFrame:
     materialize full neighbor lists. Output is the k·|catalog| serving
     table a recommender ships to the KV store.
     """
+    # Materialize the pair table once — the fwd and rev branches of the
+    # symmetrizing union would otherwise each re-execute the entire
+    # pair-mining subtree (distinct + support join + within-basket
+    # self-join) feeding this operator.
+    pairs = pairs.localCheckpoint()
     fwd = pairs.select(F.col("item_a").alias("item"),
                        F.col("item_b").alias("neighbor"),
                        "n_pair", "n_a", "n_b")
