@@ -8436,3 +8436,67 @@ def aggregate_semantics_audit(spark: SparkSession,
                  F.greatest(F.lit(None).cast("bigint"), F.min(v))
                  .alias("greatest_skips_null"),
                  ((F.min(v) - 10) % 4).alias("signed_mod")))
+
+
+# --------------------------------------------------------------------------
+# E161 — window-function semantics probe: the rank family's TIE behavior
+# (tie-invariant, certified over a ties-only order) and the sequence
+# family over a pinned total order, in one row set.
+# --------------------------------------------------------------------------
+
+@register("window_semantics_audit", """
+    WITH t(k, id, v) AS (VALUES
+        ('a', CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+        ('a', CAST(2 AS BIGINT), CAST(10 AS BIGINT)),
+        ('a', CAST(3 AS BIGINT), CAST(20 AS BIGINT)),
+        ('a', CAST(4 AS BIGINT), CAST(30 AS BIGINT)),
+        ('b', CAST(5 AS BIGINT), CAST(1 AS BIGINT)))
+    SELECT k, id, v,
+           CAST(rank() OVER wv AS BIGINT) AS rk,
+           CAST(dense_rank() OVER wv AS BIGINT) AS drk,
+           percent_rank() OVER wv AS pr,
+           cume_dist() OVER wv AS cd,
+           CAST(row_number() OVER wt AS BIGINT) AS rn,
+           CAST(lag(v, 1, -1) OVER wt AS BIGINT) AS lag1,
+           CAST(lead(v) OVER wt AS BIGINT) AS lead1,
+           CAST(nth_value(v, 2) OVER (
+               PARTITION BY k ORDER BY v, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS nth2,
+           CAST(first_value(v) OVER wt AS BIGINT) AS fv,
+           CAST(last_value(v) OVER (
+               PARTITION BY k ORDER BY v, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS lv
+    FROM t
+    WINDOW wv AS (PARTITION BY k ORDER BY v),
+           wt AS (PARTITION BY k ORDER BY v, id)
+""")
+def window_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface pinned in one probe: the RANK family over
+    a ties-bearing order (rank gaps after a tie group, dense_rank
+    doesn't; percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n are
+    tie-INVARIANT rationals, so they hash even though the order has
+    ties) and the SEQUENCE family (row_number, lag-with-default, lead,
+    nth_value, first/last_value over an explicit full frame — the
+    classic last_value-needs-a-frame trap) over a pinned total order.
+    VALUES on both sides, ignores sf_dir."""
+    rows = [("a", 1, 10), ("a", 2, 10), ("a", 3, 20), ("a", 4, 30),
+            ("b", 5, 1)]
+    t = spark.createDataFrame(rows, "k string, id long, v long")
+    wv = Window.partitionBy("k").orderBy("v")
+    wt = Window.partitionBy("k").orderBy("v", "id")
+    full = wt.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return t.select(
+        "k", "id", "v",
+        F.rank().over(wv).cast("bigint").alias("rk"),
+        F.dense_rank().over(wv).cast("bigint").alias("drk"),
+        F.percent_rank().over(wv).alias("pr"),
+        F.cume_dist().over(wv).alias("cd"),
+        F.row_number().over(wt).cast("bigint").alias("rn"),
+        F.lag("v", 1, -1).over(wt).cast("bigint").alias("lag1"),
+        F.lead("v").over(wt).cast("bigint").alias("lead1"),
+        F.nth_value("v", 2).over(full).cast("bigint").alias("nth2"),
+        F.first("v").over(wt).cast("bigint").alias("fv"),
+        F.last("v").over(full).cast("bigint").alias("lv"))
