@@ -8500,3 +8500,147 @@ def window_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("v", 2).over(full).cast("bigint").alias("nth2"),
         F.first("v").over(wt).cast("bigint").alias("fv"),
         F.last("v").over(full).cast("bigint").alias("lv"))
+
+
+# --------------------------------------------------------------------------
+# E162 — customer cohort LTV triangle (the subscription-analytics view):
+# cohort by first-order year, cumulative spend by cohort age.
+# --------------------------------------------------------------------------
+
+@register("customer_cohort_ltv", """
+    WITH f AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd
+               FROM orders GROUP BY 1),
+    x AS (SELECT o.o_custkey,
+                 CAST(date_part('year', f.fd) AS BIGINT) AS cohort_year,
+                 CAST(date_part('year', CAST(o.o_orderdate AS DATE))
+                      - date_part('year', f.fd) AS BIGINT) AS age,
+                 CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders o JOIN f ON o.o_custkey = f.o_custkey),
+    g AS (SELECT cohort_year, age,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+                 CAST(sum(cents) AS BIGINT) AS spend_cents
+          FROM x GROUP BY 1, 2)
+    SELECT cohort_year, age, n_active, spend_cents,
+           CAST(sum(spend_cents) OVER (
+               PARTITION BY cohort_year ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_spend_cents
+    FROM g
+""")
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohorted by first-order
+    year, per-(cohort, age-in-years) active count + spend + running
+    cumulative spend — the LTV curve a retention dashboard plots per
+    cohort row. All exact longs (cents, year diffs); the cumsum window
+    rides the cohort key. Complements user_cohort_retention (counts)
+    with the MONEY dimension."""
+    od = (catalog.load_table(spark, sf_dir, "orders")
+          .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"),
+                  F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                  .alias("cents")))
+    first = od.groupBy("o_custkey").agg(F.min("d").alias("fd"))
+    x = (od.join(first, "o_custkey")
+         .select("o_custkey",
+                 F.year("fd").cast("bigint").alias("cohort_year"),
+                 (F.year("d") - F.year("fd")).cast("bigint").alias("age"),
+                 "cents"))
+    g = (x.groupBy("cohort_year", "age")
+         .agg(F.countDistinct("o_custkey").alias("n_active"),
+              F.sum("cents").alias("spend_cents")))
+    w = (Window.partitionBy("cohort_year").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return g.select("cohort_year", "age", "n_active", "spend_cents",
+                    F.sum("spend_cents").over(w).alias("cum_spend_cents"))
+
+
+# --------------------------------------------------------------------------
+# E163 — JSON-path semantics probe: nested paths, array indexing,
+# missing keys, scalar coercion.
+# --------------------------------------------------------------------------
+
+@register("json_semantics_audit", """
+    WITH t(id, j) AS (VALUES
+        (CAST(1 AS BIGINT), '{"a": {"b": "x"}, "arr": [10, 20, 30], "n": 5, "f": true}'),
+        (CAST(2 AS BIGINT), '{"a": {}, "arr": []}'),
+        (CAST(3 AS BIGINT), '{}')),
+    e AS (SELECT id,
+                 json_extract_string(j, '$.a.b') AS nested,
+                 json_extract_string(j, '$.arr[1]') AS arr_1,
+                 json_extract_string(j, '$.arr[9]') AS arr_oob,
+                 json_extract_string(j, '$.missing') AS missing,
+                 json_extract_string(j, '$.n') AS num_str,
+                 json_extract_string(j, '$.f') AS bool_str
+          FROM t)
+    SELECT * FROM e
+""")
+def json_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction pinned across engines (the props-parsing
+    idiom §2.8 / events_props_extract relies on): nested object paths,
+    0-based array indexing, out-of-bounds and missing keys → NULL (not
+    error), and scalar-to-string coercion of numbers and booleans.
+    VALUES on both sides, ignores sf_dir."""
+    rows = [(1, '{"a": {"b": "x"}, "arr": [10, 20, 30], "n": 5, '
+                '"f": true}'),
+            (2, '{"a": {}, "arr": []}'),
+            (3, '{}')]
+    t = spark.createDataFrame(rows, "id long, j string")
+    j = F.col("j")
+    return t.select(
+        "id",
+        F.get_json_object(j, "$.a.b").alias("nested"),
+        F.get_json_object(j, "$.arr[1]").alias("arr_1"),
+        F.get_json_object(j, "$.arr[9]").alias("arr_oob"),
+        F.get_json_object(j, "$.missing").alias("missing"),
+        F.get_json_object(j, "$.n").alias("num_str"),
+        F.get_json_object(j, "$.f").alias("bool_str"))
+
+
+# --------------------------------------------------------------------------
+# E164 — regex semantics probe: the dialect-common core both engines
+# honor (capture groups, empty-string no-match, global replace, inline
+# case flag, class/quantifier basics).
+# --------------------------------------------------------------------------
+
+@register("regex_semantics_audit", """
+    WITH t(id, s) AS (VALUES
+        (CAST(1 AS BIGINT), 'order=42;user=alice'),
+        (CAST(2 AS BIGINT), 'a1b22c333'),
+        (CAST(3 AS BIGINT), 'no digits here'),
+        (CAST(4 AS BIGINT), 'Hello World'))
+    SELECT id,
+           regexp_extract(s, 'order=([0-9]+)', 1) AS order_id,
+           regexp_extract(s, '([0-9]+)', 1) AS first_num,
+           CAST(len(regexp_extract_all(s, '[0-9]+')) AS BIGINT)
+               AS n_nums,
+           coalesce(array_to_string(regexp_extract_all(s, '[0-9]+'), ','),
+                    '') AS all_nums,
+           regexp_replace(s, '[0-9]+', '#', 'g') AS masked,
+           regexp_matches(s, '(?i)^hello') AS starts_hello,
+           regexp_matches(s, '^[a-z0-9=;]+$') AS all_lower
+    FROM t
+""")
+def regex_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex core pinned across dialects (Java util.regex vs DuckDB's
+    RE2): capture-group extraction, the EMPTY-STRING no-match contract
+    of regexp_extract (both engines return '' — not NULL — when the
+    pattern misses), extract_all cardinality + join, GLOBAL replace
+    (Spark's default; DuckDB needs the explicit 'g' flag the oracle
+    carries), the (?i) inline flag, anchors, classes, quantifiers.
+    One divergence shimmed in the oracle: joining an EMPTY match list is
+    '' in Spark (array_join) but NULL in DuckDB (array_to_string) —
+    coalesced there. VALUES on both sides, ignores sf_dir."""
+    rows = [(1, "order=42;user=alice"), (2, "a1b22c333"),
+            (3, "no digits here"), (4, "Hello World")]
+    t = spark.createDataFrame(rows, "id long, s string")
+    s = F.col("s")
+    return t.select(
+        "id",
+        F.regexp_extract(s, r"order=([0-9]+)", 1).alias("order_id"),
+        F.regexp_extract(s, r"([0-9]+)", 1).alias("first_num"),
+        F.size(F.regexp_extract_all(s, F.lit(r"[0-9]+"), 0))
+        .cast("bigint").alias("n_nums"),
+        F.array_join(F.regexp_extract_all(s, F.lit(r"[0-9]+"), 0), ",")
+        .alias("all_nums"),
+        F.regexp_replace(s, r"[0-9]+", "#").alias("masked"),
+        s.rlike(r"(?i)^hello").alias("starts_hello"),
+        s.rlike(r"^[a-z0-9=;]+$").alias("all_lower"))
