@@ -8644,3 +8644,91 @@ def regex_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(s, r"[0-9]+", "#").alias("masked"),
         s.rlike(r"(?i)^hello").alias("starts_hello"),
         s.rlike(r"^[a-z0-9=;]+$").alias("all_lower"))
+
+
+# --------------------------------------------------------------------------
+# E165 — hierarchical contribution (share-of-parent drill-down) and the
+# tie-INCLUSIVE top-k variant.
+# --------------------------------------------------------------------------
+
+@register("nation_share_of_region", """
+    WITH rev AS (SELECT n.n_regionkey, n.n_name AS nation,
+                        CAST(sum(CAST(round(o.o_totalprice * 100, 0)
+                                      AS BIGINT)) AS BIGINT) AS cents
+                 FROM orders o
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 GROUP BY 1, 2),
+    reg AS (SELECT n_regionkey,
+                   CAST(sum(cents) AS BIGINT) AS region_cents
+            FROM rev GROUP BY 1)
+    SELECT r.r_name AS region, rev.nation, rev.cents AS nation_cents,
+           reg.region_cents,
+           CAST(rev.cents AS DOUBLE) / CAST(reg.region_cents AS DOUBLE)
+               AS share_of_region
+    FROM rev JOIN reg ON rev.n_regionkey = reg.n_regionkey
+    JOIN region r ON r.r_regionkey = rev.n_regionkey
+""")
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-down contribution table: each nation's revenue as a share
+    of its region's total — the share-of-parent column every
+    hierarchical dashboard adds next to the raw measure. Exact cents at
+    both levels, ONE division per row; the parent roll-up reuses the
+    child aggregation (no second fact scan), dims broadcast."""
+    od = catalog.load_table(spark, sf_dir, "orders")
+    cu = catalog.load_table(spark, sf_dir, "customer")
+    na = catalog.load_table(spark, sf_dir, "nation")
+    re_ = catalog.load_table(spark, sf_dir, "region")
+    rev = (od.join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+           .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+           .groupBy("n_regionkey", F.col("n_name").alias("nation"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("bigint")).alias("cents")))
+    reg = rev.groupBy("n_regionkey").agg(F.sum("cents")
+                                         .alias("region_cents"))
+    return (rev.join(reg, "n_regionkey")
+            .join(F.broadcast(re_),
+                  F.col("n_regionkey") == re_["r_regionkey"])
+            .select(F.col("r_name").alias("region"), "nation",
+                    F.col("cents").alias("nation_cents"), "region_cents",
+                    (F.col("cents").cast("double")
+                     / F.col("region_cents").cast("double"))
+                    .alias("share_of_region")))
+
+
+@register("top_songs_per_genre_ties", """
+    WITH j AS (SELECT CAST(l_shipdate AS DATE) AS listen_date,
+                      s.track_genre, s.track_id
+               FROM lineitem
+               JOIN (SELECT p_partkey AS track_id, p_type AS track_genre
+                     FROM part) s ON l_partkey = s.track_id),
+    c AS (SELECT listen_date, track_genre, track_id,
+                 CAST(count(*) AS BIGINT) AS listen_count
+          FROM j GROUP BY 1, 2, 3),
+    r AS (SELECT *, CAST(dense_rank() OVER (
+                        PARTITION BY listen_date, track_genre
+                        ORDER BY listen_count DESC) AS BIGINT) AS drk
+          FROM c)
+    SELECT listen_date, track_genre, track_id, listen_count, drk
+    FROM r WHERE drk <= 3
+""")
+def top_songs_per_genre_ties(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Tie-INCLUSIVE top-3 songs per (day, genre) via dense_rank — the
+    variant of W1 (`top_songs_per_genre`, row_number) that keeps EVERY
+    track at a tied count level instead of arbitrarily cutting; the
+    count-level output is tie-invariant, so it hashes without a
+    tiebreak column. Same WindowGroupLimit plan shape
+    (REF/glue_jobs/transform.py:40-46 semantics, tie policy
+    strengthened)."""
+    streams, songs = catalog.streams_from_lineitem(
+        catalog.load_table(spark, sf_dir, "lineitem")), \
+        catalog.songs_from_part(catalog.load_table(spark, sf_dir, "part"))
+    from .operators import kpi
+    j = kpi.join_streams_songs(kpi.with_listen_date(streams), songs)
+    c = (j.groupBy("listen_date", "track_genre", "track_id")
+         .agg(F.count(F.lit(1)).alias("listen_count")))
+    w = Window.partitionBy("listen_date", "track_genre").orderBy(
+        F.col("listen_count").desc())
+    return (c.withColumn("drk", F.dense_rank().over(w).cast("bigint"))
+            .filter(F.col("drk") <= 3))
