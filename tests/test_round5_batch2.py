@@ -476,3 +476,30 @@ def test_series_ssd_topk_matches_brute(spark):
             for u in dense if u != q)
         for rnk, (ssd, u) in enumerate(ssds[:3], 1):
             assert got[(q, rnk)] == (u, ssd), (q, rnk)
+
+
+def test_concurrency_histogram_scaled_multi_arrow_batch(spark):
+    # force tiny Arrow batches so one partition spans MANY pandas frames —
+    # exercises the fold's cross-batch pending-boundary handoff, which a
+    # default-sized batch never hits
+    import random
+    rng = random.Random(31)
+    ivs = []
+    for _ in range(300):
+        s = rng.randrange(2000)
+        ivs.append((s, s + 1 + rng.randrange(80)))
+    df = spark.createDataFrame(ivs, "s long, e long")
+    ref = sorted((r["level"], r["total_us"], r["n_segments"])
+                 for r in spans.concurrency_histogram(
+                     df, "s", "e", length=lambda s, e: e - s).collect())
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        got = sorted((r["level"], r["total_us"], r["n_segments"])
+                     for r in spans.concurrency_histogram(
+                         df, "s", "e", scaled=True,
+                         num_partitions=4).collect())
+    finally:
+        spark.conf.set(key, old)
+    assert got == ref
