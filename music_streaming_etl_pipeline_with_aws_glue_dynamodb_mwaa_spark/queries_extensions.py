@@ -8732,3 +8732,120 @@ def top_songs_per_genre_ties(spark: SparkSession,
         F.col("listen_count").desc())
     return (c.withColumn("drk", F.dense_rank().over(w).cast("bigint"))
             .filter(F.col("drk") <= 3))
+
+
+# --------------------------------------------------------------------------
+# E166 — forecast backtest (seasonal-naive baseline): the evaluation
+# harness every demand-forecast pipeline runs, INTEGER-exact.
+# --------------------------------------------------------------------------
+
+@register("events_seasonal_naive_backtest", """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+    f AS (SELECT event_type, day, cents,
+                 lag(cents, 7) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS fc
+          FROM d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_evals,
+           CAST(sum(abs(cents - fc)) AS BIGINT) AS total_abs_err,
+           CAST(sum(cents) AS BIGINT) AS total_actual,
+           CAST(sum(abs(cents - fc)) AS DOUBLE)
+               / CAST(sum(cents) AS DOUBLE) AS wape
+    FROM f WHERE fc IS NOT NULL
+    GROUP BY 1
+""")
+def events_seasonal_naive_backtest(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ_t = y_{t−7}) on
+    per-type daily cents: evaluable days, total absolute error, total
+    actual, and WAPE (Σ|err|/Σactual — the scale-free forecast metric
+    that, unlike MAPE, is a single division of exact longs and so
+    hash-portable). The baseline every fancier model must beat; lag
+    rides one type-keyed window."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+         .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+              .alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = d.withColumn("fc", F.lag("cents", 7).over(w)).where(
+        F.col("fc").isNotNull())
+    err = F.abs(F.col("cents") - F.col("fc"))
+    return (f.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_evals"),
+                 F.sum(err).alias("total_abs_err"),
+                 F.sum("cents").alias("total_actual"),
+                 (F.sum(err).cast("double")
+                  / F.sum("cents").cast("double")).alias("wape")))
+
+
+# --------------------------------------------------------------------------
+# E167 — leaderboard churn: stability of the weekly top-10 chart between
+# consecutive weeks (the chart-turnover metric a trends page reports).
+# --------------------------------------------------------------------------
+
+@register("weekly_top10_churn", """
+    WITH wk AS (SELECT CAST(date_trunc('week', CAST(l_shipdate AS DATE))
+                            AS DATE) AS week,
+                       l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1, 2),
+    r AS (SELECT week, l_partkey,
+                 row_number() OVER (PARTITION BY week
+                                    ORDER BY cents DESC, l_partkey ASC)
+                     AS rn
+          FROM wk),
+    top AS (SELECT week, l_partkey FROM r WHERE rn <= 10),
+    sz AS (SELECT week, CAST(count(*) AS BIGINT) AS n FROM top GROUP BY 1),
+    ret AS (SELECT cur.week,
+                   CAST(count(*) AS BIGINT) AS n_retained
+            FROM top cur JOIN top prev
+              ON prev.week = cur.week - INTERVAL 7 DAY
+             AND prev.l_partkey = cur.l_partkey
+            GROUP BY 1)
+    SELECT c.week, p.n AS n_prev, c.n AS n_curr,
+           CAST(coalesce(ret.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(c.n - coalesce(ret.n_retained, 0) AS BIGINT) AS n_new
+    FROM sz c
+    JOIN sz p ON p.week = c.week - INTERVAL 7 DAY
+    LEFT JOIN ret ON ret.week = c.week
+""")
+def weekly_top10_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn of the top-10 revenue chart: per week (with
+    an existing predecessor week), how many of the current top-10 parts
+    were already in last week's top-10 and how many are new — the
+    chart-turnover stability metric. Deterministic chart membership
+    (cents desc, partkey asc), WindowGroupLimit rank, one self-join of
+    the tiny top-10 frame on the exact 7-day predecessor."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    wk = (li.groupBy(F.trunc(F.col("l_shipdate").cast("date"), "week")
+                     .alias("week"), "l_partkey")
+          .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                     .cast("bigint")).alias("cents")))
+    w = Window.partitionBy("week").orderBy(F.col("cents").desc(),
+                                           F.col("l_partkey").asc())
+    top = (wk.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 10)
+           .select("week", "l_partkey")
+           .localCheckpoint())
+    sz = top.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
+    cur, prev = top.alias("cur"), top.alias("prev")
+    ret = (cur.join(prev,
+                    (F.col("prev.week") == F.date_sub(F.col("cur.week"), 7))
+                    & (F.col("prev.l_partkey") == F.col("cur.l_partkey")))
+           .groupBy(F.col("cur.week").alias("_rweek"))
+           .agg(F.count(F.lit(1)).alias("n_retained")))
+    c, p = sz.alias("c"), sz.alias("p")
+    return (c.join(p, F.col("p.week") == F.date_sub(F.col("c.week"), 7))
+            .join(ret, F.col("_rweek") == F.col("c.week"), "left")
+            .select(F.col("c.week").alias("week"),
+                    F.col("p.n").alias("n_prev"),
+                    F.col("c.n").alias("n_curr"),
+                    F.coalesce("n_retained", F.lit(0).cast("bigint"))
+                    .alias("n_retained"),
+                    (F.col("c.n")
+                     - F.coalesce("n_retained", F.lit(0).cast("bigint")))
+                    .alias("n_new")))
