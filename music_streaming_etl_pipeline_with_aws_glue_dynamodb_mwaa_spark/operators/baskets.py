@@ -119,3 +119,36 @@ def topk_neighbors(pairs: DataFrame, *, k: int = 3) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= k)
             .select("item", "neighbor", "n_pair", "cosine", "rank"))
+
+
+def association_rules(pairs: DataFrame, *, min_confidence: float = 0.0,
+                      n_baskets_col: str = "n_baskets") -> DataFrame:
+    """Directional association rules from a ``pair_support`` frame: each
+    undirected frequent pair yields antecedent→consequent BOTH ways with
+    confidence = n_pair / n_antecedent — the Apriori rule-generation
+    step on top of the 2-itemset core. (antecedent, consequent, n_pair,
+    n_antecedent, n_consequent, confidence, lift); confidence and lift
+    are single IEEE divisions of exact longs. ``min_confidence`` prunes
+    AFTER the exact ratio — no float feeds a join or grouping.
+    """
+    pairs = pairs.localCheckpoint()
+    fwd = pairs.select(F.col("item_a").alias("antecedent"),
+                       F.col("item_b").alias("consequent"),
+                       "n_pair", F.col("n_a").alias("n_antecedent"),
+                       F.col("n_b").alias("n_consequent"),
+                       n_baskets_col)
+    rev = pairs.select(F.col("item_b").alias("antecedent"),
+                       F.col("item_a").alias("consequent"),
+                       "n_pair", F.col("n_b").alias("n_antecedent"),
+                       F.col("n_a").alias("n_consequent"),
+                       n_baskets_col)
+    rules = fwd.unionByName(rev)
+    conf = (F.col("n_pair").cast("double")
+            / F.col("n_antecedent").cast("double"))
+    lift = ((F.col("n_pair") * F.col(n_baskets_col)).cast("double")
+            / (F.col("n_antecedent") * F.col("n_consequent"))
+            .cast("double"))
+    return (rules.withColumn("confidence", conf)
+            .withColumn("lift", lift)
+            .where(F.col("confidence") >= min_confidence)
+            .drop(n_baskets_col))

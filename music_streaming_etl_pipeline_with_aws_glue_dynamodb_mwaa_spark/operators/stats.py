@@ -524,3 +524,33 @@ def weighted_median(df: DataFrame, keys: list[str], val_col: str,
             .filter(F.col("_rk") == 1)
             .select(*keys, F.col(val_col).alias("median"),
                     F.col("_tot").alias("total_weight")))
+
+
+def abc_classes(df: DataFrame, key_col: str, weight: Column, *,
+                a_num: int = 4, a_den: int = 5,
+                b_num: int = 19, b_den: int = 20) -> DataFrame:
+    """ABC (Pareto) classification: keys in descending weight order are
+    'A' while the cumulative share is within a_num/a_den (default 80 %),
+    'B' within b_num/b_den (default 95 %), else 'C' — the inventory-
+    prioritization classifier. Class boundaries are the cross-multiplied
+    INTEGER tests cum·den ≤ total·num evaluated on the PREVIOUS row's
+    cumulative (a key whose prefix had not yet crossed the band belongs
+    to the band), so membership is deterministic and hash-exact; the
+    emitted share is one final division. Same window posture as
+    ``concentration_coverage`` (key-grain global window; two-phase
+    prefix sum past ~10⁹ keys)."""
+    per_key = df.groupBy(key_col).agg(F.sum(weight).alias("weight"))
+    w = Window.orderBy(F.col("weight").desc(), F.col(key_col).asc())
+    cum = F.sum("weight").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("weight").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    prev_cum = cum - F.col("weight")
+    cls = (F.when(prev_cum * a_den < tot * a_num, "A")
+           .when(prev_cum * b_den < tot * b_num, "B")
+           .otherwise("C"))
+    return per_key.select(
+        key_col, "weight",
+        cum.alias("cum_weight"),
+        (cum.cast("double") / tot.cast("double")).alias("cum_share"),
+        cls.alias("abc_class"))

@@ -8849,3 +8849,134 @@ def weekly_top10_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("c.n")
                      - F.coalesce("n_retained", F.lit(0).cast("bigint")))
                     .alias("n_new")))
+
+
+# --------------------------------------------------------------------------
+# E168 — Apriori rule generation (operators/baskets.py): directional
+# confidence on the 2-itemset core.
+# --------------------------------------------------------------------------
+
+@register("part_association_rules", """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b),
+    ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+    f AS (SELECT b.bk, b.it, ic.n_item FROM b JOIN ic USING (it)
+          WHERE ic.n_item >= 2),
+    p AS (SELECT a.it AS item_a, b2.it AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_pair,
+                 max(a.n_item) AS n_a, max(b2.n_item) AS n_b
+          FROM f a JOIN f b2 ON a.bk = b2.bk AND a.it < b2.it
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    rules AS (SELECT item_a AS antecedent, item_b AS consequent,
+                     n_pair, n_a AS n_antecedent, n_b AS n_consequent
+              FROM p
+              UNION ALL
+              SELECT item_b, item_a, n_pair, n_b, n_a FROM p)
+    SELECT antecedent, consequent, n_pair, n_antecedent, n_consequent,
+           CAST(n_pair AS DOUBLE) / CAST(n_antecedent AS DOUBLE)
+               AS confidence,
+           CAST(n_pair * n_baskets AS DOUBLE)
+               / CAST(n_antecedent * n_consequent AS DOUBLE) AS lift
+    FROM rules, tot
+    WHERE CAST(n_pair AS DOUBLE) / CAST(n_antecedent AS DOUBLE) >= 0.1
+""")
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over co-purchased parts
+    (operators/baskets.py::association_rules): antecedent→consequent
+    with confidence = n_pair/n_antecedent ≥ 0.1 and lift — the Apriori
+    rule-generation step on top of pair_support's 2-itemset core; both
+    ratios single divisions of exact longs."""
+    from .operators import baskets
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    pairs = baskets.pair_support(li, "l_orderkey", "l_partkey",
+                                 min_support=2, max_basket_size=None)
+    return baskets.association_rules(pairs, min_confidence=0.1)
+
+
+# --------------------------------------------------------------------------
+# E169 — ABC (Pareto-band) classification (operators/stats.py): the
+# inventory-prioritization classifier with integer band boundaries.
+# --------------------------------------------------------------------------
+
+@register("part_abc_classes", """
+    WITH pk AS (SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS weight
+                FROM lineitem GROUP BY 1),
+    c AS (SELECT l_partkey, weight,
+                 CAST(sum(weight) OVER (ORDER BY weight DESC,
+                                        l_partkey ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+                     AS cum_weight,
+                 CAST(sum(weight) OVER () AS BIGINT) AS tot
+          FROM pk)
+    SELECT l_partkey, weight, cum_weight,
+           CAST(cum_weight AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+           CASE WHEN (cum_weight - weight) * 5 < tot * 4 THEN 'A'
+                WHEN (cum_weight - weight) * 20 < tot * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+""")
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of parts by revenue (operators/stats.py::
+    abc_classes): 'A' within the leading 80 % of cumulative revenue,
+    'B' to 95 %, 'C' beyond — band membership via cross-multiplied
+    integer comparisons on the PREVIOUS cumulative (deterministic,
+    hash-exact); cum_share is the single emitted division."""
+    from .operators import stats
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return stats.abc_classes(
+        li, "l_partkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# E170 — new-vs-returning revenue split (the growth-accounting monthly
+# view every subscription/commerce dashboard leads with).
+# --------------------------------------------------------------------------
+
+@register("monthly_new_vs_returning", """
+    WITH o AS (SELECT o_custkey,
+                      CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                           AS DATE) AS month,
+                      CAST(o_orderdate AS DATE) AS d,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS cents
+               FROM orders),
+    f AS (SELECT o_custkey, min(d) AS first_d FROM o GROUP BY 1),
+    x AS (SELECT o.month,
+                 CASE WHEN CAST(date_trunc('month', f.first_d) AS DATE)
+                           = o.month
+                      THEN 'new' ELSE 'returning' END AS segment,
+                 o.o_custkey, o.cents
+          FROM o JOIN f ON o.o_custkey = f.o_custkey)
+    SELECT month, segment,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM x GROUP BY 1, 2
+""")
+def monthly_new_vs_returning(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Growth accounting: per month, revenue/orders/customers split into
+    'new' (first-ever order falls in this month) vs 'returning' — the
+    headline view of every commerce dashboard. The first-order frame is
+    one key aggregation reused via join; all measures exact longs."""
+    od = (catalog.load_table(spark, sf_dir, "orders")
+          .select("o_custkey",
+                  F.trunc(F.col("o_orderdate").cast("date"), "month")
+                  .alias("month"),
+                  F.col("o_orderdate").cast("date").alias("d"),
+                  F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                  .alias("cents")))
+    f = od.groupBy("o_custkey").agg(F.min("d").alias("first_d"))
+    x = (od.join(f, "o_custkey")
+         .select("month", "o_custkey", "cents",
+                 F.when(F.trunc("first_d", "month") == F.col("month"),
+                        "new").otherwise("returning").alias("segment")))
+    return (x.groupBy("month", "segment")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("revenue_cents")))

@@ -503,3 +503,38 @@ def test_concurrency_histogram_scaled_multi_arrow_batch(spark):
     finally:
         spark.conf.set(key, old)
     assert got == ref
+
+
+# ---------------------------------------------------- association_rules ---
+
+def test_association_rules_direction_and_confidence(spark):
+    # baskets: {1,2} x2, {1} x2 → n1=4, n2=2, pair(1,2)=2
+    df = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (13, 1)],
+        "bk long, it long")
+    pairs = baskets.pair_support(df, "bk", "it", min_support=2,
+                                 max_basket_size=None)
+    got = {(r["antecedent"], r["consequent"]):
+           (r["confidence"], r["lift"]) for r in
+           baskets.association_rules(pairs).collect()}
+    # 1→2: 2/4 = 0.5 ; 2→1: 2/2 = 1.0 ; lift symmetric = 2*4/(4*2) = 1.0
+    assert got[(1, 2)] == (0.5, 1.0) and got[(2, 1)] == (1.0, 1.0)
+    # min_confidence prunes the weak direction only
+    kept = {(r["antecedent"], r["consequent"]) for r in
+            baskets.association_rules(pairs,
+                                      min_confidence=0.9).collect()}
+    assert kept == {(2, 1)}
+
+
+# ---------------------------------------------------------- abc_classes ---
+
+def test_abc_classes_band_boundaries(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    # weights 50,30,15,4,1 (total 100): A = {50,30} (prev cum 0,50 < 80),
+    # B = {15} (prev cum 80 < 95), C = {4,1} (prev cum 95,99 >= 95)
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 4), (5, 1)], "k long, w long")
+    got = {r["k"]: (r["abc_class"], r["cum_weight"]) for r in
+           stats.abc_classes(df, "k", F.col("w")).collect()}
+    assert got == {1: ("A", 50), 2: ("A", 80), 3: ("B", 95),
+                   4: ("C", 99), 5: ("C", 100)}
