@@ -554,3 +554,84 @@ def abc_classes(df: DataFrame, key_col: str, weight: Column, *,
         cum.alias("cum_weight"),
         (cum.cast("double") / tot.cast("double")).alias("cum_share"),
         cls.alias("abc_class"))
+
+
+def autocorrelation(daily: DataFrame, keys: list[str], order_col: str,
+                    val_col: str, *, max_lag: int = 7) -> DataFrame:
+    """Per-key autocorrelation r_k for lags 1..max_lag over an ordered
+    exact-long series, INTEGER-exact until the final division: with
+    dev_t = n·x_t − S (n rows, S = Σx — both per-key window scalars, so
+    dev is a BIGINT with the mean cleared), r_k = Σ dev_t·dev_{t+k} /
+    Σ dev_t² — numerator and denominator exact longs, ONE division out.
+    The seasonality/memory diagnostic a forecaster reads before picking
+    lags. Overflow envelope: |dev| < ~3·10⁹ (n·max|x|), products under
+    2⁶³ — series of ~10⁵ daily points of ~10⁴-unit values fit.
+
+    Plan: one key-ordered window pass computes dev and its max_lag
+    shifted copies, one aggregation forms all numerators + the
+    denominator, then an in-row unpivot (no second scan).
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    tot = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    n = F.count(F.lit(1)).over(tot)
+    s = F.sum(val_col).over(tot)
+    dev = (n * F.col(val_col) - s)
+    d = daily.withColumn("_dev", dev).withColumn("_n", n)
+    for k in range(1, max_lag + 1):
+        d = d.withColumn(f"_dev{k}", F.lag("_dev", k).over(w))
+    agg = d.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.sum(F.col("_dev") * F.col("_dev")).alias("_den"),
+        *[F.sum(F.col("_dev") * F.col(f"_dev{k}")).alias(f"_num{k}")
+          for k in range(1, max_lag + 1)])
+    stack = F.expr("stack({}, {})".format(
+        max_lag, ", ".join(f"CAST({k} AS BIGINT), _num{k}"
+                           for k in range(1, max_lag + 1)))) \
+        .alias("lag", "num")
+    return (agg.select(*keys, "n", "_den", stack)
+            .select(*keys, "n", "lag",
+                    F.col("num").alias("scaled_cov"),
+                    F.col("_den").alias("scaled_var"),
+                    (F.col("num").cast("double")
+                     / F.col("_den").cast("double")).alias("r")))
+
+
+def ks_two_sample(df: DataFrame, group_col: str, val_col: str, *,
+                  group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, INTEGER-exact argmax:
+    D = max over values of |F_a − F_b| is located by maximizing the
+    cross-multiplied |c_a·n_b − c_b·n_a| (exact longs — no float CDF is
+    ever compared), then ONE division by n_a·n_b emits D. One row:
+    (n_a, n_b, ks_at_value, scaled_max, ks_d); ties on the max take the
+    smallest value. The nonparametric sibling of ``welch_t`` — detects
+    any distributional difference, not just a mean shift.
+
+    Plan: per-value conditional counts, two cumulative windows over the
+    merged value order (distinct-value grain, not row grain), rank-1
+    window → WindowGroupLimit.
+    """
+    per_val = (df.groupBy(F.col(val_col).alias("v"))
+               .agg(F.count(F.when(F.col(group_col) == group_a, 1))
+                    .alias("_ca"),
+                    F.count(F.when(F.col(group_col) == group_b, 1))
+                    .alias("_cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = per_val.select(
+        "v",
+        F.sum("_ca").over(w).alias("ca"),
+        F.sum("_cb").over(w).alias("cb"),
+        F.sum("_ca").over(tot).alias("n_a"),
+        F.sum("_cb").over(tot).alias("n_b"))
+    scaled = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    pick = Window.orderBy(F.col("_scaled").desc(), F.col("v").asc())
+    return (cum.withColumn("_scaled", scaled)
+            .withColumn("_rk", F.row_number().over(pick))
+            .where(F.col("_rk") == 1)
+            .select("n_a", "n_b", F.col("v").alias("ks_at_value"),
+                    F.col("_scaled").alias("scaled_max"),
+                    (F.col("_scaled").cast("double")
+                     / (F.col("n_a") * F.col("n_b")).cast("double"))
+                    .alias("ks_d")))

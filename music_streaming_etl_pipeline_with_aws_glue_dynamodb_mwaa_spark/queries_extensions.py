@@ -8980,3 +8980,118 @@ def monthly_new_vs_returning(spark: SparkSession,
             .agg(F.countDistinct("o_custkey").alias("n_customers"),
                  F.count(F.lit(1)).alias("n_orders"),
                  F.sum("cents").alias("revenue_cents")))
+
+
+# --------------------------------------------------------------------------
+# E171 — integer-exact autocorrelation (operators/stats.py): the
+# seasonality diagnostic, mean cleared via n·x − S.
+# --------------------------------------------------------------------------
+
+@register("events_value_autocorrelation", """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, day, cents,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS n,
+                 CAST(sum(cents) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS tot
+          FROM d),
+    dv AS (SELECT event_type, day, n,
+                  CAST(n * cents - tot AS BIGINT) AS dev
+           FROM s),
+    l AS (SELECT event_type, n, dev,
+                 lag(dev, 1) OVER w AS d1, lag(dev, 2) OVER w AS d2,
+                 lag(dev, 3) OVER w AS d3, lag(dev, 4) OVER w AS d4,
+                 lag(dev, 5) OVER w AS d5, lag(dev, 6) OVER w AS d6,
+                 lag(dev, 7) OVER w AS d7
+          FROM dv
+          WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    a AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                 CAST(sum(dev * dev) AS BIGINT) AS den,
+                 CAST(sum(dev * d1) AS BIGINT) AS n1,
+                 CAST(sum(dev * d2) AS BIGINT) AS n2,
+                 CAST(sum(dev * d3) AS BIGINT) AS n3,
+                 CAST(sum(dev * d4) AS BIGINT) AS n4,
+                 CAST(sum(dev * d5) AS BIGINT) AS n5,
+                 CAST(sum(dev * d6) AS BIGINT) AS n6,
+                 CAST(sum(dev * d7) AS BIGINT) AS n7
+          FROM l GROUP BY 1),
+    u AS (SELECT event_type, n, den,
+                 unnest([1, 2, 3, 4, 5, 6, 7]) AS lag_k,
+                 unnest([n1, n2, n3, n4, n5, n6, n7]) AS num
+          FROM a)
+    SELECT event_type, n, CAST(lag_k AS BIGINT) AS lag,
+           CAST(num AS BIGINT) AS scaled_cov,
+           den AS scaled_var,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r
+    FROM u
+""")
+def events_value_autocorrelation(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Autocorrelation r_1..r_7 of each event type's daily cents series
+    (operators/stats.py::autocorrelation) — mean cleared by dev = n·x−S
+    so numerator Σ dev·dev_lag and denominator Σ dev² are exact longs;
+    r is ONE division. The pick-your-lags diagnostic feeding the
+    seasonal-naive backtest (E166)."""
+    from .operators import stats
+    ev = catalog.load_table(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+         .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+              .alias("cents")))
+    return stats.autocorrelation(d, ["event_type"], "day", "cents",
+                                 max_lag=7)
+
+
+# --------------------------------------------------------------------------
+# E172 — two-sample Kolmogorov–Smirnov (operators/stats.py): the
+# nonparametric sibling of the Welch t, integer-exact argmax.
+# --------------------------------------------------------------------------
+
+@register("ab_purchase_ks", """
+    WITH x AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                          AS g,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v
+               FROM events WHERE event_type = 'purchase'),
+    pv AS (SELECT v,
+                  CAST(count(CASE WHEN g = 'a' THEN 1 END) AS BIGINT)
+                      AS ca0,
+                  CAST(count(CASE WHEN g = 'b' THEN 1 END) AS BIGINT)
+                      AS cb0
+           FROM x GROUP BY 1),
+    c AS (SELECT v,
+                 CAST(sum(ca0) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS ca,
+                 CAST(sum(cb0) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cb,
+                 CAST(sum(ca0) OVER () AS BIGINT) AS n_a,
+                 CAST(sum(cb0) OVER () AS BIGINT) AS n_b
+          FROM pv),
+    k AS (SELECT *, abs(ca * n_b - cb * n_a) AS scaled,
+                 row_number() OVER (ORDER BY abs(ca * n_b - cb * n_a)
+                                    DESC, v ASC) AS rk
+          FROM c)
+    SELECT n_a, n_b, v AS ks_at_value,
+           CAST(scaled AS BIGINT) AS scaled_max,
+           CAST(scaled AS DOUBLE)
+               / CAST(n_a * n_b AS DOUBLE) AS ks_d
+    FROM k WHERE rk = 1
+""")
+def ab_purchase_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between the even/odd user cohorts'
+    purchase cents (operators/stats.py::ks_two_sample) — the argmax of
+    |F_a − F_b| located on the cross-multiplied exact longs
+    |c_a·n_b − c_b·n_a| (no float CDF comparison anywhere), one final
+    division for D. Nonparametric twin of ab_purchase_welch_t: catches
+    any distributional shift, not just the mean."""
+    from .operators import stats
+    ev = catalog.load_table(spark, sf_dir, "events")
+    x = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+                 .alias("g"),
+                 F.round(F.col("value") * 100, 0).cast("bigint")
+                 .alias("v")))
+    return stats.ks_two_sample(x, "g", "v", group_a="a", group_b="b")

@@ -538,3 +538,43 @@ def test_abc_classes_band_boundaries(spark):
            stats.abc_classes(df, "k", F.col("w")).collect()}
     assert got == {1: ("A", 50), 2: ("A", 80), 3: ("B", 95),
                    4: ("C", 99), 5: ("C", 100)}
+
+
+# ------------------------------------------------------ autocorrelation ---
+
+def test_autocorrelation_matches_numpy(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    import numpy as np
+    import random
+    rng = random.Random(41)
+    xs = [rng.randrange(100) for _ in range(40)]
+    df = spark.createDataFrame([("k", i, v) for i, v in enumerate(xs)],
+                               "k string, t long, v long")
+    got = {r["lag"]: r["r"] for r in
+           stats.autocorrelation(df, ["k"], "t", "v",
+                                 max_lag=3).collect()}
+    x = np.array(xs, dtype=float)
+    dev = len(x) * x - x.sum()          # the same mean-cleared scaling
+    for k in (1, 2, 3):
+        expect = float((dev[k:] * dev[:-k]).sum() / (dev * dev).sum())
+        assert abs(got[k] - expect) < 1e-12, k
+
+
+# --------------------------------------------------------- ks_two_sample ---
+
+def test_ks_two_sample_matches_brute(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import stats
+    import random
+    rng = random.Random(43)
+    a = [rng.randrange(50) for _ in range(60)]
+    b = [rng.randrange(30, 80) for _ in range(40)]   # shifted cohort
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = stats.ks_two_sample(df, "g", "v",
+                            group_a="a", group_b="b").collect()[0]
+    vals = sorted(set(a) | set(b))
+    best = max((abs(sum(1 for x in a if x <= v) * len(b)
+                    - sum(1 for x in b if x <= v) * len(a)), -v)
+               for v in vals)
+    assert r["scaled_max"] == best[0] and r["ks_at_value"] == -best[1]
+    assert abs(r["ks_d"] - best[0] / (len(a) * len(b))) < 1e-15
