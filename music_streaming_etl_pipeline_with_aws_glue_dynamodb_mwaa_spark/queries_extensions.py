@@ -9095,3 +9095,78 @@ def ab_purchase_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.col("value") * 100, 0).cast("bigint")
                  .alias("v")))
     return stats.ks_two_sample(x, "g", "v", group_a="a", group_b="b")
+
+
+# --------------------------------------------------------------------------
+# E173 — top user journeys + overdispersion diagnostic.
+# --------------------------------------------------------------------------
+
+@register("top_user_paths", """
+    WITH o AS (SELECT user_id, event_type, ts, event_id FROM events),
+    p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY ts, event_id)
+                     AS path
+          FROM o GROUP BY 1),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+          FROM p GROUP BY 1),
+    r AS (SELECT path, n_users,
+                 CAST(row_number() OVER (ORDER BY n_users DESC, path ASC)
+                      AS BIGINT) AS rnk
+          FROM c)
+    SELECT path, n_users, rnk FROM r WHERE rnk <= 20
+""")
+def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common full user journeys: each user's event types
+    concatenated in (ts, event_id) order into a '>'-separated path
+    string, counted and ranked deterministically — the journey-analysis
+    artifact behind every funnel redesign. The ordered concat is
+    sort_array(collect_list(struct)) → transform → array_join, all JVM;
+    at 100 TB the per-user collect is bounded by the user's history
+    (cap upstream with a window filter if 'immortal' keys exist)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    p = (ev.groupBy("user_id")
+         .agg(F.array_join(
+             F.transform(
+                 F.sort_array(F.collect_list(
+                     F.struct("ts", "event_id", "event_type"))),
+                 lambda s: s["event_type"]),
+             ">").alias("path")))
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return (c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rnk") <= 20))
+
+
+@register("events_daily_count_dispersion", """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c * c) AS BIGINT) AS ss
+          FROM d GROUP BY 1)
+    SELECT event_type, n, s AS total_events,
+           CAST(n * ss - s * s AS DOUBLE)
+               / CAST((n - 1) * s AS DOUBLE) AS dispersion_index
+    FROM a
+""")
+def events_daily_count_dispersion(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean, Fano factor) of each
+    event type's daily counts — the Poisson/overdispersion diagnostic
+    (≈1 ⇒ Poisson-like arrivals, ≫1 ⇒ bursty): sample-var/mean
+    algebraically combined to (n·Σc² − S²)/((n−1)·S), ONE division of
+    exact longs, hash-portable."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    a = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"))
+    return a.select(
+        "event_type", "n", F.col("s").alias("total_events"),
+        ((F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+         .cast("double")
+         / ((F.col("n") - 1) * F.col("s")).cast("double"))
+        .alias("dispersion_index"))
