@@ -7,23 +7,26 @@ axis at all, `REF/glue_jobs/transform.py:26-36`).
 
 Exactness contract: all three metrics are integers (day diffs from the
 corpus max date, order counts, money summed as cents), and the 1–5
-scores are ``ntile(5)`` over a TOTAL order — the metric plus the unique
-customer key as tie-break — so bucket assignment is deterministic and
-identical in any ANSI engine (ntile's "first buckets take the extra
-rows" split is pinned by the standard).
+scores are ANSI ``ntile(5)`` semantics over a TOTAL order — the metric
+plus the unique customer key as tie-break — so bucket assignment is
+deterministic and identical in any ANSI engine (ntile's "first buckets
+take the extra rows" split is pinned by the standard).
 
-Scale note: each ``ntile`` is a global window (one task sees all
-customers). Customer-grain frames are the small end of a lake (10⁸
-rows ≈ GBs), so this is usually fine; past that, swap in broadcast
-quantile boundaries (approx_percentile on the metric, then a range
-lookup) — the scores become approximate but the plan stays fully
-parallel. The exact form is what the oracle certifies.
+Scale posture: each score rides ``ids.global_ntile`` — the two-phase
+range-partition bucket assignment (parallel range sort + k partition
+counts to the driver + broadcast offsets), NOT a single-task
+``ntile() OVER (ORDER BY)`` window. Descending orders negate the
+integer metric (exact for BIGINT), so all three scores reuse the same
+ascending helper. The window form's oracle certifies the rewrite
+bit-for-bit (the E155 same-oracle pattern).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .ids import global_ntile
 
 
 def rfm_scores(orders: DataFrame, key_col: str, date_col: str,
@@ -47,13 +50,13 @@ def rfm_scores(orders: DataFrame, key_col: str, date_col: str,
                  F.datediff("_cmax", "_last").cast("bigint")
                  .alias("recency_days"),
                  "frequency", "monetary_cents"))
-    r_w = Window.orderBy(F.col("recency_days").desc(), F.col(key_col))
-    f_w = Window.orderBy(F.col("frequency").asc(), F.col(key_col))
-    m_w = Window.orderBy(F.col("monetary_cents").asc(), F.col(key_col))
-    scored = (m
-              .withColumn("r_score", F.ntile(n_bins).over(r_w).cast("bigint"))
-              .withColumn("f_score", F.ntile(n_bins).over(f_w).cast("bigint"))
-              .withColumn("m_score", F.ntile(n_bins).over(m_w).cast("bigint")))
+    scored = m.withColumn("_nr", -F.col("recency_days"))
+    scored = global_ntile(scored, ["_nr", key_col], n_bins,
+                          out_col="r_score")
+    scored = global_ntile(scored, ["frequency", key_col], n_bins,
+                          out_col="f_score")
+    scored = global_ntile(scored, ["monetary_cents", key_col], n_bins,
+                          out_col="m_score")
     return scored.select(
         key_col, "recency_days", "frequency", "monetary_cents",
         "r_score", "f_score", "m_score",

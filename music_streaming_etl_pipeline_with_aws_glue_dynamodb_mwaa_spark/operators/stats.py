@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import ids
+
 
 def cents(col: Column | str, *, scale: int = 100) -> Column:
     """Exact integer (value × scale) — floor(x·s + 0.5) is bit-portable
@@ -470,20 +472,22 @@ def concentration_coverage(df: DataFrame, key_col: str, weight: Column, *,
     had not yet reached the target. ``covered_share`` is the single
     final IEEE division — hash-exact.
 
-    Plan: one key aggregation, one ordered global window over the
-    key-grain frame (customer-grain ≪ fact-grain; past ~10⁹ keys use
-    the two-phase prefix sum), one scalar roll-up.
+    Plan: one key aggregation, then the descending-weight running total
+    rides the two-phase ``ids.global_cumsum`` (range-partition on the
+    NEGATED weight — exact for BIGINT — + key tie-break; k partition
+    sums to the driver) instead of a single-task
+    ``sum() OVER (ORDER BY)``; the total is the max of the inclusive
+    cumulative, broadcast back; one scalar roll-up. No unpartitioned
+    window at key grain — the plan survives 10⁹+ keys.
     """
-    per_key = df.groupBy(key_col).agg(F.sum(weight).alias("_w"))
-    w = Window.orderBy(F.col("_w").desc(), F.col(key_col).asc())
-    cum = F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    tot = F.sum("_w").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing))
-    marked = per_key.select(
-        "_w", cum.alias("_cum"), tot.alias("_tot"),
-        (((cum - F.col("_w")) * den) < (tot * F.lit(num)))
-        .alias("_covering"))
+    per_key = (df.groupBy(key_col).agg(F.sum(weight).alias("_w"))
+               .withColumn("_nw", -F.col("_w")))
+    c = ids.global_cumsum(per_key, ["_nw", key_col], "_w", out_col="_cum")
+    tots = c.agg(F.max("_cum").alias("_tot"))
+    marked = (c.crossJoin(F.broadcast(tots))
+              .select("_w", "_cum", "_tot",
+                      (((F.col("_cum") - F.col("_w")) * den)
+                       < (F.col("_tot") * F.lit(num))).alias("_covering")))
     return marked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(F.col("_covering").cast("bigint")).alias("n_covering"),
@@ -536,24 +540,26 @@ def abc_classes(df: DataFrame, key_col: str, weight: Column, *,
     INTEGER tests cum·den ≤ total·num evaluated on the PREVIOUS row's
     cumulative (a key whose prefix had not yet crossed the band belongs
     to the band), so membership is deterministic and hash-exact; the
-    emitted share is one final division. Same window posture as
-    ``concentration_coverage`` (key-grain global window; two-phase
-    prefix sum past ~10⁹ keys)."""
-    per_key = df.groupBy(key_col).agg(F.sum(weight).alias("weight"))
-    w = Window.orderBy(F.col("weight").desc(), F.col(key_col).asc())
-    cum = F.sum("weight").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    tot = F.sum("weight").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing))
-    prev_cum = cum - F.col("weight")
+    emitted share is one final division. Same two-phase posture as
+    ``concentration_coverage``: the descending-weight running total is
+    ``ids.global_cumsum`` over the negated weight (+ key tie-break),
+    the total is the broadcast max of the inclusive cumulative — no
+    key-grain global window anywhere in the plan."""
+    per_key = (df.groupBy(key_col).agg(F.sum(weight).alias("weight"))
+               .withColumn("_nw", -F.col("weight")))
+    c = ids.global_cumsum(per_key, ["_nw", key_col], "weight",
+                          out_col="cum_weight")
+    tots = c.agg(F.max("cum_weight").alias("_tot"))
+    prev_cum = F.col("cum_weight") - F.col("weight")
+    tot = F.col("_tot")
     cls = (F.when(prev_cum * a_den < tot * a_num, "A")
            .when(prev_cum * b_den < tot * b_num, "B")
            .otherwise("C"))
-    return per_key.select(
-        key_col, "weight",
-        cum.alias("cum_weight"),
-        (cum.cast("double") / tot.cast("double")).alias("cum_share"),
-        cls.alias("abc_class"))
+    return (c.crossJoin(F.broadcast(tots))
+            .select(key_col, "weight", "cum_weight",
+                    (F.col("cum_weight").cast("double")
+                     / tot.cast("double")).alias("cum_share"),
+                    cls.alias("abc_class")))
 
 
 def autocorrelation(daily: DataFrame, keys: list[str], order_col: str,
@@ -598,7 +604,8 @@ def autocorrelation(daily: DataFrame, keys: list[str], order_col: str,
 
 
 def ks_two_sample(df: DataFrame, group_col: str, val_col: str, *,
-                  group_a, group_b) -> DataFrame:
+                  group_a, group_b,
+                  num_partitions: int | None = None) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic, INTEGER-exact argmax:
     D = max over values of |F_a − F_b| is located by maximizing the
     cross-multiplied |c_a·n_b − c_b·n_a| (exact longs — no float CDF is
@@ -607,31 +614,37 @@ def ks_two_sample(df: DataFrame, group_col: str, val_col: str, *,
     smallest value. The nonparametric sibling of ``welch_t`` — detects
     any distributional difference, not just a mean shift.
 
-    Plan: per-value conditional counts, two cumulative windows over the
-    merged value order (distinct-value grain, not row grain), rank-1
-    window → WindowGroupLimit.
+    Plan: per-value conditional counts (the only fact-sized exchange),
+    then BOTH cumulative CDFs ride one two-phase
+    ``ids.global_cumsums`` over the merged value order — range-partition
+    + k partition sums to the driver, never a single-task
+    ``sum() OVER (ORDER BY)`` (the r5 VERDICT scale flag). Totals are
+    the max of the inclusive cumulatives (counts are non-negative), the
+    argmax is a scalar max + an equality probe against the broadcast
+    max — no global window anywhere, every stage partition-parallel.
+    The cumulative frame is value-grain and feeds three branches, so it
+    is localCheckpoint'd once (distinct measure values — bounded by the
+    value domain, not the row count).
     """
     per_val = (df.groupBy(F.col(val_col).alias("v"))
                .agg(F.count(F.when(F.col(group_col) == group_a, 1))
                     .alias("_ca"),
                     F.count(F.when(F.col(group_col) == group_b, 1))
                     .alias("_cb")))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.rowsBetween(Window.unboundedPreceding,
-                             Window.unboundedFollowing)
-    cum = per_val.select(
-        "v",
-        F.sum("_ca").over(w).alias("ca"),
-        F.sum("_cb").over(w).alias("cb"),
-        F.sum("_ca").over(tot).alias("n_a"),
-        F.sum("_cb").over(tot).alias("n_b"))
-    scaled = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
-    pick = Window.orderBy(F.col("_scaled").desc(), F.col("v").asc())
-    return (cum.withColumn("_scaled", scaled)
-            .withColumn("_rk", F.row_number().over(pick))
-            .where(F.col("_rk") == 1)
-            .select("n_a", "n_b", F.col("v").alias("ks_at_value"),
-                    F.col("_scaled").alias("scaled_max"),
-                    (F.col("_scaled").cast("double")
-                     / (F.col("n_a") * F.col("n_b")).cast("double"))
-                    .alias("ks_d")))
+    cum = ids.global_cumsums(per_val, ["v"], ["_ca", "_cb"], ["ca", "cb"],
+                             num_partitions=num_partitions)
+    tots = cum.agg(F.max("ca").alias("n_a"), F.max("cb").alias("n_b"))
+    scored = (cum.crossJoin(F.broadcast(tots))
+              .withColumn("_scaled",
+                          F.abs(F.col("ca") * F.col("n_b")
+                                - F.col("cb") * F.col("n_a")))
+              .localCheckpoint())
+    smax = scored.agg(F.max("_scaled").alias("_smax"))
+    return (scored.join(F.broadcast(smax),
+                        F.col("_scaled") == F.col("_smax"))
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.min("v").alias("ks_at_value"),
+                 F.max("_scaled").alias("scaled_max"),
+                 (F.max("_scaled").cast("double")
+                  / (F.max("n_a") * F.max("n_b")).cast("double"))
+                 .alias("ks_d")))
