@@ -111,7 +111,12 @@ def oracle_sql() -> dict[str, str]:
     builders (operators/pyref.py — deterministic pure-Python re-execution
     of iterative tokenizer training, serialized to a VALUES table) and are
     resolved here, lazily. A builder failure downgrades that one query to
-    rows-only instead of breaking the whole oracle map."""
+    rows-only instead of breaking the whole oracle map — but NEVER
+    silently (round-5 ADVICE): the degradation is named on stderr so a
+    pyref regression or a missing testdata dir is distinguishable from
+    by-design rows-only in the gate output."""
+    import sys
+
     out: dict[str, str] = {}
     for name, (_, sql) in _registry().items():
         if sql is None:
@@ -119,7 +124,10 @@ def oracle_sql() -> dict[str, str]:
         if callable(sql):
             try:
                 out[name] = sql()
-            except Exception:
+            except Exception as e:  # noqa: BLE001 — degrade ONE query, loudly
+                print(f"[oracle_sql] WARNING: replay-oracle builder for "
+                      f"{name!r} failed ({type(e).__name__}: {e}) — "
+                      f"downgrading to rows-only", file=sys.stderr)
                 continue
         else:
             out[name] = sql

@@ -771,7 +771,8 @@ def bow_cosine_pairs(df: DataFrame, id_col: str, text_col: str, *,
 def bow_cosine_pairs_dense(df: DataFrame, id_col: str, text_col: str, *,
                            threshold: float = 0.8,
                            max_block_rows: int = 2000,
-                           max_vocab: int = 65536) -> DataFrame:
+                           max_vocab: int = 65536,
+                           max_blocks: int = 2048) -> DataFrame:
     """Exact bag-of-words cosine pairs via BLOCKED DENSE MATMUL — the
     physical twin of :func:`bow_cosine_pairs` for SMALL-VOCABULARY (or
     feature-hashed) corpora, where the postings self-join degenerates:
@@ -792,8 +793,13 @@ def bow_cosine_pairs_dense(df: DataFrame, id_col: str, text_col: str, *,
     (block, side); per task ≤ 2·max_block_rows sparse rows densify to an
     int64 (rows × V) matrix and one BLAS-shaped matmul scores the tile.
     Flops are the inherent n²·V; per-task memory is bounded by the knob
-    regardless of corpus size. Driver-side state: TWO scalars (n and V —
-    the same codebook-scale collects semdedup documents), never rows.
+    regardless of corpus size. Driver-side state (round-5 ADVICE made
+    the envelope honest): two scalars (n and V) PLUS the block-pair
+    task table itself — O(B²) tuples for B = ⌈n/max_block_rows⌉, built
+    in driver Python. ``max_blocks`` caps it (default 2048 → ≤ ~4.2M
+    task rows ≈ ~100 MB): past that the all-pairs flop count is the
+    real problem anyway — raise and send the caller to the
+    LSH/prefix-filter paths instead of melting the driver first.
 
     ``max_vocab`` guards the dense representation (V·max_block_rows·8 B
     per matrix): beyond it, raise — the caller should feature-hash down
@@ -815,6 +821,12 @@ def bow_cosine_pairs_dense(df: DataFrame, id_col: str, text_col: str, *,
             "feature-hash the terms or use bow_cosine_pairs (postings)")
     n_docs = tf.select("_id").distinct().count()
     n_blocks = max(1, -(-n_docs // max_block_rows))
+    if n_blocks > max_blocks:
+        raise ValueError(
+            f"dense path would build {n_blocks}² block-pair tasks on the "
+            f"driver (> max_blocks={max_blocks}); at this corpus size the "
+            "all-pairs flop count is the bottleneck — use the LSH/"
+            "prefix-filter near-dup paths, or raise max_block_rows")
     task_rows = []
     for bi in range(n_blocks):
         for bj in range(bi, n_blocks):

@@ -176,9 +176,17 @@ def spearman_rho(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     correlation over quantized buckets — same operator over the bucket
     ids) or lift the six sums to DECIMAL(38,0), which both engines sum
     exactly. Returns ONE row (n, rho).
+
+    NULL policy (round-5 ADVICE made it explicit): rows with NULL in
+    EITHER column are excluded up front (complete-case analysis — the
+    standard Spearman convention; a NULL has no rank), so the reported
+    ``n`` is the pairwise-complete count, by construction rather than
+    as a silent artifact of the rank join.
     """
     ranked = _doubled_avg_ranks(
-        _doubled_avg_ranks(df.select(col_a, col_b), col_a, "_ra"),
+        _doubled_avg_ranks(
+            df.select(col_a, col_b).dropna(subset=[col_a, col_b]),
+            col_a, "_ra"),
         col_b, "_rb")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),

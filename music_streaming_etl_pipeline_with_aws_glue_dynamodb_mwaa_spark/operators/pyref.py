@@ -25,6 +25,7 @@ checkpoints) regardless.
 
 from __future__ import annotations
 
+import os as _os
 from collections import Counter
 from functools import lru_cache
 
@@ -37,13 +38,22 @@ from . import unigram as _uni
 #: (TESTDATA.md); these replay oracles are built from the same parquet
 #: the DuckDB views read, so a testdata regeneration refreshes them
 #: automatically (lru_cache is per-process — each driver run recomputes).
-ORACLE_SF_DIR = "/root/testdata/sf0.01"
+#: Overridable via SPARK_GRAFT_ORACLE_SF_DIR for a relocated gate
+#: (round-5 ADVICE: the sf0.01 contract was implicit and a moved dir
+#: degraded to rows-only invisibly — now it raises loudly instead).
+ORACLE_SF_DIR = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
 
 
 def load_texts(sf_dir: str) -> list[tuple[int, str]]:
     """(doc_id, text) rows straight from the parquet — no Spark session."""
-    t = pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text"])
+    path = f"{sf_dir}/documents.parquet"
+    if not _os.path.exists(path):
+        raise FileNotFoundError(
+            f"replay-oracle corpus missing: {path} — the correctness gate "
+            f"runs oracles at sf0.01 (TESTDATA.md); set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR if the testdata moved")
+    t = pq.read_table(path, columns=["doc_id", "text"])
     return list(zip(t.column("doc_id").to_pylist(),
                     t.column("text").to_pylist()))
 

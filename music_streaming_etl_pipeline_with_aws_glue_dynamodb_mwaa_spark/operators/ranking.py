@@ -150,6 +150,55 @@ def continuation_counts(docs: DataFrame, text_col: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_left_contexts"))
 
 
+def _lm_joined(docs: DataFrame, id_col: str, text_col: str, *,
+               lm_docs: DataFrame | None = None,
+               lm_text_col: str | None = None) -> DataFrame:
+    """The scorer's shared integer substrate: every bigram of ``docs``
+    LEFT-joined against the broadcast model count tables — one row per
+    scored bigram carrying (_id, _bg, _c12, _c1, _v), all exact counts.
+    ``doc_lm_scores`` applies the ln tree on top; ``doc_lm_count_table``
+    aggregates the counts as-is (pure BIGINT → hash-exact anchor)."""
+    lm = docs if lm_docs is None else lm_docs
+    lm_text = text_col if lm_text_col is None else lm_text_col
+    bg = lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg")) \
+        .groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx = lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg")) \
+        .select(F.substring_index("_bg", " ", 1).alias("_w1")) \
+        .groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab_n = ctx.agg((F.count(F.lit(1)) + 1).alias("_v"))
+    return (docs.select(F.col(id_col).alias("_id"),
+                        F.explode(_ngrams(text_col, 2)).alias("_bg"))
+            .join(F.broadcast(bg), "_bg", "left")
+            .join(F.broadcast(ctx),
+                  F.substring_index("_bg", " ", 1) == F.col("_w1"), "left")
+            .crossJoin(F.broadcast(vocab_n)))
+
+
+def doc_lm_count_table(docs: DataFrame, id_col: str, text_col: str, *,
+                       lm_docs: DataFrame | None = None,
+                       lm_text_col: str | None = None) -> DataFrame:
+    """The INTEGER core of the bigram-LM scorer, exposed as its own
+    oracle-exact table (the ``doc_term_stats``-anchors-TF-IDF pattern):
+    per scored document, the exact count aggregates the add-k formula
+    consumes — (id, n_bigrams, sum_c12, sum_c1, vocab_n), all BIGINT —
+    so the whole model-training + join plumbing of ``doc_lm_scores``
+    hash-certifies; only the final ln tree stays rows-only. Unseen
+    grams/contexts count 0 via coalesce (self-trained LMs never hit
+    that branch — every scored gram is in the model). Docs with <2
+    tokens have no bigrams and drop out, same as the scorer."""
+    scored = _lm_joined(docs, id_col, text_col,
+                        lm_docs=lm_docs, lm_text_col=lm_text_col)
+    return (scored.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(F.coalesce(F.col("_c12"), F.lit(0)))
+                 .cast("long").alias("sum_c12"),
+                 F.sum(F.coalesce(F.col("_c1"), F.lit(0)))
+                 .cast("long").alias("sum_c1"),
+                 F.max("_v").cast("long").alias("vocab_n"))
+            .select(F.col("_id").alias(id_col), "n_bigrams",
+                    "sum_c12", "sum_c1", "vocab_n"))
+
+
 def doc_lm_scores(docs: DataFrame, id_col: str, text_col: str, *,
                   lm_docs: DataFrame | None = None, add_k: float = 0.5,
                   lm_text_col: str | None = None) -> DataFrame:
@@ -174,21 +223,8 @@ def doc_lm_scores(docs: DataFrame, id_col: str, text_col: str, *,
     rows → registered rows-only; numpy parity is pinned in
     tests/test_ranking.py.
     """
-    lm = docs if lm_docs is None else lm_docs
-    lm_text = text_col if lm_text_col is None else lm_text_col
-    bg = lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg")) \
-        .groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
-    ctx = lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg")) \
-        .select(F.substring_index("_bg", " ", 1).alias("_w1")) \
-        .groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
-    vocab_n = ctx.agg((F.count(F.lit(1)) + 1).alias("_v"))
-
-    scored = (docs.select(F.col(id_col).alias("_id"),
-                          F.explode(_ngrams(text_col, 2)).alias("_bg"))
-              .join(F.broadcast(bg), "_bg", "left")
-              .join(F.broadcast(ctx),
-                    F.substring_index("_bg", " ", 1) == F.col("_w1"), "left")
-              .crossJoin(F.broadcast(vocab_n)))
+    scored = _lm_joined(docs, id_col, text_col,
+                        lm_docs=lm_docs, lm_text_col=lm_text_col)
     logp = F.log(
         (F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(add_k))
         / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(add_k) * F.col("_v")))

@@ -3423,6 +3423,41 @@ def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  add_k=0.5)
 
 
+@register("doc_lm_count_core", """
+    WITH g AS (
+      SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')), 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1])) AS bg
+      FROM documents),
+    bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY 1),
+    ctx AS (SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(count(*) AS BIGINT) AS c1
+            FROM g GROUP BY 1),
+    v AS (SELECT CAST(count(*) + 1 AS BIGINT) AS vocab_n FROM ctx)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bgc.c12) AS BIGINT) AS sum_c12,
+           CAST(sum(ctx.c1) AS BIGINT) AS sum_c1,
+           max(v.vocab_n) AS vocab_n
+    FROM g
+    JOIN bgc USING (bg)
+    JOIN ctx ON string_split(g.bg, ' ')[1] = ctx.w1
+    CROSS JOIN v
+    GROUP BY 1
+""")
+def doc_lm_count_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact INTEGER anchor for the bigram-LM quality scorer
+    (r5 VERDICT item 7, the doc_term_stats-anchors-TF-IDF pattern):
+    per document, the exact BIGINT aggregates the add-k formula
+    consumes — n_bigrams, Σ C(w1 w2), Σ C(w1·), V — from the SAME
+    shared join plumbing ``doc_lm_quality`` scores through
+    (operators/ranking.py::doc_lm_count_table / _lm_joined), so only
+    the final ln tree remains rows-only."""
+    return ranking.doc_lm_count_table(_docs(spark, sf_dir),
+                                      "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # E72 — BPE merge learning (tokenizer training)
 # --------------------------------------------------------------------------

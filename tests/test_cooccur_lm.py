@@ -113,3 +113,36 @@ def test_cms_merge_equals_rebuild(spark):
     direct = sketches.cms_table(both, "k", depth=2, width=16)
     assert sorted(map(tuple, merged.collect())) \
         == sorted(map(tuple, direct.collect()))
+
+
+def test_doc_lm_count_table_matches_brute(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           ranking.doc_lm_count_table(df, "doc_id", "text").collect()}
+    bigrams, ctx = Counter(), Counter()
+    for _, t in TEXTS:
+        toks = t.split(" ")
+        for i in range(len(toks) - 1):
+            bigrams[(toks[i], toks[i + 1])] += 1
+            ctx[toks[i]] += 1
+    V = len(ctx) + 1
+    for did, t in TEXTS:
+        toks = t.split(" ")
+        if len(toks) < 2:
+            assert did not in got
+            continue
+        grams = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        r = got[did]
+        assert r["n_bigrams"] == len(grams)
+        assert r["sum_c12"] == sum(bigrams[g] for g in grams)
+        assert r["sum_c1"] == sum(ctx[g[0]] for g in grams)
+        assert r["vocab_n"] == V
+
+
+def test_doc_lm_count_table_held_out_unseen_zero(spark):
+    train = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    score = spark.createDataFrame([(9, "zz qq")], "doc_id long, text string")
+    r = ranking.doc_lm_count_table(score, "doc_id", "text",
+                                   lm_docs=train).collect()[0]
+    # fully-unseen bigram: both model counts coalesce to 0, never NULL
+    assert (r["n_bigrams"], r["sum_c12"], r["sum_c1"]) == (1, 0, 0)
