@@ -144,10 +144,21 @@ def main() -> int:
             return 0
         old_p, new_p = benches[-2], benches[-1]
     old, new = _load(old_p), _load(new_p)
-    oq, nq = old.get("queries", {}), new.get("queries", {})
+    # Like-for-like estimator pick (round-5 VERDICT item 5): r6+ files
+    # carry the median in ``queries`` and the min in ``queries_min``;
+    # r1–r5 files have only the min in ``queries``. Compare medians when
+    # BOTH files have them, else fall back to min-vs-min so a median
+    # file never gates against a min file (a guaranteed spurious flag).
+    if "queries_min" in old and "queries_min" in new:
+        oq, nq, estimator = old["queries"], new["queries"], "median"
+    else:
+        oq = old.get("queries_min") or old.get("queries", {})
+        nq = new.get("queries_min") or new.get("queries", {})
+        estimator = "min"
     shared = sorted(set(oq) & set(nq))
     print(f"{os.path.basename(old_p)} -> {os.path.basename(new_p)}: "
-          f"{len(shared)} shared queries, gate {ratio}x / {FLOOR_SECS}s floor")
+          f"{len(shared)} shared queries ({estimator} estimator), "
+          f"gate {ratio}x / {FLOOR_SECS}s floor")
     flagged = []
     for q in shared:
         o, n = float(oq[q]), float(nq[q])
