@@ -53,40 +53,40 @@ _PRIORITY = [
     "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
     "pack_documents_512", "packing_stats_512",
     "pack_tokens_probe", "pack_offsets_probe",
-    # --- round-5 rotation (40): first-ever driver rows, whole families
-    # with zero driver history (VERDICT r4 item 1 list). Everything
-    # rotated OUT is r1–r4 driver-green AND still full-oracle-checked
-    # every round (ORACLE_FULL ledger).
-    # NEW this round: the reference's main entry point as ONE unit
-    "pipeline_e2e_kpis",
-    # as-of / point-in-time / SCD / CDC family
-    "asof_purchase_next_click", "purchase_state_pit",
-    "orders_cdc_change_counts", "orders_merge_changelog",
-    # OLAP lattice family
-    "lineitem_grouping_sets", "orders_status_pivot",
-    "lineitem_measures_long", "events_value_histogram",
-    # funnel / retention family
-    "funnel_user_stages", "user_cohort_retention", "user_interevent_stats",
-    # stats family
-    "events_value_moments", "events_value_anomalies",
-    "events_value_percentiles", "user_value_trend",
-    "orders_custkey_loo_price", "events_value_mad_outliers",
-    "events_value_ntile",
-    # the remaining never-validated TPC-H shapes
-    "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q11_important_stock", "tpch_q12_late_shipments",
-    "tpch_q13_customer_order_counts", "tpch_q14_promo_share",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
-    "tpch_q19_discounted_revenue", "tpch_q20_dominant_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # SQL surface + audits
-    "regional_revenue", "fk_orphans_audit", "sql_nation_revenue",
-    # text/LM counting family
-    "doc_term_stats", "bigram_lm_counts", "kn_continuation_counts",
-    "token_cooccur_assoc",
-    # deterministic weighted sampling
-    "weighted_sample_docs",
+    # --- round-6 rotation (40): first-ever driver rows (VERDICT r5
+    # item 1: prioritize the E115–E173 analytics families with zero
+    # driver history). Everything rotated OUT is r1–r5 driver-green AND
+    # still full-oracle-checked every round (ORACLE_FULL ledger).
+    # The five r6 two-phase rewrites go first (certified against their
+    # UNCHANGED oracles) plus the new LM integer anchor:
+    "ab_purchase_ks", "vocab_growth_curve", "orders_revenue_8020",
+    "part_abc_classes", "customer_rfm_segments", "doc_lm_count_core",
+    # classifier-eval suite (E150s)
+    "classifier_eval_metrics", "classifier_calibration_bins",
+    "classifier_auc", "docs_quality_rank_corr",
+    # cohort / engagement analytics (E160s–E173)
+    "customer_cohort_ltv", "monthly_new_vs_returning",
+    "weekly_top10_churn", "top_user_paths",
+    "events_daily_count_dispersion", "events_value_autocorrelation",
+    # transcripts + privacy audits
+    "session_transcripts", "transcript_pattern_counts",
+    "events_k_anonymity_audit", "events_k_anonymity_summary",
+    # KMV / bottom-k sketch family
+    "events_user_bottomk_sample", "event_type_user_overlap_kmv",
+    "source_minhash_similarity", "source_minhash_signature_rollup",
+    # sign-bit embedding near-dup family
+    "embedding_signbit_signatures", "neardup_embedding_signbit_pairs",
+    # deterministic splits / leakage audits
+    "events_temporal_split", "temporal_split_user_leakage",
+    "docs_kfold_assign", "docs_kfold_stats",
+    # hypothesis tests / distribution diagnostics
+    "ab_purchase_welch_t", "events_type_dow_independence",
+    "orders_benford_digits", "events_cusum_by_type",
+    # sequence / per-user shapes
+    "user_modal_event_type", "user_event_streaks", "user_daily_ohlc",
+    # remaining exact-aggregation shapes
+    "lineitem_weighted_median_qty", "nation_share_of_region",
+    "top_songs_per_genre_ties",
 ]
 
 
