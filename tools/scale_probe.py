@@ -1,0 +1,143 @@
+"""sf1 scale probe for the headline chain (round-5 VERDICT item 6).
+
+The driver ships testdata at sf{0.001,0.01,0.1} only, so this tool
+materializes an sf1-equivalent lake (10× rows) by replicating the sf0.1
+``lineitem``/``part`` tables with key offsets — fact keys (user, order)
+shift per replica so distinct-key cardinalities really grow 10×, and
+``p_partkey``/``l_partkey`` shift in lockstep so the streams⋈songs join
+fans out over a 10×-larger dimension exactly like a true scale-up —
+then times the flagship chain at BOTH scales and reports the blowup
+ratio per query. A plan that is secretly single-task or
+shuffle-degenerate shows up as a super-linear (>12×) ratio long before
+a real cluster would reveal it; a healthy plan lands near the data
+ratio (≤ ~10× plus constant overheads).
+
+Writes ONE JSON line (also to ``BENCH_SF1_r{N}.json`` via the round
+driver convention):  {"metric": "sf1_scale_probe", "queries":
+{name: {"sf0.1": s, "sf1": s, "ratio": r}}, ...}
+
+The generated lake lives under .scale_probe/sf1 inside the repo
+(gitignored) and is rebuilt only when absent — delete the dir to force
+regeneration after a testdata refresh.
+
+Usage:  python tools/scale_probe.py [--out BENCH_SF1_rN.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(REPO, ".scale_probe", "sf1")
+COPIES = 10
+#: the reference-surface chain the probe certifies (VERDICT r5 item 6)
+CHAIN = ["daily_genre_kpis", "top_songs_per_genre", "kv_genre_kpi_items",
+         "pipeline_e2e_kpis"]
+#: super-linear alarm: 10× data should cost ≤ ~12× wall (ratio includes
+#: constant per-query overhead, so a small margin over 10 is normal)
+BLOWUP = 12.0
+
+
+def ensure_sf1(spark: SparkSession) -> str:
+    marker = os.path.join(DST, "_BUILT")
+    if os.path.exists(marker):
+        return DST
+    os.makedirs(DST, exist_ok=True)
+    part = spark.read.parquet(os.path.join(SRC, "part.parquet"))
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    offs = {
+        "p": part.agg(F.max("p_partkey")).collect()[0][0] + 1,
+        "s": li.agg(F.max("l_suppkey")).collect()[0][0] + 1,
+        "o": li.agg(F.max("l_orderkey")).collect()[0][0] + 1,
+    }
+    parts = None
+    lis = None
+    for i in range(COPIES):
+        p_i = part.withColumn("p_partkey",
+                              F.col("p_partkey") + F.lit(i * offs["p"]))
+        l_i = (li.withColumn("l_partkey",
+                             F.col("l_partkey") + F.lit(i * offs["p"]))
+               .withColumn("l_suppkey",
+                           F.col("l_suppkey") + F.lit(i * offs["s"]))
+               .withColumn("l_orderkey",
+                           F.col("l_orderkey") + F.lit(i * offs["o"])))
+        parts = p_i if parts is None else parts.unionByName(p_i)
+        lis = l_i if lis is None else lis.unionByName(l_i)
+    parts.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(DST, "part.parquet"))
+    lis.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "lineitem.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(f"src={SRC} copies={COPIES}\n")
+    return DST
+
+
+def _time(spark: SparkSession, fn, sf_dir: str, n: int = 2) -> float:
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()
+    return round(best, 3)
+
+
+def main() -> int:
+    out_path = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--out" and len(argv) > 1:
+        out_path = argv[1]
+    spark = get_spark("scale-probe")
+    sf1 = ensure_sf1(spark)
+    qs = entrymod.queries()
+    # warm both lakes' footers AND each query's codegen/fixtures once,
+    # untimed — otherwise the first-measured scale eats all the JIT
+    # warm-up and the ratio reads <1× (observed: 0.58× on a 10× input)
+    for d in (SRC, sf1):
+        for t in ("part", "lineitem"):
+            spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+        for name in CHAIN:
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    result: dict[str, dict[str, float]] = {}
+    worst = 0.0
+    for name in CHAIN:
+        t_small = _time(spark, qs[name], SRC)
+        t_big = _time(spark, qs[name], sf1)
+        ratio = round(t_big / max(t_small, 1e-9), 2)
+        worst = max(worst, ratio)
+        result[name] = {"sf0.1": t_small, "sf1": t_big, "ratio": ratio}
+        print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x)",
+              file=sys.stderr)
+    line = json.dumps({
+        "metric": "sf1_scale_probe", "unit": "sec",
+        "copies": COPIES, "queries": result,
+        "worst_ratio": worst, "blowup_gate": BLOWUP,
+        "superlinear": sorted(n for n, r in result.items()
+                              if r["ratio"] > BLOWUP),
+    })
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    spark.stop()
+    return 1 if worst > BLOWUP else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
