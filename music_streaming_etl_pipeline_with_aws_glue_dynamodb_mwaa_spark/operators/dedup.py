@@ -1056,3 +1056,41 @@ def grouped_minhash_similarity(df: DataFrame, group_col: str, text_col: str,
         .withColumn("est_jaccard",
                     F.col("n_matches") / F.lit(float(num_hashes)))
     )
+
+
+def dup_attribution_by_group(docs: DataFrame, group_col: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Exact-duplicate ATTRIBUTION per group (source/shard/crawl): for
+    each group, (group, n_docs, n_dup_docs, n_cross_group_docs,
+    dup_rate) — n_dup_docs counts docs whose md5 content fingerprint
+    occurs more than once in the WHOLE corpus, n_cross_group_docs those
+    whose fingerprint also occurs in ANOTHER group. The curation
+    dashboard that tells you which source is self-plagiarizing and
+    which pairs of sources mirror each other — the decision input for
+    per-source dedup order (RefinedWeb-style provenance accounting).
+
+    Exactness: all counts BIGINT, dup_rate the ONE final division.
+    Plan: fingerprint projection (map-side md5), one fingerprint-grain
+    aggregation (count + distinct-group count via a (fp, group) grain
+    pre-step — no countDistinct expand), one equi-join back on the
+    128-bit key, one group roll-up. Fingerprint grain ≈ corpus size,
+    hash-partitioned — skew-safe.
+    """
+    fp = docs.select(F.col(group_col).alias("_g"),
+                     F.md5(F.col(text_col)).alias("_fp"))
+    per_fp_grp = (fp.groupBy("_fp", "_g")
+                  .agg(F.count(F.lit(1)).alias("_c")))
+    per_fp = (per_fp_grp.groupBy("_fp")
+              .agg(F.sum("_c").alias("_tot"),
+                   F.count(F.lit(1)).alias("_ngroups")))
+    j = per_fp_grp.join(per_fp, "_fp")
+    return (j.groupBy(F.col("_g").alias(group_col))
+            .agg(F.sum("_c").alias("n_docs"),
+                 F.sum(F.when(F.col("_tot") > 1, F.col("_c"))
+                       .otherwise(F.lit(0))).alias("n_dup_docs"),
+                 F.sum(F.when(F.col("_ngroups") > 1, F.col("_c"))
+                       .otherwise(F.lit(0))).alias("n_cross_group_docs"))
+            .withColumn("dup_rate",
+                        F.col("n_dup_docs").cast("double")
+                        / F.col("n_docs").cast("double")))

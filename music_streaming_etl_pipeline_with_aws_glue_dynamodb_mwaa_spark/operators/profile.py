@@ -64,3 +64,50 @@ def benford_leading_digit(df: DataFrame, value: "F.Column") -> DataFrame:
                     (F.col("n").cast("double")
                      / F.col("_tot").cast("double")).alias("share"))
             .orderBy("digit"))
+
+
+def fd_audit(df: DataFrame, lhs_cols: list[str],
+             rhs_cols: list[str]) -> DataFrame:
+    """Functional-dependency audit ``lhs → rhs``: one row per lhs group
+    with (lhs…, n_rows, n_rhs_distinct, violated) — the schema-inference
+    / data-contract check ("does source determine lang?"). A group
+    violates the FD iff it maps to more than one distinct rhs
+    combination. Exact counts (BIGINT), so the table oracle-hashes.
+
+    Plan: one hash aggregation at (lhs, rhs) grain, one at lhs grain —
+    both partial+final map-side combined; no expensive
+    ``countDistinct`` expand, no window. At 100 TB the grain is bounded
+    by the attribute domain, not the fact row count.
+    """
+    pairs = (df.groupBy(*lhs_cols, *rhs_cols)
+             .agg(F.count(F.lit(1)).alias("_c")))
+    return (pairs.groupBy(*lhs_cols)
+            .agg(F.sum("_c").alias("n_rows"),
+                 F.count(F.lit(1)).alias("n_rhs_distinct"))
+            .withColumn("violated", F.col("n_rhs_distinct") > 1))
+
+
+def key_candidates_audit(df: DataFrame,
+                         candidates: list[list[str]]) -> DataFrame:
+    """Candidate-key audit: for each candidate column set, ONE row
+    (candidate, n_rows, n_distinct, n_dup_rows, is_key) — the
+    uniqueness profile a modeler reads before declaring a primary key
+    or a dedup identity. n_dup_rows counts rows beyond the first of
+    each duplicated combination (Σ max(c−1, 0)); is_key ⇔ no dup rows.
+
+    Plan: one aggregation pair per candidate (combination grain then
+    scalar), unioned — k candidates = k independent scans that AQE can
+    run concurrently; nothing key-grain ever reaches the driver."""
+    outs = []
+    for cand in candidates:
+        g = df.groupBy(*cand).agg(F.count(F.lit(1)).alias("_c"))
+        outs.append(g.agg(
+            F.lit(",".join(cand)).alias("candidate"),
+            F.sum("_c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("_c") - 1).alias("n_dup_rows"),
+        ).withColumn("is_key", F.col("n_dup_rows") == 0))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

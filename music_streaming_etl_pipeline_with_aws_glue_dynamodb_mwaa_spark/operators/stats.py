@@ -648,3 +648,58 @@ def ks_two_sample(df: DataFrame, group_col: str, val_col: str, *,
                  (F.max("_scaled").cast("double")
                   / (F.max("n_a") * F.max("n_b")).cast("double"))
                  .alias("ks_d")))
+
+
+def equidepth_histogram(df: DataFrame, val_col: str, uniq_col: str, *,
+                        n_buckets: int = 12,
+                        num_partitions: int | None = None) -> DataFrame:
+    """EXACT equi-depth histogram: rows split into ``n_buckets`` ANSI
+    ntile buckets by value (unique column as tie-break → total order),
+    then per-bucket (bucket, n, lo, hi) — the boundary table an
+    optimizer or a drift monitor keeps per column. Unlike
+    ``approx_percentile`` the boundaries are exact and deterministic,
+    so the table is oracle-hashable.
+
+    Plan: ``ids.global_ntile`` (two-phase range partition — row-grain
+    input, NO single-task window) + one bucket aggregation. At 100 TB
+    the range shuffle is the same cost a global sort would pay, but
+    fully parallel.
+    """
+    b = ids.global_ntile(df.select(val_col, uniq_col),
+                         [val_col, uniq_col], n_buckets,
+                         out_col="bucket", num_partitions=num_partitions)
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(val_col).alias("lo"),
+                 F.max(val_col).alias("hi")))
+
+
+def lorenz_table(df: DataFrame, key_col: str, weight: Column, *,
+                 n_bins: int = 10) -> DataFrame:
+    """Lorenz-curve table: keys ranked ASCENDING by total weight into
+    ``n_bins`` ANSI ntile bins (key tie-break), each bin reporting
+    (bin, n_keys, bin_weight, cum_weight, cum_share) — the inequality
+    readout behind every Gini chart ("the bottom 50 % of customers
+    carry 4 % of revenue"). Complements ``user_spend_gini`` (the
+    scalar) with the plottable curve, and ``concentration_coverage``
+    (top-down prefix) with the bottom-up bins.
+
+    Exactness: weights are exact longs, bin assignment is
+    ``ids.global_ntile`` over a total order, cum_share is the ONE IEEE
+    division. Plan: key aggregation → two-phase ntile at KEY grain →
+    bin aggregation → a cumsum window over ``n_bins`` CONSTANT rows.
+    """
+    per_key = df.groupBy(key_col).agg(F.sum(weight).alias("_w"))
+    b = ids.global_ntile(per_key, ["_w", key_col], n_bins, out_col="bin")
+    g = (b.groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("n_keys"),
+              F.sum("_w").alias("bin_weight")))
+    cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    return g.select(
+        "bin", "n_keys", "bin_weight",
+        F.sum("bin_weight").over(cum).cast("long").alias("cum_weight"),
+        (F.sum("bin_weight").over(cum).cast("double")
+         / F.sum("bin_weight").over(tot).cast("double"))
+        .alias("cum_share"))

@@ -18,6 +18,7 @@ from ..functions.text_funcs import (
     EN_STOPWORDS,
     distinct_tokens,
     fingerprint,
+    shingles,
     stopword_count,
     tokens,
 )
@@ -436,3 +437,34 @@ def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
         F.sum("_n_docs").over(cum).cast("long").alias("n_docs_cum"),
         F.col("new_tokens").cast("long").alias("new_tokens"),
         F.sum("new_tokens").over(cum).cast("long").alias("vocab_size"))
+
+
+def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", *, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: of each doc's DISTINCT word n-grams,
+    how many appear for the FIRST time in the corpus when docs are
+    taken in id order — (id, n_grams, n_novel, novelty_ratio). The
+    marginal-novelty curation signal at DOCUMENT grain (``vocab_growth``
+    is the corpus-grain cumulative twin): a doc whose grams all
+    appeared earlier is template/boilerplate; novelty_ratio ≈ 1 means
+    fresh content worth keeping.
+
+    Exactness: counts are BIGINT, ratio is the ONE final division.
+    Plan: the first-occurrence trick again — one distinct-gram explode,
+    one min-doc-per-gram aggregation, one equi-join back, one per-doc
+    roll-up. No window, nothing driver-side; gram grain is corpus
+    vocabulary (shuffles hash-partition on the gram — skew-safe since
+    DISTINCT grams per doc cap multiplicity at 1). Docs with < n
+    tokens have no grams and drop out, like the LM scorer."""
+    grams = docs.select(F.col(id_col).alias("_id"),
+                        F.explode(shingles(text_col, n)).alias("_g"))
+    firsts = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
+    return (grams.join(firsts, "_g")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("_first") == F.col("_id")).cast("bigint"))
+                 .alias("n_novel"))
+            .select(F.col("_id").alias(id_col), "n_grams", "n_novel",
+                    (F.col("n_novel").cast("double")
+                     / F.col("n_grams").cast("double"))
+                    .alias("novelty_ratio")))

@@ -9205,3 +9205,295 @@ def events_daily_count_dispersion(spark: SparkSession,
          .cast("double")
          / ((F.col("n") - 1) * F.col("s")).cast("double"))
         .alias("dispersion_index"))
+
+
+# --------------------------------------------------------------------------
+# E174 (round 6) — exact equi-depth histogram + Lorenz curve, both riding
+# the round-6 two-phase ntile machinery (ids.global_ntile) so the "global
+# ordered bucket" shape has oracle-exact coverage at row grain AND key
+# grain with NO single-task window anywhere.
+# --------------------------------------------------------------------------
+
+@register("events_value_equidepth", """
+    WITH x AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v, event_id
+               FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT v, CAST(ntile(12) OVER (ORDER BY v, event_id) AS BIGINT)
+                        AS bucket
+          FROM x)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(v) AS lo, max(v) AS hi
+    FROM b GROUP BY 1
+""")
+def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 12-bucket equi-depth histogram of purchase cents
+    (operators/stats.py::equidepth_histogram): ANSI ntile buckets over
+    (value, event_id) — a total order, so boundaries are deterministic
+    — per bucket (n, lo, hi). Row-grain global bucketing via the
+    two-phase ids.global_ntile: range shuffle + k counts to the driver,
+    never a single-task ORDER BY window."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    x = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+                 "event_id"))
+    return stats.equidepth_histogram(x, "v", "event_id", n_buckets=12)
+
+
+@register("customer_lorenz_deciles", """
+    WITH pk AS (SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS w
+                FROM orders GROUP BY 1),
+    d AS (SELECT o_custkey, w,
+                 CAST(ntile(10) OVER (ORDER BY w, o_custkey) AS BIGINT)
+                     AS bin
+          FROM pk),
+    g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(w) AS BIGINT) AS bin_weight
+          FROM d GROUP BY 1),
+    c AS (SELECT bin, n_keys, bin_weight,
+                 CAST(sum(bin_weight) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_weight,
+                 CAST(sum(bin_weight) OVER () AS BIGINT) AS tot
+          FROM g)
+    SELECT bin, n_keys, bin_weight, cum_weight,
+           CAST(cum_weight AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+    FROM c
+""")
+def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile table of customer spend
+    (operators/stats.py::lorenz_table): customers ntile'd ASCENDING by
+    exact total cents (custkey tie-break) via the two-phase
+    ids.global_ntile at key grain, then per-decile weight + cumulative
+    share (the only window left is the constant 10-row cumsum). The
+    plottable inequality curve behind user_spend_gini's scalar."""
+    od = catalog.load_table(spark, sf_dir, "orders")
+    return stats.lorenz_table(
+        od, "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint"), n_bins=10)
+
+
+# --------------------------------------------------------------------------
+# E175 (round 6) — data-contract audits: functional dependencies and
+# candidate keys (operators/profile.py), the profiling stage that runs
+# before any schema is trusted.
+# --------------------------------------------------------------------------
+
+@register("docs_source_lang_fd_audit", """
+    WITH p AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2)
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_rhs_distinct,
+           count(*) > 1 AS violated
+    FROM p GROUP BY 1
+""")
+def docs_source_lang_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit source → lang over the documents
+    table (operators/profile.py::fd_audit): per source, row count,
+    distinct-lang count, violation flag — two cheap hash aggregations
+    at attribute grain (no countDistinct expand, no window)."""
+    return profile.fd_audit(_docs(spark, sf_dir), ["source"], ["lang"])
+
+
+@register("events_key_candidates_audit", """
+    WITH c1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events
+                GROUP BY event_id),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events
+           GROUP BY user_id, ts),
+    c3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events
+           GROUP BY user_id, event_type)
+    SELECT 'event_id' AS candidate, CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c - 1) AS BIGINT) AS n_dup_rows,
+           CAST(sum(c - 1) AS BIGINT) = 0 AS is_key
+    FROM c1
+    UNION ALL
+    SELECT 'user_id,ts', CAST(sum(c) AS BIGINT),
+           CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
+           CAST(sum(c - 1) AS BIGINT) = 0
+    FROM c2
+    UNION ALL
+    SELECT 'user_id,event_type', CAST(sum(c) AS BIGINT),
+           CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
+           CAST(sum(c - 1) AS BIGINT) = 0
+    FROM c3
+""")
+def events_key_candidates_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness profile over events
+    (operators/profile.py::key_candidates_audit): event_id (the real
+    key), (user_id, ts) and (user_id, event_type) each audited with
+    exact duplicate-row counts — one aggregation pair per candidate,
+    unioned; nothing reaches the driver."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return profile.key_candidates_audit(
+        ev, [["event_id"], ["user_id", "ts"], ["user_id", "event_type"]])
+
+
+# --------------------------------------------------------------------------
+# E176 (round 6) — duplication ATTRIBUTION by provenance + per-document
+# n-gram novelty: the two curation dashboards that decide per-source
+# dedup order and marginal-novelty keep/drop thresholds.
+# --------------------------------------------------------------------------
+
+@register("source_dup_attribution", """
+    WITH fp AS (SELECT source AS g, md5(text) AS f FROM documents),
+    pg AS (SELECT f, g, CAST(count(*) AS BIGINT) AS c FROM fp GROUP BY 1, 2),
+    pf AS (SELECT f, CAST(sum(c) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS ngroups
+           FROM pg GROUP BY 1)
+    SELECT g AS source, CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(sum(CASE WHEN ngroups > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_cross_group_docs,
+           CAST(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) AS dup_rate
+    FROM pg JOIN pf USING (f) GROUP BY 1
+""")
+def source_dup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate attribution per source
+    (operators/dedup.py::dup_attribution_by_group): which sources
+    self-duplicate and which mirror other sources, via md5 content
+    fingerprints aggregated at (fingerprint, source) grain — the
+    RefinedWeb-style provenance accounting before per-source dedup."""
+    return dedup.dup_attribution_by_group(_docs(spark, sf_dir), "source")
+
+
+@register("docs_ngram_novelty", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gr
+          FROM t, LATERAL (SELECT unnest(range(1, greatest(len(a) - 1, 1)))
+                           AS i) u),
+    f AS (SELECT gr, min(doc_id) AS first FROM g GROUP BY 1)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(CASE WHEN f.first = g.doc_id THEN 1 END) AS BIGINT)
+               AS n_novel,
+           CAST(count(CASE WHEN f.first = g.doc_id THEN 1 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty_ratio
+    FROM g JOIN f USING (gr) GROUP BY 1
+""")
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (operators/text.py::ngram_novelty):
+    fraction of each doc's DISTINCT 3-grams first seen at that doc in
+    id order — the document-grain marginal-novelty signal
+    (vocab_growth is the corpus-grain cumulative twin). First-occurrence
+    trick: min doc id per gram + join back, no window."""
+    return text.ngram_novelty(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
+# --------------------------------------------------------------------------
+# E177 (round 6) — decimal + array semantics probes (the E157–E164
+# engine-certification pattern): VALUES on both sides, sf_dir ignored.
+# Divergences verified empirically and shimmed IN THE ORACLE, never in
+# the engine: DuckDB list_distinct/list concat-union have no order
+# guarantee (→ both engines sort before join), empty-list
+# array_to_string is NULL in DuckDB vs '' in Spark (→ COALESCE), DuckDB
+# list_sum of an empty list is NULL vs Spark aggregate's 0 seed
+# (→ COALESCE), and list_sum returns HUGEINT (→ CAST AS BIGINT).
+# --------------------------------------------------------------------------
+
+@register("decimal_semantics_audit", """
+    WITH t(v) AS (VALUES (CAST(9000000000000000000 AS DECIMAL(38,0))),
+                         (CAST(9000000000000000000 AS DECIMAL(38,0))),
+                         (CAST(123 AS DECIMAL(38,0))))
+    SELECT CAST(sum(v) AS VARCHAR) AS big_sum,
+           CAST(CAST('2.5' AS DECIMAL(10,1)) + CAST('0.25' AS DECIMAL(10,2))
+                AS VARCHAR) AS dec_add,
+           CAST(round(CAST('2.5' AS DECIMAL(10,1)), 0) AS VARCHAR)
+               AS round_half_up_pos,
+           CAST(round(CAST('-2.5' AS DECIMAL(10,1)), 0) AS VARCHAR)
+               AS round_half_up_neg,
+           CAST(CAST('1.005' AS DECIMAL(10,3)) * CAST('100' AS DECIMAL(10,0))
+                AS VARCHAR) AS dec_mul,
+           CAST(CAST(CAST('1.5' AS DECIMAL(5,1)) AS DOUBLE) AS VARCHAR)
+               AS dec_to_dbl
+    FROM t
+""")
+def decimal_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the DECIMAL corners both engines must share for the
+    documented int64-overflow escape hatch (group_moments/group_corr
+    docstrings: "past ~10⁹ rows switch the sums to DECIMAL(38,0)") to
+    be oracle-safe: exact 38-digit sums beyond int64, mixed-scale
+    addition unifies scale, decimal round is HALF-AWAY-FROM-ZERO in
+    BOTH engines (the doubles round is NOT portable — decimal is the
+    portable one), multiplication adds scales (trailing zeros kept),
+    and decimal→double re-renders shortest-form. All outputs rendered
+    AS STRING so the driver comparator sees scale-faithful text, never
+    a HUGEINT/Decimal object."""
+    return spark.sql("""
+        WITH t(v) AS (VALUES (CAST(9000000000000000000 AS DECIMAL(38,0))),
+                             (CAST(9000000000000000000 AS DECIMAL(38,0))),
+                             (CAST(123 AS DECIMAL(38,0))))
+        SELECT CAST(sum(v) AS STRING) AS big_sum,
+               CAST(CAST('2.5' AS DECIMAL(10,1))
+                    + CAST('0.25' AS DECIMAL(10,2)) AS STRING) AS dec_add,
+               CAST(round(CAST('2.5' AS DECIMAL(10,1)), 0) AS STRING)
+                   AS round_half_up_pos,
+               CAST(round(CAST('-2.5' AS DECIMAL(10,1)), 0) AS STRING)
+                   AS round_half_up_neg,
+               CAST(CAST('1.005' AS DECIMAL(10,3))
+                    * CAST('100' AS DECIMAL(10,0)) AS STRING) AS dec_mul,
+               CAST(CAST(CAST('1.5' AS DECIMAL(5,1)) AS DOUBLE) AS STRING)
+                   AS dec_to_dbl
+        FROM t
+    """)
+
+
+@register("array_semantics_audit", """
+    WITH t(id, a) AS (VALUES (CAST(1 AS BIGINT), [3, 1, 2, 1]),
+                             (CAST(2 AS BIGINT), CAST([] AS INT[])),
+                             (CAST(3 AS BIGINT), [5]))
+    SELECT id,
+           CAST(len(a) AS BIGINT) AS n,
+           COALESCE(array_to_string(list_slice(a, 1, 2), ','), '')
+               AS first2,
+           CAST(list_position(a, 1) AS BIGINT) AS pos1,
+           CAST(a[-1] AS BIGINT) AS last_el,
+           COALESCE(array_to_string(list_sort(a), ','), '') AS sorted_csv,
+           COALESCE(array_to_string(list_sort(list_distinct(a)), ','), '')
+               AS distinct_sorted,
+           list_contains(a, 2) AS has2,
+           COALESCE(array_to_string(
+               list_sort(list_distinct(list_concat(a, [9]))), ','), '')
+               AS union9,
+           COALESCE(CAST(list_sum(a) AS BIGINT), 0) AS sum_hof,
+           COALESCE(array_to_string(list_reverse(a), ','), '') AS rev_csv,
+           CAST(list_max(a) AS BIGINT) AS amax,
+           CAST(list_min(a) AS BIGINT) AS amin
+    FROM t
+""")
+def array_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the array-function surface the in-row operators lean on
+    (slice windows, first-occurrence position, negative element_at,
+    HOF folds, set ops): size/slice/position agree 1-based with 0 for
+    missing, try_element_at(-1) is the tail (NULL on empty — ANSI
+    element_at would RAISE), array_sort, array_distinct (order differs
+    across engines → certified sorted), array_union's dedup semantics
+    (DuckDB spells it distinct∘concat), aggregate's seed on empty vs
+    DuckDB's NULL list_sum, reverse, min/max. Empty-array
+    array_to_string divergence shimmed in the oracle (NULL vs '')."""
+    return spark.sql("""
+        WITH t(id, a) AS (VALUES (CAST(1 AS BIGINT), array(3, 1, 2, 1)),
+                                 (CAST(2 AS BIGINT),
+                                  CAST(array() AS ARRAY<INT>)),
+                                 (CAST(3 AS BIGINT), array(5)))
+        SELECT id,
+               CAST(size(a) AS BIGINT) AS n,
+               array_join(slice(a, 1, 2), ',') AS first2,
+               CAST(array_position(a, 1) AS BIGINT) AS pos1,
+               CAST(try_element_at(a, -1) AS BIGINT) AS last_el,
+               array_join(array_sort(a), ',') AS sorted_csv,
+               array_join(array_sort(array_distinct(a)), ',')
+                   AS distinct_sorted,
+               array_contains(a, 2) AS has2,
+               array_join(array_sort(array_union(a, array(9))), ',')
+                   AS union9,
+               CAST(aggregate(a, 0, (acc, x) -> acc + x) AS BIGINT)
+                   AS sum_hof,
+               array_join(reverse(a), ',') AS rev_csv,
+               CAST(array_max(a) AS BIGINT) AS amax,
+               CAST(array_min(a) AS BIGINT) AS amin
+        FROM t
+    """)

@@ -1,0 +1,97 @@
+"""Round-6 extension operators: equi-depth histogram, Lorenz deciles,
+FD/key audits, dup attribution, n-gram novelty. Hand cases + invariants;
+the sf0.01 DuckDB oracle hashes certify the full-size runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import (
+    dedup,
+    profile,
+    stats,
+    text,
+)
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_equidepth_histogram_counts_and_bounds(spark, parts):
+    rows = [(v, i) for i, v in enumerate([5, 1, 9, 3, 3, 7, 2, 8, 6, 4, 0])]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(3)
+    out = {r["bucket"]: r for r in stats.equidepth_histogram(
+        df, "v", "id", n_buckets=4, num_partitions=parts).collect()}
+    # 11 rows, 4 buckets → sizes 3,3,3,2; contiguous value ranges
+    assert [out[b]["n"] for b in (1, 2, 3, 4)] == [3, 3, 3, 2]
+    ordered = sorted(rows)
+    cuts = [3, 6, 9, 11]
+    lo = 0
+    for b, hi in enumerate(cuts, start=1):
+        seg = [v for v, _ in ordered[lo:hi]]
+        assert out[b]["lo"] == min(seg) and out[b]["hi"] == max(seg)
+        lo = hi
+
+
+def test_lorenz_table_shares(spark):
+    rows = [(k, w) for k, w in [(1, 1), (2, 1), (3, 2), (4, 6)]]
+    df = spark.createDataFrame(rows, "k long, w long")
+    out = {r["bin"]: r for r in stats.lorenz_table(
+        df, "k", F.col("w"), n_bins=2).collect()}
+    # ascending weight: bin1 = {k1,k2}, bin2 = {k3,k4}
+    assert out[1]["bin_weight"] == 2 and out[2]["bin_weight"] == 8
+    assert out[1]["cum_weight"] == 2 and out[2]["cum_weight"] == 10
+    assert out[1]["cum_share"] == 0.2 and out[2]["cum_share"] == 1.0
+
+
+def test_fd_audit_flags_violations(spark):
+    df = spark.createDataFrame(
+        [("s1", "en"), ("s1", "en"), ("s2", "en"), ("s2", "fr"),
+         ("s3", None)],
+        "source string, lang string")
+    out = {r["source"]: r for r in
+           profile.fd_audit(df, ["source"], ["lang"]).collect()}
+    assert not out["s1"]["violated"] and out["s1"]["n_rows"] == 2
+    assert out["s2"]["violated"] and out["s2"]["n_rhs_distinct"] == 2
+    assert not out["s3"]["violated"]      # NULL is one rhs value
+
+
+def test_key_candidates_audit(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (3, "b")], "id long, t string")
+    out = {r["candidate"]: r for r in profile.key_candidates_audit(
+        df, [["id"], ["id", "t"], ["t"]]).collect()}
+    assert not out["id"]["is_key"] and out["id"]["n_dup_rows"] == 1
+    assert not out["id,t"]["is_key"]      # (3,b) duplicated
+    assert out["t"]["n_distinct"] == 2 and out["t"]["n_dup_rows"] == 2
+    assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_dup_attribution_by_group(spark):
+    docs = spark.createDataFrame(
+        [(1, "s1", "x"), (2, "s1", "x"),      # intra-source dup
+         (3, "s1", "y"), (4, "s2", "y"),      # cross-source dup
+         (5, "s2", "z")],                     # unique
+        "doc_id long, source string, text string")
+    out = {r["source"]: r for r in
+           dedup.dup_attribution_by_group(docs, "source").collect()}
+    assert out["s1"]["n_docs"] == 3
+    assert out["s1"]["n_dup_docs"] == 3      # x,x and y all duplicated
+    assert out["s1"]["n_cross_group_docs"] == 1   # only y crosses
+    assert out["s2"]["n_dup_docs"] == 1 and out["s2"]["n_cross_group_docs"] == 1
+    assert out["s2"]["dup_rate"] == 0.5
+
+
+def test_ngram_novelty_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),          # grams: "a b c", "b c d" — both novel
+         (2, "a b c"),            # "a b c" seen at doc 1 → 0/1
+         (3, "b c d x y z"),      # "b c d" old; 3 new → 3/4
+         (4, "q")],               # < 3 tokens → drops out
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.ngram_novelty(docs, "doc_id", "text", n=3).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 2
+    assert out[2]["n_grams"] == 1 and out[2]["n_novel"] == 0
+    assert out[3]["n_grams"] == 4 and out[3]["n_novel"] == 3
+    assert out[3]["novelty_ratio"] == 0.75
+    assert 4 not in out
