@@ -291,3 +291,47 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, *, src: str = "src",
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def kcore(edges: DataFrame, *, k: int, src: str = "src", dst: str = "dst",
+          max_iter: int = 200) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph in which every
+    node keeps degree ≥ k — iterative peel (Batagelj–Zaveršnik): drop
+    all nodes with degree < k, recompute degrees, repeat to fixpoint.
+    Returns surviving ``(node, core_degree)`` with the IN-CORE degree.
+    The graph-curation primitive that isolates densely-connected spam
+    rings / template clusters that pairwise thresholds miss.
+
+    Input is an ``a < b`` canonical undirected edge list (the
+    ``part_pair`` shape); it is symmetrized internally so degrees count
+    both endpoints.
+
+    Spark shape: each round is ONE degree aggregation + TWO left-semi
+    joins (endpoint filters) with an EAGER ``localCheckpoint`` cutting
+    the lineage (the pagerank lesson: a lazy loop re-executes every
+    prior round per action). Convergence is edge-count stability — a
+    1-row driver scalar per round; rounds are data-dependent but bounded
+    by the peel depth (≤ graph degeneracy ≪ max_iter in practice — the
+    loop raises if the bound is hit rather than silently truncating).
+    SQL can't replay data-dependent iteration, so the driver oracle is
+    a pure-Python peel replay (operators/pyref.py::ref_kcore) over the
+    SAME edge derivation, serialized to VALUES — the tokenizer-oracle
+    pattern."""
+    fwd = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    rev = edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    e = fwd.unionByName(rev).localCheckpoint()
+    n = e.count()
+    for _ in range(max_iter):
+        keep = (e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+                .filter(F.col("_deg") >= k).select("_s"))
+        e2 = (e.join(keep, "_s", "left_semi")
+              .join(keep.withColumnRenamed("_s", "_d"), "_d", "left_semi")
+              .localCheckpoint())
+        n2 = e2.count()
+        if n2 == n:
+            break
+        e, n = e2, n2
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
+    return (e.groupBy(F.col("_s").alias("node"))
+            .agg(F.count(F.lit(1)).alias("core_degree")))

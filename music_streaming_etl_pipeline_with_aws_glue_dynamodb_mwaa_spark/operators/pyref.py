@@ -251,3 +251,64 @@ def doc_unigram_stats_oracle() -> str:
         docs, lambda w: ref_unigram_encode_len(w, pieces, max_len=6))
     return values_table(rows, ["doc_id", "n_words", "n_pieces"],
                         _STATS_SELECT)
+
+
+# -- k-core replay oracle (round 6) -----------------------------------------
+
+@lru_cache(maxsize=None)
+def _coorder_edges(min_shared: int = 2) -> list[tuple[int, int]]:
+    """Co-order part pairs (a < b, ≥ min_shared shared orders) straight
+    from the lineitem parquet — the SAME edge derivation the graph
+    queries use (distinct (order, part), within-order pairs, support
+    threshold). Pure Python: at sf0.01 this is ~15k orders × ~6 pairs."""
+    path = f"{ORACLE_SF_DIR}/lineitem.parquet"
+    if not _os.path.exists(path):
+        raise FileNotFoundError(
+            f"replay-oracle fact missing: {path} — set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR if the testdata moved")
+    t = pq.read_table(path, columns=["l_orderkey", "l_partkey"])
+    orders: dict[int, set[int]] = {}
+    for o, p in zip(t.column("l_orderkey").to_pylist(),
+                    t.column("l_partkey").to_pylist()):
+        orders.setdefault(o, set()).add(p)
+    pc: Counter = Counter()
+    for ps in orders.values():
+        sp = sorted(ps)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                pc[(sp[i], sp[j])] += 1
+    return [e for e, c in sorted(pc.items()) if c >= min_shared]
+
+
+def ref_kcore(edges: list[tuple[int, int]], k: int) -> list[tuple[int, int]]:
+    """Textbook k-core peel (Batagelj–Zaveršnik shape): repeatedly drop
+    nodes with degree < k; survivors reported with their IN-CORE degree."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    alive = set(adj)
+    q = deque(n for n in alive if deg[n] < k)
+    while q:
+        n = q.popleft()
+        if n not in alive:
+            continue
+        alive.discard(n)
+        for m in adj[n]:
+            if m in alive:
+                deg[m] -= 1
+                if deg[m] < k:
+                    q.append(m)
+    return sorted((n, deg[n]) for n in alive)
+
+
+@lru_cache(maxsize=None)
+def part_kcore_oracle(k: int = 3) -> str:
+    rows = ref_kcore(_coorder_edges(2), k)
+    return values_table(
+        rows, ["l_partkey", "core_degree"],
+        ["CAST(l_partkey AS BIGINT) AS l_partkey",
+         "CAST(core_degree AS BIGINT) AS core_degree"])

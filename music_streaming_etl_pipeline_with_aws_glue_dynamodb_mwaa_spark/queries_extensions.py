@@ -9497,3 +9497,96 @@ def array_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(array_min(a) AS BIGINT) AS amin
         FROM t
     """)
+
+
+# --------------------------------------------------------------------------
+# E178 (round 6) — t-closeness release audit (operators/privacy.py):
+# the distribution-skew leak k-anonymity/l-diversity cannot see,
+# integer-exact EMD over ordered value buckets.
+# --------------------------------------------------------------------------
+
+@register("events_t_closeness_audit", """
+    WITH x AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(floor(value / 50.0) AS BIGINT) AS vb
+               FROM events),
+    gb AS (SELECT event_type, day, vb, CAST(count(*) AS BIGINT) AS c
+           FROM x GROUP BY 1, 2, 3),
+    g AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS ng
+          FROM gb GROUP BY 1, 2),
+    b AS (SELECT vb, CAST(sum(c) AS BIGINT) AS cb FROM gb GROUP BY 1),
+    bc AS (SELECT vb,
+                  CAST(sum(cb) OVER (ORDER BY vb
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_b,
+                  CAST(sum(cb) OVER () AS BIGINT) AS n_total,
+                  CAST(count(*) OVER () AS BIGINT) AS n_buckets
+           FROM b),
+    grid AS (SELECT g.event_type, g.day, g.ng,
+                    bc.vb, bc.cum_b, bc.n_total, bc.n_buckets
+             FROM g CROSS JOIN bc),
+    j AS (SELECT grid.event_type, grid.day, grid.ng, grid.vb,
+                 grid.cum_b, grid.n_total, grid.n_buckets,
+                 COALESCE(gb.c, 0) AS c
+          FROM grid LEFT JOIN gb USING (event_type, day, vb)),
+    cg AS (SELECT *, CAST(sum(c) OVER (PARTITION BY event_type, day
+                              ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cum_g
+           FROM j)
+    SELECT event_type, day, max(ng) AS n_rows,
+           CAST(sum(abs(cum_g * n_total - cum_b * ng)) AS BIGINT)
+               AS scaled_emd,
+           CASE WHEN max(n_buckets) > 1 THEN
+               CAST(sum(abs(cum_g * n_total - cum_b * ng)) AS DOUBLE)
+               / CAST(max(ng) * max(n_total) * (max(n_buckets) - 1)
+                      AS DOUBLE)
+           END AS emd,
+           CAST(sum(abs(cum_g * n_total - cum_b * ng)) AS BIGINT) * 5
+               > max(ng) * max(n_total) * (max(n_buckets) - 1)
+               AS t_violation
+    FROM cg GROUP BY 1, 2
+""")
+def events_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t = 1/5) of (event_type, day) QI groups
+    against the ordered value-bucket distribution
+    (operators/privacy.py::t_closeness_audit): integer-exact EMD via
+    cross-multiplied CDFs — S = Σ|cum_g·N − cum·n_g| — one division
+    for the emd double, cross-multiplied violation test. The zero-count
+    buckets participate via a broadcast groups×buckets grid; the only
+    windows are bucket-grain (constant B rows) and per-group
+    (partitioned)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    x = ev.select("event_type", F.to_date("ts").alias("day"),
+                  F.floor(F.col("value") / F.lit(50.0)).cast("long")
+                  .alias("vb"))
+    return privacy.t_closeness_audit(x, ["event_type", "day"], "vb",
+                                     t_num=1, t_den=5)
+
+
+# --------------------------------------------------------------------------
+# E179 (round 6) — k-core decomposition of the co-purchase graph
+# (operators/graph.py::kcore): iterative peel with data-dependent
+# rounds — SQL can't replay it, so the oracle is the pure-Python peel
+# (operators/pyref.py::ref_kcore) over the SAME edge derivation,
+# serialized to VALUES (the tokenizer replay-oracle pattern).
+# --------------------------------------------------------------------------
+
+@register("part_order_kcore", pyref.part_kcore_oracle)
+def part_order_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the parts-sharing-≥2-orders graph: the maximal
+    subgraph where every part keeps ≥3 co-purchase neighbors — the
+    dense-cluster isolator (spam-ring / template detection shape).
+    Same edge set as part_triangle_counts; per-round = one degree agg
+    + two semi joins, eager localCheckpoint, edge-count convergence."""
+    from .operators import graph
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("src"),
+                      F.col("b.l_partkey").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter(F.col("_n") >= 2)
+             .select("src", "dst"))
+    return (graph.kcore(edges, k=3)
+            .select(F.col("node").alias("l_partkey"), "core_degree"))

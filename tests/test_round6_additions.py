@@ -95,3 +95,42 @@ def test_ngram_novelty_first_occurrence(spark):
     assert out[3]["n_grams"] == 4 and out[3]["n_novel"] == 3
     assert out[3]["novelty_ratio"] == 0.75
     assert 4 not in out
+
+
+def test_t_closeness_uniform_group_zero_emd(spark):
+    # group 'a' mirrors the global distribution exactly → EMD 0;
+    # group 'b' is fully concentrated on the top bucket → max skew
+    rows = ([("a", v) for v in (1, 1, 2, 2, 3, 3)]
+            + [("b", 3), ("b", 3), ("b", 3)])
+    # make global = a ∪ b: buckets 1:2, 2:2, 3:6  (not uniform)
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import privacy
+    df = spark.createDataFrame(rows, "g string, vb long")
+    out = {r["g"]: r for r in privacy.t_closeness_audit(
+        df, ["g"], "vb", t_num=1, t_den=5).collect()}
+    # hand EMD: N=9, B=3; global cums: 2,4,9
+    # a: n=6, cums 2,4,6 → |2*9-2*6|+|4*9-4*6|+0 = 6+12 = 18
+    assert out["a"]["scaled_emd"] == 18
+    assert out["a"]["emd"] == 18 / (6 * 9 * 2)
+    # b: n=3, cums 0,0,3 → |0-2*3|+|0-4*3|+|3*9-9*3| = 6+12+0 = 18
+    assert out["b"]["scaled_emd"] == 18
+    assert out["b"]["emd"] == 18 / (3 * 9 * 2)
+    assert out["b"]["t_violation"]        # 18*5 > 1*54
+    assert not out["a"]["t_violation"]    # 18*5 < 1*108 is False: 90<108 ✓
+
+
+def test_kcore_peels_tail(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import graph, pyref
+    # a 4-clique with a pendant path hanging off it
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["core_degree"]
+           for r in graph.kcore(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert out == dict(pyref.ref_kcore(edges, 3))
+
+
+def test_kcore_empty_when_k_exceeds_clique(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import graph
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert graph.kcore(df, k=3).count() == 0
