@@ -468,3 +468,37 @@ def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
                     (F.col("n_novel").cast("double")
                      / F.col("n_grams").cast("double"))
                     .alias("novelty_ratio")))
+
+
+def sentence_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document sentence-level shape statistics: segment on
+    [.!?]+ runs (plus trailing whitespace), drop empty segments, report
+    (id, n_sentences, n_sentence_tokens, max_sentence_tokens,
+    mean_sentence_tokens) — the sentence-length quality axis the
+    token-level ``quality_score`` can't see (wall-of-text docs with no
+    sentence boundaries, chopped-up listicles with 2-token sentences).
+
+    Entirely in-row JVM array code (split → transform → filter →
+    aggregate) — no explode, no shuffle beyond the scan; the regex is
+    kept to the Java/RE2-identical subset and the split semantics
+    (trailing empty segment, empty string → ['']) are pinned by the
+    sf0.01 oracle hash. Counts BIGINT; mean is the ONE division (NULL
+    when a doc has no sentences)."""
+    segs = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+\s*"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    sent_toks = F.transform(
+        segs, lambda s: F.size(F.filter(F.split(s, " "),
+                                        lambda t: t != "")))
+    n_sent = F.size(segs).cast("long")
+    total = F.aggregate(sent_toks, F.lit(0).cast("long"),
+                        lambda a, x: a + x)
+    return docs.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        total.alias("n_sentence_tokens"),
+        F.array_max(sent_toks).cast("long").alias("max_sentence_tokens"),
+        F.when(n_sent > 0, total.cast("double") / n_sent.cast("double"))
+        .alias("mean_sentence_tokens"))

@@ -9590,3 +9590,42 @@ def part_order_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("src", "dst"))
     return (graph.kcore(edges, k=3)
             .select(F.col("node").alias("l_partkey"), "core_degree"))
+
+
+# --------------------------------------------------------------------------
+# E180 (round 6) — sentence-level document shape (operators/text.py):
+# the quality axis token-level stats can't see. Split semantics
+# (trailing empty segment, '' → ['']) verified empirically identical
+# between Spark split and DuckDB string_split_regex before registering.
+# --------------------------------------------------------------------------
+
+@register("docs_sentence_stats", """
+    WITH s AS (SELECT doc_id,
+                      list_filter(list_transform(
+                          string_split_regex(text, '[.!?]+\\s*'),
+                          x -> trim(x)), x -> x != '') AS segs
+               FROM documents),
+    t AS (SELECT doc_id, segs,
+                 list_transform(segs, x -> CAST(len(list_filter(
+                     string_split(x, ' '), y -> y != '')) AS BIGINT))
+                     AS stoks
+          FROM s)
+    SELECT doc_id,
+           CAST(len(segs) AS BIGINT) AS n_sentences,
+           COALESCE(CAST(list_sum(stoks) AS BIGINT), 0)
+               AS n_sentence_tokens,
+           CAST(list_max(stoks) AS BIGINT) AS max_sentence_tokens,
+           CASE WHEN len(segs) > 0 THEN
+               COALESCE(CAST(list_sum(stoks) AS BIGINT), 0)
+               / CAST(len(segs) AS DOUBLE)
+           END AS mean_sentence_tokens
+    FROM t
+""")
+def docs_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentence segmentation stats
+    (operators/text.py::sentence_stats): sentence count, token totals
+    and max/mean sentence length from in-row array code — no explode,
+    no shuffle. DuckDB empty-list list_sum → NULL shimmed with
+    COALESCE; division written x/CAST(... AS DOUBLE) to match Spark's
+    long-over-double tree."""
+    return text.sentence_stats(_docs(spark, sf_dir), "doc_id", "text")

@@ -134,3 +134,23 @@ def test_kcore_empty_when_k_exceeds_clique(spark):
     from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import graph
     df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
     assert graph.kcore(df, k=3).count() == 0
+
+
+def test_sentence_stats_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world. second one! third? end"),
+         (2, "no punct here"),
+         (3, ""),
+         (4, "a.. b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.sentence_stats(docs, "doc_id", "text").collect()}
+    assert out[1]["n_sentences"] == 4
+    assert out[1]["n_sentence_tokens"] == 6
+    assert out[1]["max_sentence_tokens"] == 2
+    assert out[1]["mean_sentence_tokens"] == 6 / 4
+    assert out[2]["n_sentences"] == 1 and out[2]["n_sentence_tokens"] == 3
+    assert out[3]["n_sentences"] == 0
+    assert out[3]["mean_sentence_tokens"] is None
+    assert out[3]["max_sentence_tokens"] is None
+    assert out[4]["n_sentences"] == 2
