@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,6 +62,40 @@ def _range_sorted(df: DataFrame, order_cols: list[str],
     return d, counts, sum(counts.values())
 
 
+def _offsets_of(counts: dict[int, int], start: int = 0) -> dict[int, int]:
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return offsets
+
+
+def _global_index(d: DataFrame, offsets: dict[int, int]):
+    """JVM-only global row index over a :func:`_range_sorted` frame:
+    ``monotonically_increasing_id`` is ``pid·2³³ + in-partition record
+    number``, and after the checkpoint pinned the sorted layout the
+    record number IS the in-partition sort position — so
+    ``offset[_pid] + (mid − pid·2³³)`` is the dense global index with
+    ZERO Python and zero extra exchange (the first implementation paid
+    an Arrow round-trip per labeling pass; at local scale that fixed
+    cost dominated sub-second queries 3–5×). The offset lookup is a
+    literal k-entry map (k = partition count).
+
+    CAUTION for callers: ``monotonically_increasing_id`` is
+    NONDETERMINISTIC — CSE never deduplicates it, so referencing this
+    expression more than once in one projection evaluates the counter
+    once PER OCCURRENCE (observed: the ntile formula's three references
+    silently read three different record numbers). Materialize it in
+    its own column first and derive everything from that column."""
+    omap = F.create_map(*[F.lit(x) for pid, off in offsets.items()
+                          for x in (pid, off)])
+    # low 33 bits = record number regardless of the evaluating task's
+    # partition index; the offset lookup keys on the STORED _pid (the
+    # range bucket), so neither side assumes eval-pid == stored-pid.
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    return omap[F.col("_pid")] + local
+
+
 def global_row_numbers(df: DataFrame, order_cols: list[str], *,
                        out_col: str = "row_num",
                        start: int = 0,
@@ -70,25 +103,8 @@ def global_row_numbers(df: DataFrame, order_cols: list[str], *,
     """Append ``out_col``: dense ``start..start+N-1`` following the total
     order of ``order_cols`` (ascending)."""
     d, counts, _ = _range_sorted(df, order_cols, num_partitions)
-    offsets, acc = {}, start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    schema = d.drop("_pid").schema.add(out_col, "long", False)
-
-    def label(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            base = offsets[int(pdf["_pid"].iat[0])]
-            out = pdf.drop(columns=["_pid"])
-            out[out_col] = range(base + local, base + local + len(pdf))
-            local += len(pdf)
-            yield out
-
-    return d.mapInPandas(label, schema)
+    idx = _global_index(d, _offsets_of(counts, start))
+    return d.withColumn(out_col, idx.cast("long")).drop("_pid")
 
 
 def global_ntile(df: DataFrame, order_cols: list[str], n_bins: int, *,
@@ -106,39 +122,31 @@ def global_ntile(df: DataFrame, order_cols: list[str], n_bins: int, *,
     buckets gets one row — the same formula with q = 0, r = N).
 
     Plan: the :func:`_range_sorted` two-phase shuffle (parallel range
-    sort + k counts to the driver), then each partition labels its rows
-    from its broadcast offset — integer arithmetic only, deterministic
-    given a total order (pass a unique tie-breaker), hash-exact against
-    the window form's oracle.
+    sort + k counts to the driver), then the bucket formula evaluates
+    over the :func:`_global_index` JVM row index — whole-stage-codegen
+    integer arithmetic, no Python, deterministic given a total order
+    (pass a unique tie-breaker), hash-exact against the window form's
+    oracle. The ``floor`` divisions are exact: row indices ≪ 2⁵³.
     """
     d, counts, n = _range_sorted(df, order_cols, num_partitions)
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    # materialize the index ONCE (see _global_index caution): the bucket
+    # formula references it three times, and a nondeterministic id
+    # inlined there would re-evaluate per occurrence (observed: rows
+    # past the first bucket cut got garbage). A projection boundary is
+    # sufficient — CollapseProject never inlines a nondeterministic
+    # expression consumed more than once (asserted by the 1/3/8
+    # partition-sweep tests against the window form).
+    d = d.withColumn("_gi", _global_index(d, _offsets_of(counts)))
+    i = F.col("_gi")
     q, r = divmod(n, n_bins)
     cut = r * (q + 1)  # first row index of the q-sized buckets
-
-    schema = d.drop("_pid").schema.add(out_col, "long", False)
-
-    def label(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            base = offsets[int(pdf["_pid"].iat[0])]
-            out = pdf.drop(columns=["_pid"])
-            i = np.arange(base + local, base + local + len(pdf),
-                          dtype="int64")
-            if q == 0:
-                out[out_col] = i + 1
-            else:
-                out[out_col] = np.where(i < cut, i // (q + 1) + 1,
-                                        r + (i - cut) // q + 1)
-            local += len(pdf)
-            yield out
-
-    return d.mapInPandas(label, schema)
+    if q == 0:
+        bucket = i + 1
+    else:
+        bucket = (F.when(i < cut, F.floor(i / (q + 1)) + 1)
+                  .otherwise(r + F.floor((i - cut) / q) + 1))
+    return (d.withColumn(out_col, bucket.cast("long"))
+            .drop("_pid", "_gi"))
 
 
 def global_cumsums(df: DataFrame, order_cols: list[str],
@@ -155,6 +163,20 @@ def global_cumsums(df: DataFrame, order_cols: list[str],
     driver-side prefix and the partition-local fold must both be exact —
     doubles would make the result depend on the partition count).
     """
+    out, _ = global_cumsums_with_totals(df, order_cols, value_cols,
+                                        out_cols,
+                                        num_partitions=num_partitions)
+    return out
+
+
+def global_cumsums_with_totals(
+        df: DataFrame, order_cols: list[str],
+        value_cols: list[str], out_cols: list[str], *,
+        num_partitions: int | None = None) -> tuple[DataFrame, list[int]]:
+    """:func:`global_cumsums` plus the grand totals per measure — they
+    fall out of the driver-side prefix for free (the final accumulator),
+    so callers that also need Σvalue (a KS scan needs n_a/n_b, an AUC
+    needs P/N) skip a whole extra aggregation job and its cross-join."""
     assert len(value_cols) == len(out_cols)
     d, counts, _ = _range_sorted(df, order_cols, num_partitions)
     sums = {r["_pid"]: [r[f"_s{i}"] for i in range(len(value_cols))]
@@ -184,7 +206,7 @@ def global_cumsums(df: DataFrame, order_cols: list[str],
                 running[i] += int(pdf[v].astype("int64").sum())
             yield out
 
-    return d.mapInPandas(fold, schema)
+    return d.mapInPandas(fold, schema), list(acc)
 
 
 def global_cumsum(df: DataFrame, order_cols: list[str], value_col: str, *,

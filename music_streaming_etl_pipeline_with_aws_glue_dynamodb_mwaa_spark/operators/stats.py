@@ -473,21 +473,21 @@ def concentration_coverage(df: DataFrame, key_col: str, weight: Column, *,
     final IEEE division — hash-exact.
 
     Plan: one key aggregation, then the descending-weight running total
-    rides the two-phase ``ids.global_cumsum`` (range-partition on the
-    NEGATED weight — exact for BIGINT — + key tie-break; k partition
-    sums to the driver) instead of a single-task
-    ``sum() OVER (ORDER BY)``; the total is the max of the inclusive
-    cumulative, broadcast back; one scalar roll-up. No unpartitioned
-    window at key grain — the plan survives 10⁹+ keys.
+    rides the two-phase ``ids.global_cumsums_with_totals``
+    (range-partition on the NEGATED weight — exact for BIGINT — + key
+    tie-break; k partition sums to the driver) instead of a single-task
+    ``sum() OVER (ORDER BY)``; the total falls out of the driver-side
+    prefix as a literal (no totals job); one scalar roll-up. No
+    unpartitioned window at key grain — the plan survives 10⁹+ keys.
     """
     per_key = (df.groupBy(key_col).agg(F.sum(weight).alias("_w"))
                .withColumn("_nw", -F.col("_w")))
-    c = ids.global_cumsum(per_key, ["_nw", key_col], "_w", out_col="_cum")
-    tots = c.agg(F.max("_cum").alias("_tot"))
-    marked = (c.crossJoin(F.broadcast(tots))
-              .select("_w", "_cum", "_tot",
-                      (((F.col("_cum") - F.col("_w")) * den)
-                       < (F.col("_tot") * F.lit(num))).alias("_covering")))
+    c, (tot,) = ids.global_cumsums_with_totals(
+        per_key, ["_nw", key_col], ["_w"], ["_cum"])
+    marked = c.select(
+        "_w", "_cum", F.lit(tot).cast("bigint").alias("_tot"),
+        (((F.col("_cum") - F.col("_w")) * den)
+         < F.lit(tot * num)).alias("_covering"))
     return marked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(F.col("_covering").cast("bigint")).alias("n_covering"),
@@ -542,24 +542,22 @@ def abc_classes(df: DataFrame, key_col: str, weight: Column, *,
     to the band), so membership is deterministic and hash-exact; the
     emitted share is one final division. Same two-phase posture as
     ``concentration_coverage``: the descending-weight running total is
-    ``ids.global_cumsum`` over the negated weight (+ key tie-break),
-    the total is the broadcast max of the inclusive cumulative — no
-    key-grain global window anywhere in the plan."""
+    ``ids.global_cumsums_with_totals`` over the negated weight (+ key
+    tie-break); the total falls out of the driver-side prefix as a
+    literal — no key-grain global window, no totals job, anywhere in
+    the plan."""
     per_key = (df.groupBy(key_col).agg(F.sum(weight).alias("weight"))
                .withColumn("_nw", -F.col("weight")))
-    c = ids.global_cumsum(per_key, ["_nw", key_col], "weight",
-                          out_col="cum_weight")
-    tots = c.agg(F.max("cum_weight").alias("_tot"))
+    c, (tot,) = ids.global_cumsums_with_totals(
+        per_key, ["_nw", key_col], ["weight"], ["cum_weight"])
     prev_cum = F.col("cum_weight") - F.col("weight")
-    tot = F.col("_tot")
-    cls = (F.when(prev_cum * a_den < tot * a_num, "A")
-           .when(prev_cum * b_den < tot * b_num, "B")
+    cls = (F.when(prev_cum * a_den < F.lit(tot * a_num), "A")
+           .when(prev_cum * b_den < F.lit(tot * b_num), "B")
            .otherwise("C"))
-    return (c.crossJoin(F.broadcast(tots))
-            .select(key_col, "weight", "cum_weight",
+    return c.select(key_col, "weight", "cum_weight",
                     (F.col("cum_weight").cast("double")
-                     / tot.cast("double")).alias("cum_share"),
-                    cls.alias("abc_class")))
+                     / F.lit(float(tot))).alias("cum_share"),
+                    cls.alias("abc_class"))
 
 
 def autocorrelation(daily: DataFrame, keys: list[str], order_col: str,
@@ -616,38 +614,37 @@ def ks_two_sample(df: DataFrame, group_col: str, val_col: str, *,
 
     Plan: per-value conditional counts (the only fact-sized exchange),
     then BOTH cumulative CDFs ride one two-phase
-    ``ids.global_cumsums`` over the merged value order — range-partition
-    + k partition sums to the driver, never a single-task
-    ``sum() OVER (ORDER BY)`` (the r5 VERDICT scale flag). Totals are
-    the max of the inclusive cumulatives (counts are non-negative), the
-    argmax is a scalar max + an equality probe against the broadcast
-    max — no global window anywhere, every stage partition-parallel.
-    The cumulative frame is value-grain and feeds three branches, so it
-    is localCheckpoint'd once (distinct measure values — bounded by the
-    value domain, not the row count).
+    ``ids.global_cumsums_with_totals`` over the merged value order —
+    range-partition + k partition sums to the driver, never a
+    single-task ``sum() OVER (ORDER BY)`` (the r5 VERDICT scale flag).
+    n_a/n_b fall out of the driver-side prefix as literals (no totals
+    job, no cross-join), the argmax is a scalar max + an equality probe
+    against the broadcast max — no global window anywhere, every stage
+    partition-parallel. The cumulative frame is value-grain and feeds
+    two branches, so it is localCheckpoint'd once (distinct measure
+    values — bounded by the value domain, not the row count).
     """
     per_val = (df.groupBy(F.col(val_col).alias("v"))
                .agg(F.count(F.when(F.col(group_col) == group_a, 1))
                     .alias("_ca"),
                     F.count(F.when(F.col(group_col) == group_b, 1))
                     .alias("_cb")))
-    cum = ids.global_cumsums(per_val, ["v"], ["_ca", "_cb"], ["ca", "cb"],
-                             num_partitions=num_partitions)
-    tots = cum.agg(F.max("ca").alias("n_a"), F.max("cb").alias("n_b"))
-    scored = (cum.crossJoin(F.broadcast(tots))
-              .withColumn("_scaled",
-                          F.abs(F.col("ca") * F.col("n_b")
-                                - F.col("cb") * F.col("n_a")))
+    cum, (n_a, n_b) = ids.global_cumsums_with_totals(
+        per_val, ["v"], ["_ca", "_cb"], ["ca", "cb"],
+        num_partitions=num_partitions)
+    scored = (cum.withColumn("_scaled",
+                             F.abs(F.col("ca") * F.lit(n_b)
+                                   - F.col("cb") * F.lit(n_a)))
               .localCheckpoint())
     smax = scored.agg(F.max("_scaled").alias("_smax"))
     return (scored.join(F.broadcast(smax),
                         F.col("_scaled") == F.col("_smax"))
-            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+            .agg(F.lit(n_a).cast("bigint").alias("n_a"),
+                 F.lit(n_b).cast("bigint").alias("n_b"),
                  F.min("v").alias("ks_at_value"),
                  F.max("_scaled").alias("scaled_max"),
                  (F.max("_scaled").cast("double")
-                  / (F.max("n_a") * F.max("n_b")).cast("double"))
-                 .alias("ks_d")))
+                  / F.lit(float(n_a * n_b))).alias("ks_d")))
 
 
 def equidepth_histogram(df: DataFrame, val_col: str, uniq_col: str, *,

@@ -32,6 +32,23 @@ import sys
 RATIO = 1.5
 FLOOR_SECS = 1.0
 
+#: Documented deliberate trades (kept tiny, reviewed each round): queries
+#: whose r6 rewrite REPLACED a single-task global window with the
+#: two-phase range-partition machinery (r5 VERDICT items 2-4). At sf0.1
+#: the window form was a sub-second single task and the two-phase form
+#: pays a fixed ~0.7-1.7s of extra jobs (range sampling + checkpoint +
+#: counts), so a 1.5x flag vs the r5 file is EXPECTED — the rewrite is
+#: certified hash-identical against the unchanged oracle and is the
+#: form that survives 10^9-key inputs (see BENCH_SF1_r06.json for the
+#: scale evidence). Reported as DELIBERATE, excluded from the exit code.
+ALLOWED_TRADES = {
+    "ab_purchase_ks": "r6 two-phase CDF rewrite (was single-task window)",
+    "vocab_growth_curve": "r6 two-phase ntile rewrite",
+    "orders_revenue_8020": "r6 two-phase cumsum rewrite",
+    "part_abc_classes": "r6 two-phase cumsum rewrite",
+    "customer_rfm_segments": "r6 two-phase ntile x3 rewrite",
+}
+
 
 _NON_QUERY_KEYS = {"metric", "value", "unit", "sf", "env", "load_avg_1m",
                    "other_jvms", "cpu_count", "load_avg_1m_end", "n", "rc",
@@ -163,6 +180,10 @@ def main() -> int:
     for q in shared:
         o, n = float(oq[q]), float(nq[q])
         if n > max(ratio * o, FLOOR_SECS):
+            if q in ALLOWED_TRADES:
+                print(f"DELIBERATE {q}: {o:.2f}s -> {n:.2f}s "
+                      f"({ALLOWED_TRADES[q]})")
+                continue
             flagged.append((q, o, n))
     tot_o = sum(float(oq[q]) for q in shared)
     tot_n = sum(float(nq[q]) for q in shared)
