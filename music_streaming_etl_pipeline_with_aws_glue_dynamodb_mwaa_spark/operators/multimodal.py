@@ -447,3 +447,56 @@ def extract_media_features_real(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(fn, _FEATURES_SCHEMA)
+
+
+def audio_loudness_stats(media: DataFrame) -> DataFrame:
+    """REAL-codec audio loudness table: decode every PCM WAV payload and
+    report EXACT integer signal statistics — (media_id, n_samples,
+    sum_sq, peak_abs) plus the rms double derived JVM-side as
+    ``sqrt(sum_sq / n)`` — the audio-curation gate (clipped / silent /
+    hot clips) over opaque binary columns.
+
+    This is the multimodal family's hash-exact anchor: the integer core
+    is a pure function of the decoded samples, so an INDEPENDENT
+    pure-Python replay of the doc-id-seeded fixture
+    (operators/pyref.py::media_wav_loudness_oracle — regenerate
+    samples, never touching this codec) certifies the whole
+    encode→decode→stats path bit-for-bit; only the final sqrt/division
+    ride the portable IEEE tree. sum_sq stays in int64: n·32768² caps
+    at ~8.6×10⁹ samples (~12 days of 8 kHz mono) per clip.
+
+    Plan: one Arrow-batched ``mapInPandas`` over the payload column
+    (decode is inherently imperative; per-row cost O(payload)), then a
+    JVM projection. Non-audio rows are filtered map-side; undecodable
+    payloads route to NULL stats rather than raising (the CSV-corrupt
+    posture)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "sum_sq": [],
+                   "peak_abs": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    smp, _rate = wav_decode(bytes(payload))
+                except Exception:  # noqa: BLE001 — route, don't raise
+                    out["media_id"].append(int(mid))
+                    out["n_samples"].append(None)
+                    out["sum_sq"].append(None)
+                    out["peak_abs"].append(None)
+                    continue
+                s = smp.astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(int(len(s)))
+                out["sum_sq"].append(int((s * s).sum()))
+                out["peak_abs"].append(int(np.abs(s).max())
+                                       if len(s) else None)
+            yield pd.DataFrame(out)
+
+    stats = (media.filter(F.col("kind") == "audio")
+             .select("media_id", "payload")
+             .mapInPandas(fn, "media_id long, n_samples long, "
+                              "sum_sq long, peak_abs long"))
+    return stats.select(
+        "media_id", "n_samples", "sum_sq", "peak_abs",
+        F.sqrt(F.col("sum_sq").cast("double")
+               / F.col("n_samples").cast("double")).alias("rms"))

@@ -312,3 +312,41 @@ def part_kcore_oracle(k: int = 3) -> str:
         rows, ["l_partkey", "core_degree"],
         ["CAST(l_partkey AS BIGINT) AS l_partkey",
          "CAST(core_degree AS BIGINT) AS core_degree"])
+
+
+# -- real-codec audio loudness replay oracle (round 6) -----------------------
+
+@lru_cache(maxsize=None)
+def media_wav_loudness_oracle() -> str:
+    """Independent replay of the REAL-codec audio path: regenerate each
+    odd doc_id's doc-id-seeded int16 samples exactly as
+    ``multimodal.real_media_fixture`` specifies (RandomState(did),
+    randint(-32768, 32767, 256)) WITHOUT touching the WAV codec under
+    test, compute the exact integer stats, and emit the rms as the SAME
+    SQL tree the Spark side runs — so the encode→decode→stats loop is
+    certified end to end."""
+    import numpy as np
+
+    path = f"{ORACLE_SF_DIR}/documents.parquet"
+    if not _os.path.exists(path):
+        raise FileNotFoundError(
+            f"replay-oracle corpus missing: {path} — set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR if the testdata moved")
+    ids_ = pq.read_table(path, columns=["doc_id"]).column("doc_id") \
+        .to_pylist()
+    rows = []
+    for did in sorted(ids_):
+        if did % 2 == 0:
+            continue  # even ids are BMP images in the fixture
+        rng = np.random.RandomState(int(did) % (2 ** 31))
+        s = rng.randint(-32768, 32767, size=256,
+                        dtype=np.int64).astype(np.int16).astype(np.int64)
+        rows.append((int(did), 256, int((s * s).sum()),
+                     int(np.abs(s).max())))
+    return values_table(
+        rows, ["media_id", "n_samples", "sum_sq", "peak_abs"],
+        ["CAST(media_id AS BIGINT) AS media_id",
+         "CAST(n_samples AS BIGINT) AS n_samples",
+         "CAST(sum_sq AS BIGINT) AS sum_sq",
+         "CAST(peak_abs AS BIGINT) AS peak_abs",
+         "sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms"])

@@ -9629,3 +9629,22 @@ def docs_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     COALESCE; division written x/CAST(... AS DOUBLE) to match Spark's
     long-over-double tree."""
     return text.sentence_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# E181 (round 6) — the multimodal family's HASH-EXACT anchor: real-codec
+# audio loudness, certified against an independent pure-Python replay of
+# the doc-id-seeded fixture (pyref.media_wav_loudness_oracle regenerates
+# the samples without touching the WAV codec under test).
+# --------------------------------------------------------------------------
+
+@register("media_audio_loudness", pyref.media_wav_loudness_oracle)
+def media_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer loudness stats (n_samples, Σs², peak) + the
+    IEEE-tree rms over REAL decoded PCM WAV payloads
+    (operators/multimodal.py::audio_loudness_stats) — promotes the
+    real-codec media path from rows-only to oracle-exact: the replay
+    oracle regenerates the seeded samples independently, so a codec
+    regression (header walk, chunk parse, int16 decode) breaks the hash."""
+    media = multimodal.real_media_fixture(_docs(spark, sf_dir))
+    return multimodal.audio_loudness_stats(media)

@@ -154,3 +154,25 @@ def test_sentence_stats_hand_case(spark):
     assert out[3]["mean_sentence_tokens"] is None
     assert out[3]["max_sentence_tokens"] is None
     assert out[4]["n_sentences"] == 2
+
+
+def test_audio_loudness_exact_and_routed(spark):
+    import numpy as np
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import multimodal
+    s1 = np.array([0, 100, -200, 32767], dtype=np.int16)
+    s2 = np.array([-32768], dtype=np.int16)
+    rows = [(1, "audio", bytearray(multimodal.wav_encode(s1))),
+            (2, "audio", bytearray(multimodal.wav_encode(s2))),
+            (3, "audio", bytearray(b"not a wav")),      # routes to NULLs
+            (4, "image", bytearray(b"BMxx"))]           # filtered out
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.audio_loudness_stats(media).collect()}
+    assert out[1]["n_samples"] == 4
+    assert out[1]["sum_sq"] == 100**2 + 200**2 + 32767**2
+    assert out[1]["peak_abs"] == 32767
+    assert out[1]["rms"] == (out[1]["sum_sq"] / 4) ** 0.5
+    assert out[2]["sum_sq"] == 32768**2 and out[2]["peak_abs"] == 32768
+    assert out[3]["n_samples"] is None and out[3]["rms"] is None
+    assert 4 not in out
