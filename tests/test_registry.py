@@ -75,15 +75,16 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
         "pack_documents_512", "packing_stats_512",
         "pack_tokens_probe", "pack_offsets_probe",
-        # round-5 rotation: end-to-end pipeline + zero-history families
-        # (VERDICT r4 item 1)
-        "pipeline_e2e_kpis", "asof_purchase_next_click",
-        "purchase_state_pit", "orders_cdc_change_counts",
-        "lineitem_grouping_sets", "funnel_user_stages",
-        "user_cohort_retention", "events_value_moments",
-        "tpch_q6_forecast_revenue", "tpch_q13_customer_order_counts",
-        "regional_revenue", "fk_orphans_audit", "doc_term_stats",
-        "weighted_sample_docs",
+        # round-6 rotation: the five two-phase rewrites (certified
+        # against their unchanged oracles) + zero-history families
+        # (VERDICT r5 item 1)
+        "ab_purchase_ks", "vocab_growth_curve", "orders_revenue_8020",
+        "part_abc_classes", "customer_rfm_segments", "doc_lm_count_core",
+        "classifier_eval_metrics", "classifier_auc",
+        "customer_cohort_ltv", "session_transcripts",
+        "events_k_anonymity_audit", "event_type_user_overlap_kmv",
+        "neardup_embedding_signbit_pairs", "events_temporal_split",
+        "ab_purchase_welch_t", "user_event_streaks",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 
