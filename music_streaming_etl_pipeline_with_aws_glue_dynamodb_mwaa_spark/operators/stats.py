@@ -700,3 +700,38 @@ def lorenz_table(df: DataFrame, key_col: str, weight: Column, *,
         (F.sum("bin_weight").over(cum).cast("double")
          / F.sum("bin_weight").over(tot).cast("double"))
         .alias("cum_share"))
+
+
+def period_drift_table(df: DataFrame, period_a: Column,
+                       bucket_col: str) -> DataFrame:
+    """Distribution-drift monitor between two row populations (period A
+    = rows where ``period_a`` is true, period B = the rest) over a
+    bucketed measure: per bucket, both counts, both totals, the
+    cross-multiplied integer drift magnitude
+    ``scaled_diff = |c_a·n_b − c_b·n_a|`` and both share doubles — the
+    integer CORE of a PSI/L1 drift dashboard (PSI's ln factor is not
+    hash-portable; the shares and the exact scaled L1 are, and the L1
+    distance is Σ scaled_diff / (n_a·n_b) client-side — one division
+    per bucket here). Buckets with rows in only one period still appear
+    (full outer semantics via the grid of observed buckets).
+
+    Plan: one (period, bucket) aggregation (the only fact-sized
+    exchange), a broadcast 1-row totals join, arithmetic projections.
+    An empty period yields NULL shares (guarded division), not a
+    raise — a drift monitor must survive a window with no traffic.
+    """
+    g = (df.groupBy(bucket_col)
+         .agg(F.sum(F.when(period_a, 1).otherwise(0)).alias("c_a"),
+              F.sum(F.when(period_a, 0).otherwise(1)).alias("c_b")))
+    tots = g.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    j = g.crossJoin(F.broadcast(tots))
+    return j.select(
+        bucket_col, "c_a", "c_b", "n_a", "n_b",
+        F.abs(F.col("c_a") * F.col("n_b")
+              - F.col("c_b") * F.col("n_a")).alias("scaled_diff"),
+        F.when(F.col("n_a") > 0,
+               F.col("c_a").cast("double") / F.col("n_a").cast("double"))
+        .alias("share_a"),
+        F.when(F.col("n_b") > 0,
+               F.col("c_b").cast("double") / F.col("n_b").cast("double"))
+        .alias("share_b"))

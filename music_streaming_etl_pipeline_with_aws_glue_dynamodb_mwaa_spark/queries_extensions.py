@@ -9648,3 +9648,138 @@ def media_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression (header walk, chunk parse, int16 decode) breaks the hash."""
     media = multimodal.real_media_fixture(_docs(spark, sf_dir))
     return multimodal.audio_loudness_stats(media)
+
+
+# --------------------------------------------------------------------------
+# E182 (round 6, final batch) — drift monitoring, curriculum assignment,
+# graph-shape diagnostics, and the decimal escape hatch exercised at
+# FACT scale (not just the VALUES probe).
+# --------------------------------------------------------------------------
+
+@register("events_value_drift_periods", """
+    WITH r AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                      max(CAST(ts AS DATE)) AS hi FROM events),
+    x AS (SELECT CAST(ts AS DATE)
+                     < lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER)
+                     AS pa,
+                 CAST(floor(value / 50.0) AS BIGINT) AS bucket
+          FROM events CROSS JOIN r),
+    g AS (SELECT bucket,
+                 CAST(sum(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+                 CAST(sum(CASE WHEN pa THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+          FROM x GROUP BY 1),
+    t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                 CAST(sum(c_b) AS BIGINT) AS n_b FROM g)
+    SELECT bucket, c_a, c_b, n_a, n_b,
+           abs(c_a * n_b - c_b * n_a) AS scaled_diff,
+           CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS share_a,
+           CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS share_b
+    FROM g CROSS JOIN t
+""")
+def events_value_drift_periods(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Value-distribution drift between the first and second half of
+    the corpus date range (data-derived midpoint pivot, so the split is
+    meaningful at every sf) — operators/stats.py::period_drift_table:
+    per value bucket,
+    both period counts and the cross-multiplied integer drift magnitude
+    |c_a·n_b − c_b·n_a| — the exact core of a PSI/L1 drift dashboard
+    (ln is not hash-portable; the L1 and shares are). One fact-sized
+    aggregation + a broadcast totals join."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"),
+                  F.floor(F.col("value") / F.lit(50.0)).cast("long")
+                  .alias("bucket"))
+    rng = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    x = (d.crossJoin(F.broadcast(rng))
+         .select((F.col("day") < F.date_add(
+             F.col("lo"),
+             (F.datediff(F.col("hi"), F.col("lo")) / 2).cast("int")))
+             .alias("pa"),
+             "bucket"))
+    return stats.period_drift_table(x, F.col("pa"), "bucket")
+
+
+@register("docs_curriculum_deciles", """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x != '')) AS BIGINT)
+                          AS n_tokens
+               FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+               AS curriculum_bucket
+    FROM t
+""")
+def docs_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning bucket assignment: docs ntile'd into 10
+    difficulty deciles by token count (doc_id tie-break) via the
+    two-phase ids.global_ntile — shortest-first training order without
+    a single-task window. The length proxy slots out for any scorer
+    with the same plan."""
+    from .operators.ids import global_ntile
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda t: t != "")).cast("long").alias("n_tokens"))
+    return global_ntile(d, ["n_tokens", "doc_id"], 10,
+                        out_col="curriculum_bucket")
+
+
+@register("part_degree_histogram", """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a AS node FROM und
+                  UNION ALL SELECT b FROM und)
+            GROUP BY 1)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+""")
+def part_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph (same ≥2-shared-orders
+    edge set as triangles/k-core): (degree, n_nodes) — the graph-shape
+    diagnostic read before choosing thresholds for the heavier graph
+    operators. Two hash aggregations over the edge list."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("src"),
+                      F.col("b.l_partkey").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter(F.col("_n") >= 2))
+    sym = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register("lineitem_decimal_revenue", """
+    SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100, 0)
+                                       AS BIGINT))) AS DECIMAL(38,0))
+                AS VARCHAR) AS revenue_micros,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+""")
+def lineitem_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decimal escape hatch exercised at FACT scale: total
+    discounted revenue summed as exact integer micros
+    (price_cents × (100 − disc_cents)) into DECIMAL(38,0) — the form
+    the stats operators document for sums past the int64 envelope —
+    rendered AS STRING for the driver comparator (the VALUES-level
+    semantics are pinned by decimal_semantics_audit; this pins the
+    fact-scale aggregation path)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    micros = (F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+              * (F.lit(100)
+                 - F.round(F.col("l_discount") * 100, 0).cast("bigint")))
+    return li.agg(
+        F.sum(micros.cast("decimal(38,0)")).cast("decimal(38,0)")
+        .cast("string").alias("revenue_micros"),
+        F.count(F.lit(1)).alias("n_rows"))

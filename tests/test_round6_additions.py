@@ -176,3 +176,24 @@ def test_audio_loudness_exact_and_routed(spark):
     assert out[2]["sum_sq"] == 32768**2 and out[2]["peak_abs"] == 32768
     assert out[3]["n_samples"] is None and out[3]["rms"] is None
     assert 4 not in out
+
+
+def test_period_drift_table_hand_case(spark):
+    rows = [(True, 1), (True, 1), (True, 2),
+            (False, 1), (False, 2), (False, 2), (False, 3)]
+    df = spark.createDataFrame(rows, "pa boolean, bucket long")
+    out = {r["bucket"]: r for r in stats.period_drift_table(
+        df, F.col("pa"), "bucket").collect()}
+    assert (out[1]["c_a"], out[1]["c_b"]) == (2, 1)
+    assert out[1]["n_a"] == 3 and out[1]["n_b"] == 4
+    assert out[1]["scaled_diff"] == abs(2 * 4 - 1 * 3)
+    assert out[3]["c_a"] == 0 and out[3]["scaled_diff"] == 3
+    assert out[2]["share_a"] == 1 / 3 and out[2]["share_b"] == 2 / 4
+
+
+def test_period_drift_table_empty_period_null_shares(spark):
+    df = spark.createDataFrame([(False, 1), (False, 2)],
+                               "pa boolean, bucket long")
+    out = stats.period_drift_table(df, F.col("pa"), "bucket").collect()
+    assert all(r["share_a"] is None for r in out)   # n_a = 0: no raise
+    assert all(r["share_b"] is not None for r in out)
