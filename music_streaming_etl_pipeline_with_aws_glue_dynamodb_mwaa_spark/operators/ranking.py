@@ -160,10 +160,14 @@ def _lm_joined(docs: DataFrame, id_col: str, text_col: str, *,
     aggregates the counts as-is (pure BIGINT → hash-exact anchor)."""
     lm = docs if lm_docs is None else lm_docs
     lm_text = text_col if lm_text_col is None else lm_text_col
-    bg = lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg")) \
-        .groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
-    ctx = lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg")) \
-        .select(F.substring_index("_bg", " ", 1).alias("_w1")) \
+    # ONE materialized model-side gram stream: bg counts, context counts
+    # and V all fold over it — a lazy plan would re-run the tokenizing
+    # explode once per consumer (three corpus scans; measured ~40% of
+    # the operator's wall at sf0.1)
+    grams = (lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg"))
+             .localCheckpoint())
+    bg = grams.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx = grams.select(F.substring_index("_bg", " ", 1).alias("_w1")) \
         .groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
     vocab_n = ctx.agg((F.count(F.lit(1)) + 1).alias("_v"))
     return (docs.select(F.col(id_col).alias("_id"),

@@ -456,8 +456,9 @@ def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
     vocabulary (shuffles hash-partition on the gram — skew-safe since
     DISTINCT grams per doc cap multiplicity at 1). Docs with < n
     tokens have no grams and drop out, like the LM scorer."""
-    grams = docs.select(F.col(id_col).alias("_id"),
-                        F.explode(shingles(text_col, n)).alias("_g"))
+    grams = (docs.select(F.col(id_col).alias("_id"),
+                         F.explode(shingles(text_col, n)).alias("_g"))
+             .localCheckpoint())   # two consumers: firsts + the join back
     firsts = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
     return (grams.join(firsts, "_g")
             .groupBy("_id")
