@@ -232,13 +232,18 @@ def test_continuous_processing_time_daemon(spark, tmp_path):
     q = filestream.run_continuous(stream, process, ckpt,
                                   processing_time="1 seconds")
     try:
-        deadline = time.time() + 60
+        # per-PHASE deadlines, sized for a contended box: under a full
+        # parallel pytest run the 1 s-trigger daemon's micro-batches can
+        # starve for tens of seconds, and a shared 60 s budget flaked
+        # (each phase passes in seconds on an idle box)
+        deadline = time.time() + 180
         while not any(u == "u1" for _, u in seen) and time.time() < deadline:
             time.sleep(0.2)
         # second batch: a file lands while the daemon is polling
         _write(str(src), "b.csv",
                "user_id,track_id,listen_time\nu2,t2,2024-01-02T10:00:00\n",
                2000)
+        deadline = time.time() + 180
         while not any(u == "u2" for _, u in seen) and time.time() < deadline:
             time.sleep(0.2)
     finally:
