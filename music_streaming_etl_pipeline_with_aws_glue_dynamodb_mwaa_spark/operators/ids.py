@@ -59,6 +59,18 @@ def _range_sorted(df: DataFrame, order_cols: list[str],
            .localCheckpoint())
     counts = {r["_pid"]: r["cnt"] for r in
               d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # _global_index reads the record number from the LOW 33 BITS of
+    # monotonically_increasing_id; a partition holding ≥ 2³³ rows would
+    # silently overflow into the partition-id bits and corrupt every
+    # downstream row number / ntile bucket / cumsum (round-6 ADVICE).
+    # The per-partition counts are already on the driver — fail loudly
+    # here instead; the fix at that scale is more range partitions.
+    if counts and max(counts.values()) >= (1 << 33):
+        raise ValueError(
+            f"range partition holds {max(counts.values())} rows ≥ 2^33 — "
+            f"monotonically_increasing_id's record counter would overflow "
+            f"into the partition-id bits; raise num_partitions "
+            f"(currently {len(counts)})")
     return d, counts, sum(counts.values())
 
 

@@ -104,7 +104,10 @@ def test_rfm_scores_match_window_ntile(spark, parts):
     od = spark.createDataFrame(rows, "ck long, d string, cents long") \
         .select("ck", F.col("d").cast("date").alias("d"), "cents") \
         .repartition(7)
-    got = segments.rfm_scores(od, "ck", "d", F.col("cents"))
+    # the sweep varies the RANGE partition count inside the three
+    # global_ntile calls (round-6 ADVICE: the parameter was unused)
+    got = segments.rfm_scores(od, "ck", "d", F.col("cents"),
+                              num_partitions=parts)
     # window-ntile reference on the same metric frame
     m = got.select("ck", "recency_days", "frequency", "monetary_cents")
     r_w = Window.orderBy(F.col("recency_days").desc(), F.col("ck"))

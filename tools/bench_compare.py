@@ -41,6 +41,12 @@ FLOOR_SECS = 1.0
 #: certified hash-identical against the unchanged oracle and is the
 #: form that survives 10^9-key inputs (see BENCH_SF1_r06.json for the
 #: scale evidence). Reported as DELIBERATE, excluded from the exit code.
+#:
+#: SCOPE (round-6 ADVICE): the exemption applies ONLY when the OLD file
+#: predates the rewrite — i.e. a pre-r6 min-only bench (no
+#: ``queries_min`` key). Once an r6+ baseline exists the two-phase cost
+#: is already priced into the old numbers, so a fresh flag on these
+#: queries is a genuine regression and fails the gate like any other.
 ALLOWED_TRADES = {
     "ab_purchase_ks": "r6 two-phase CDF rewrite (was single-task window)",
     "vocab_growth_curve": "r6 two-phase ntile rewrite",
@@ -180,7 +186,8 @@ def main() -> int:
     for q in shared:
         o, n = float(oq[q]), float(nq[q])
         if n > max(ratio * o, FLOOR_SECS):
-            if q in ALLOWED_TRADES:
+            # pre-rewrite old file only (see ALLOWED_TRADES scope note)
+            if q in ALLOWED_TRADES and "queries_min" not in old:
                 print(f"DELIBERATE {q}: {o:.2f}s -> {n:.2f}s "
                       f"({ALLOWED_TRADES[q]})")
                 continue
