@@ -141,13 +141,37 @@ def main() -> None:
 
     med = {n: round(_median(ss), 3) for n, ss in samples.items()}
     total = round(sum(med.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "query_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": med,
         "queries_min": times,
         "retried": retried,
+        "sf": sf,
+        "env": env,
+    }
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # final line as JSON; the full 300-query dict is ~25 KB, so BENCH_r06
+    # recorded "parsed": null (round-6 VERDICT item 6). Split the output:
+    # the COMPLETE results go to a file (committed as BENCH_LOCAL_r{N});
+    # stdout gets ONE compact line — suite total, env, and the per-query
+    # seconds of the flagship/anchor chain only — sized far under the
+    # tail capture so the driver's cross-round diff always has a parsed
+    # summary. tools/bench_compare.py follows ``full_results_file`` when
+    # gating against a compact driver artifact.
+    full_out = os.environ.get("SPARK_GRAFT_BENCH_FULL_OUT",
+                              "BENCH_LOCAL_latest.json")
+    with open(full_out, "w") as fh:
+        fh.write(json.dumps(full) + "\n")
+    anchors = [n for n in entrymod._PRIORITY[:10] if n in med]
+    print(json.dumps({
+        "metric": "query_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(med),
+        "queries": {n: med[n] for n in anchors},
+        "full_results_file": os.path.basename(full_out),
         "sf": sf,
         "env": env,
     }))

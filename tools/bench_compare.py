@@ -70,6 +70,25 @@ def _load(path: str) -> dict:
         d = json.load(fh)
     if d.get("rc", 0) != 0:
         print(f"NOTE: {path} recorded rc={d.get('rc')} — timings unreliable")
+    # r7+ bench.py prints a COMPACT stdout line (anchors only) and writes
+    # the complete per-query dict to ``full_results_file`` — follow the
+    # pointer (checked next to the given path, then the repo root) so the
+    # gate sees every query, not just the anchor chain. Applies both to
+    # the raw compact line and to the driver wrapper whose ``parsed``
+    # carries it.
+    src = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+    ref = (src or {}).get("full_results_file")
+    if ref and "queries_min" not in d:
+        for cand in (os.path.join(os.path.dirname(os.path.abspath(path)),
+                                  ref),
+                     os.path.join(os.path.dirname(os.path.dirname(
+                         os.path.abspath(__file__))), ref)):
+            if os.path.exists(cand):
+                with open(cand) as fh:
+                    d = json.load(fh)
+                print(f"NOTE: {os.path.basename(path)} is a compact "
+                      f"summary — loaded full results from {cand}")
+                break
     if not isinstance(d.get("queries"), dict) and isinstance(
             d.get("tail"), str):
         pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)',
