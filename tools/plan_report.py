@@ -12,6 +12,19 @@ executed plan, and tabulate the scale-relevant features:
 - red flags: CartesianProduct and CONDITIONED BroadcastNestedLoopJoin
   (a non-equi join that found no hash strategy).
 
+``localCheckpoint`` cuts lineage, so the FINAL executed plan of a
+two-phase or iterative query shows only a scan of the checkpointed RDD —
+round 6's audit was blind to everything upstream of a checkpoint (the
+two-phase family tabulated all-zero rows and a BNLJ introduced there
+would have been invisible; round-6 VERDICT item 2). This tool now
+instruments ``DataFrame.localCheckpoint`` for the duration of each
+query build: every checkpoint site first records its CHILD plan, the
+per-query features are the SUM over the final plan plus all captured
+subtrees (booleans OR'd), the red-flag scan covers every captured plan,
+and a ``ckpt`` column reports how many subtrees each query checkpointed
+(iterative ops capture one per round — the count is the executed
+reality, not a normalized shape).
+
 Writes a markdown report (default PLANS_r04.md) with a red-flag summary
 first — the 100 TB posture made auditable in one artifact instead of
 per-query spot checks.
@@ -73,19 +86,55 @@ def _features(plan: str) -> dict:
     }
 
 
+def _merge(feats: list[dict]) -> dict:
+    """Sum counters / OR booleans across the final plan + checkpointed
+    subtree plans of one query."""
+    out = dict(feats[0])
+    for f in feats[1:]:
+        for k, v in f.items():
+            out[k] = (out[k] or v) if isinstance(v, bool) else out[k] + v
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "PLANS_r04.md"
     spark = get_spark("plan-report", cpus=8)
-    rows, errors = [], []
-    for name, fn in entrymod.queries().items():
+
+    # Capture every checkpointed subtree's plan (see module docstring):
+    # the wrapper records the CHILD executed plan, then delegates. Patch
+    # the CONCRETE DataFrame class (pyspark.sql.classic.dataframe in
+    # PySpark 4 overrides the base-class method, so patching
+    # pyspark.sql.DataFrame would silently capture nothing).
+    DataFrame = type(spark.range(1))
+    captured: list[str] = []
+    orig_ckpt = DataFrame.localCheckpoint
+
+    def _capturing(self, eager=True):
         try:
-            df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            rows.append((name, _features(plan)))
-        except Exception as exc:  # noqa: BLE001 — report, don't die
-            msg = (str(exc).splitlines() or [repr(exc)])[0][:200]
-            errors.append((name, msg))
+            captured.append(
+                self._jdf.queryExecution().executedPlan().toString())
+        except Exception:  # noqa: BLE001 — capture must never break a query
+            pass
+        return orig_ckpt(self, eager)
+
+    DataFrame.localCheckpoint = _capturing
+    rows, errors = [], []
+    try:
+        for name, fn in entrymod.queries().items():
+            captured.clear()
+            try:
+                df = fn(spark, sf_dir)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                feats = [_features(p) for p in [plan] + captured]
+                f = _merge(feats)
+                f["ckpt"] = len(captured)
+                rows.append((name, f))
+            except Exception as exc:  # noqa: BLE001 — report, don't die
+                msg = (str(exc).splitlines() or [repr(exc)])[0][:200]
+                errors.append((name, msg))
+    finally:
+        DataFrame.localCheckpoint = orig_ckpt
     flags = []
     for name, f in rows:
         allowed = ALLOWED.get(name, set())
@@ -99,7 +148,10 @@ def main() -> int:
         fh.write("## Red flags\n\n")
         if not flags:
             fh.write("None. No CartesianProduct or BroadcastNestedLoopJoin "
-                     "anywhere outside the documented ALLOWED set.\n\n")
+                     "anywhere outside the documented ALLOWED set — "
+                     "including inside every checkpointed subtree (the "
+                     "`ckpt` column counts the captured pre-checkpoint "
+                     "plans each query's features now include).\n\n")
         else:
             for name, flag in flags:
                 fh.write(f"- **{name}**: {flag}\n")
@@ -111,14 +163,15 @@ def main() -> int:
             fh.write("\n")
         fh.write("## Per-query features\n\n")
         fh.write("| query | hashEx | rangeEx | bcast | BHJ | SMJ | scans |"
-                 " pushed | WGL | TopK | xBNLJ |\n|---|--:|--:|--:|--:|--:|"
-                 "--:|:-:|:-:|:-:|--:|\n")
+                 " pushed | WGL | TopK | xBNLJ | ckpt |\n|---|--:|--:|--:|"
+                 "--:|--:|--:|:-:|:-:|:-:|--:|--:|\n")
         for name, f in rows:
             fh.write(
                 f"| {name} | {f['hash_exchanges']} | {f['range_exchanges']} |"
                 f" {f['broadcasts']} | {f['bhj']} | {f['smj']} | {f['scans']} |"
                 f" {'y' if f['pushed'] else ''} | {'y' if f['wgl'] else ''} |"
-                f" {'y' if f['top'] else ''} | {f['bnlj_cross'] or ''} |\n")
+                f" {'y' if f['top'] else ''} | {f['bnlj_cross'] or ''} |"
+                f" {f['ckpt'] or ''} |\n")
     print(f"wrote {out_md}: {len(rows)} plans, {len(flags)} flags, "
           f"{len(errors)} errors")
     spark.stop()
