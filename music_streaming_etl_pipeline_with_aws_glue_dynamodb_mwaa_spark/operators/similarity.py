@@ -609,6 +609,178 @@ def cosine_topk_jl(emb: DataFrame, queries: DataFrame, k: int = 10, *,
                            tie_break=["neighbor_id"])
 
 
+# --------------------------------------------------------------------------
+# Oracle-exact EXPRESSION TWINS of the approximate-index building blocks.
+#
+# The production sketch paths (numpy matmuls in pandas UDFs) are rows-only
+# by nature: a numpy batched dot and a SQL sequential fold can round a sum
+# differently, and one ulp near a sign/rank boundary flips a bucket or a
+# candidate. These twins compute the SAME mathematical objects (same
+# hyperplanes / JL matrix / codebook values) through the sequential-fold
+# ``dot_expr`` that DuckDB's ``list_dot_product`` matches bit-for-bit — so
+# an end-to-end recall evaluation built on them is HASH-EXACT against a SQL
+# oracle (round-6 VERDICT item 7). They are certification instruments, not
+# the scale path: the numpy forms stay the production encoders, and tests
+# pin twin≡numpy agreement on the driver corpus.
+# --------------------------------------------------------------------------
+
+def _vec_sql(v) -> str:
+    """Literal DOUBLE array as SQL text: a ``D``-suffixed literal parses
+    JVM-side with correct rounding (round-trip pinned in tests). The eval
+    twins build their trees as SQL STRINGS because the Column-DSL form
+    costs one py4j round trip per node — at thousands of literal/lambda
+    nodes the pure driver-side construction dominated the whole eval
+    query (measured ~15s build vs ~5s execution at sf0.1)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`dot_expr` — the identical sequential
+    fold, so values are bit-equal to both the Column form and DuckDB's
+    ``list_dot_product``."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+            f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)")
+
+
+def _lit_vec(v) -> Column:
+    return F.expr(_vec_sql(v))
+
+
+def _lit_vec2(vv) -> Column:
+    """Literal array<array<double>> in one py4j round trip."""
+    return F.expr("array(" + ",".join(_vec_sql(v) for v in vv) + ")")
+
+
+def lsh_bucket_expr(vec_col: Column | str, planes: "np.ndarray") -> Column:
+    """Random-hyperplane bucket id via literal planes + sequential-fold
+    dots — the oracle-exact twin of ``_bucket_udf``: bit i is
+    ``1[v · plane_i > 0]``, packed little-endian like the numpy path."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_col, _vec_sql(p))} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return F.expr(f"CAST(({terms}) AS INT)")
+
+
+def project_expr(vec_col: Column | str, mat: "np.ndarray") -> Column:
+    """JL projection as an array of ``out_dim`` sequential-fold dots
+    against the literal (dim, out_dim) matrix — the oracle-exact twin of
+    ``project_embeddings``'s numpy matmul (identical matrix values; the
+    twin pins the summation order both engines share)."""
+    return F.expr("array(" + ",".join(
+        _dot_sql(vec_col, _vec_sql(mat[:, c]))
+        for c in range(mat.shape[1])) + ")")
+
+
+def _seq_dot(a, b) -> float:
+    """Driver-side mirror of ``dot_expr`` on two literal vectors: the
+    SAME left-to-right fold over doubles, bit-identical to the engine
+    folds — inlining the result skips a per-row interpreted fold."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _seq_sq(v) -> float:
+    """``dot_expr(v, v)`` of a literal vector, same bits."""
+    return _seq_dot(v, v)
+
+
+def _seq_norm(v) -> float:
+    """``norm_expr`` of a literal vector, same bits (sqrt of the
+    sequential square fold)."""
+    import math
+    return math.sqrt(_seq_sq(v))
+
+
+def nearest_seeds_expr(vec_col: Column | str, seeds: list, nprobe: int) -> Column:
+    """Top-``nprobe`` seed ids by cosine (ties → lowest id), as an
+    array<long> — the deterministic coarse quantizer the eval query uses
+    in place of the float-iterative k-means codebook: ``seeds`` is a
+    driver-collected list of (sid, vector). Sorting structs of
+    (cosine, −sid) descending reproduces ORDER BY cosine DESC, sid ASC
+    exactly; every float op is a sequential fold, one sqrt and one
+    division — bit-portable (seed norms fold driver-side via
+    :func:`_seq_norm`, same bits)."""
+    n = f"sqrt({_dot_sql(vec_col, vec_col)})"
+    structs = ",".join(
+        f"named_struct('cosine', {_dot_sql(vec_col, _vec_sql(v))}"
+        f" / ({n} * {_seq_norm(v)!r}D), 'negsid', CAST({-int(sid)} AS BIGINT))"
+        for sid, v in seeds)
+    return F.expr(
+        f"transform(slice(reverse(array_sort(array({structs}))), 1, "
+        f"{nprobe}), s -> -s.negsid)")
+
+
+def pq_encode_expr(df: DataFrame, vec_col: str, codebook: list, dsub: int,
+                   *, out_col: str = "_code") -> DataFrame:
+    """Append the PQ code array via literal codewords: per subspace j,
+    the index of the nearest codeword by the EXPANDED squared distance
+    ``(‖x_j‖² − 2·x_j·c) + ‖c‖²`` (ties → lowest index). Same minimizer
+    as Σ(x−c)² in real arithmetic; the expanded form is what both
+    engines evaluate, so float near-ties stay mirrored. ``‖x_j‖²``
+    lands in its own projection first (these folds are interpreted —
+    CodegenFallback — so without the boundary each of the ksub codeword
+    structs would re-fold it: measured 8.3s → ~2s on the eval corpus),
+    and ``‖c‖²`` folds driver-side (:func:`_seq_sq`, same bits)."""
+    m = len(codebook)
+
+    def sub(j: int) -> str:
+        return f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+
+    sq_cols = {f"_sqx{j}": F.expr(_dot_sql(sub(j), sub(j)))
+               for j in range(m)}
+    d = df.withColumns(sq_cols)
+    codes = []
+    for j, words in enumerate(codebook):
+        structs = ",".join(
+            f"named_struct('d2', (_sqx{j} - 2.0D * "
+            f"{_dot_sql(sub(j), _vec_sql(w))}) + {_seq_sq(w)!r}D, "
+            f"'t', CAST({t} AS BIGINT))"
+            for t, w in enumerate(words))
+        codes.append(F.expr(f"array_min(array({structs})).t"))
+    return d.withColumn(out_col, F.array(*codes)).drop(*sq_cols.keys())
+
+
+def pq_adc_expr(code_col: Column | str, qid_col: Column | str,
+                queries: list, codebook: list, dsub: int) -> Column:
+    """ADC approximate cosine of a PQ-coded row against the query joined
+    on ``qid_col``: ``(Σ_j LUT[qid][j][code_j]) / (rnorm · qnorm)`` with
+    LEFT-ASSOCIATIVE sums over j (the order the SQL oracle mirrors term
+    by term). ``queries`` is the driver-collected [(qid, vector)] — the
+    LUTs (q_sub · codeword), codeword self-dots and query norms all fold
+    driver-side through :func:`_seq_dot` (bit-identical to the engine
+    folds), turning the per-pair cost into pure lookups; the 1e-12
+    guards match the numpy path."""
+    code = F.col(code_col) if isinstance(code_col, str) else code_col
+    qid = F.col(qid_col) if isinstance(qid_col, str) else qid_col
+    m = len(codebook)
+    lut_entries, qn_entries = [], []
+    for q_id, qv in queries:
+        lut = _lit_vec2([[_seq_dot(qv[j * dsub:(j + 1) * dsub], w)
+                          for w in codebook[j]] for j in range(m)])
+        lut_entries += [F.lit(int(q_id)), lut]
+        qn_entries += [F.lit(int(q_id)),
+                       F.lit(max(_seq_norm(qv), 1e-12))]
+    row_lut = F.create_map(*lut_entries)[qid]
+    qn = F.create_map(*qn_entries)[qid]
+    dots, sqs = [], []
+    for j in range(m):
+        idx = (code[j] + 1).cast("int")
+        dots.append(F.element_at(F.element_at(row_lut, j + 1), idx))
+        sqs.append(F.element_at(_lit_vec([_seq_sq(w) for w in codebook[j]]),
+                                idx))
+    dot = dots[0]
+    for d in dots[1:]:
+        dot = dot + d
+    sq = sqs[0]
+    for s in sqs[1:]:
+        sq = sq + s
+    rnorm = F.greatest(F.sqrt(sq), F.lit(1e-12))
+    return dot / (rnorm * qn)
+
+
 def assign_nearest_seed(emb: DataFrame, seeds: DataFrame, *,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         seed_id_col: str = "seed_id") -> DataFrame:

@@ -300,3 +300,119 @@ def test_assign_nearest_seed_matches_numpy_and_has_no_shuffle(spark):
         j = int(np.argmax(sims[i]))        # numpy ties → first (lowest) id
         assert got[i][0] == j
         assert abs(got[i][1] - sims[i][j]) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# round-7: oracle-exact expression twins (ann_recall_eval instruments)
+# --------------------------------------------------------------------------
+
+def test_lit_vec_double_roundtrip(spark):
+    """The D-suffixed SQL literal _vec_sql builds must round-trip every
+    double exactly (a plain decimal literal goes through DECIMAL and can
+    land 1 ulp off — the reason _vec_sql exists)."""
+    import numpy as np
+    vals = list(np.random.RandomState(7).randn(64)) + [1e-05, -6.761059828902813e-05, 2.5e-300]
+    got = spark.range(1).select(
+        similarity._lit_vec(vals).alias("a")).collect()[0]["a"]
+    assert all(g == float(v) for g, v in zip(got, vals))
+
+
+def test_seq_dot_matches_engine_fold(spark):
+    """_seq_dot / _seq_sq (driver-side folds) must be bit-identical to
+    dot_expr's engine fold — the property every inlined LUT/norm relies
+    on."""
+    import numpy as np
+    rs = np.random.RandomState(11)
+    a = [float(x) for x in rs.randn(64)]
+    b = [float(x) for x in rs.randn(64)]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(similarity.dot_expr("a", "b").alias("d"),
+                    similarity.dot_expr("a", "a").alias("s")).collect()[0]
+    assert got["d"] == similarity._seq_dot(a, b)
+    assert got["s"] == similarity._seq_sq(a)
+
+
+def test_lsh_bucket_expr_matches_numpy_udf(spark):
+    """Twin ≡ numpy on the driver corpus: the expression buckets equal the
+    production _bucket_udf buckets for the eval's planes (a sign flip
+    would need |v·p| below one ulp of the summation-order difference)."""
+    emb = _emb(spark)
+    planes = similarity._hyperplanes(64, 6, 42)
+    expr_b = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", similarity.lsh_bucket_expr("embedding", planes).alias("b")
+    ).collect()}
+    udf_b = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", similarity._bucket_udf(planes)(F.col("embedding")).alias("b")
+    ).collect()}
+    assert expr_b == udf_b
+
+
+def test_project_expr_matches_numpy(spark):
+    """Twin projection ≈ numpy matmul (values to float tolerance; exact
+    equality is NOT promised — summation order differs, which is exactly
+    why the twin exists)."""
+    import numpy as np
+    emb = _emb(spark)
+    mat = similarity._jl_matrix(64, 16, 42)
+    got = {r["vec_id"]: r["p"] for r in emb.select(
+        "vec_id", similarity.project_expr("embedding", mat).alias("p")
+    ).collect()}
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.select("vec_id", "embedding").collect()}
+    for vid, v in raw.items():
+        assert np.allclose(np.asarray(got[vid]), v @ mat, atol=1e-9)
+
+
+def test_pq_encode_expr_matches_numpy_encoder(spark):
+    """Twin PQ codes ≡ pq_encode's numpy argmin on the driver corpus with
+    the same codebook (expanded-form d² has the same minimizer; a
+    disagreement would need a sub-ulp near-tie)."""
+    emb = _emb(spark).orderBy("vec_id").limit(200)
+    seeds = [ [float(x) for x in r["embedding"]]
+              for r in emb.orderBy("vec_id").limit(16).collect() ]
+    import numpy as np
+    books = np.stack([np.stack([np.asarray(v[j*8:(j+1)*8]) for v in seeds])
+                      for j in range(8)])
+    codebook = [[v[j*8:(j+1)*8] for v in seeds] for j in range(8)]
+    got = {r["vec_id"]: list(r["_code"]) for r in
+           similarity.pq_encode_expr(emb.select("vec_id", "embedding"),
+                                     "embedding", codebook, 8)
+           .select("vec_id", "_code").collect()}
+    want = {r["vec_id"]: list(r["pq_codes"]) for r in
+            similarity.pq_encode(emb.select("vec_id", "embedding"), books)
+            .select("vec_id", "pq_codes").collect()}
+    assert got == want
+
+
+def test_nearest_seeds_expr_orders_by_cosine(spark):
+    """nprobe cells come out in descending-cosine order with lowest-id
+    tie-break, and cell 1 equals assign_nearest_seed's choice."""
+    emb = _emb(spark)
+    seed_rows = emb.orderBy("vec_id").limit(16).collect()
+    seeds = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in seed_rows]
+    got = {r["vec_id"]: list(r["c"]) for r in emb.select(
+        "vec_id",
+        similarity.nearest_seeds_expr("embedding", seeds, 2).alias("c")
+    ).collect()}
+    seeds_df = spark.createDataFrame(
+        [(sid, v) for sid, v in seeds], "seed_id long, embedding array<double>")
+    want = {r["vec_id"]: r["seed_id"] for r in similarity.assign_nearest_seed(
+        emb, seeds_df, id_col="vec_id").collect()}
+    for vid, cells in got.items():
+        assert len(cells) == 2 and cells[0] != cells[1]
+        assert cells[0] == want[vid]
+
+
+def test_ann_recall_eval_report_shape(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import queries_extensions as qx
+    rows = {r["method"]: r for r in
+            qx.ann_recall_eval(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"lsh", "ivf", "pq", "jl", "sq8"}
+    for r in rows.values():
+        assert r["n_exact"] > 0
+        assert 0 <= r["n_common"] <= min(r["n_approx"], r["n_exact"])
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["recall"] == r["n_common"] / r["n_exact"]
+    # the exact-rerank-with-overfetch methods recover most of the top-k
+    assert rows["sq8"]["recall"] >= 0.8
