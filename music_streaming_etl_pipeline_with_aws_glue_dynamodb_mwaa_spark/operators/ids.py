@@ -34,8 +34,35 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Adaptive small-N crossover (round-6 VERDICT item 8): below this
+#: Catalyst sizeInBytes estimate the single-task window form is strictly
+#: cheaper at local scale (the two-phase machinery pays ~0.7-1.7s of
+#: fixed jobs: range sampling + checkpoint + counts — measured 2.3-3.8x
+#: on sub-second sf0.1 riders), and a 64 MB frame sorts trivially in one
+#: task. Catalyst OVERestimates post-join frames (multiplies children),
+#: which errs toward the scale path — the safe direction. Passing an
+#: explicit ``num_partitions`` bypasses the shortcut entirely (that is
+#: how the partition-sweep tests pin the two-phase path, and how a
+#: caller asserts scale intent). Both forms are hash-certified against
+#: the SAME oracles (the r6 rewrite kept every oracle unchanged).
+SMALL_N_BYTES = 64 << 20
+
+
+def _est_bytes(df: DataFrame) -> int:
+    """Planner-stats size estimate — no job, no action. Unknown → huge,
+    so the scale path wins on any doubt."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are advisory only
+        return 1 << 62
+
+
+def _take_window_path(df: DataFrame, num_partitions: int | None) -> bool:
+    return num_partitions is None and _est_bytes(df) <= SMALL_N_BYTES
 
 
 def _range_sorted(df: DataFrame, order_cols: list[str],
@@ -113,7 +140,13 @@ def global_row_numbers(df: DataFrame, order_cols: list[str], *,
                        start: int = 0,
                        num_partitions: int | None = None) -> DataFrame:
     """Append ``out_col``: dense ``start..start+N-1`` following the total
-    order of ``order_cols`` (ascending)."""
+    order of ``order_cols`` (ascending). Small frames (see
+    :data:`SMALL_N_BYTES`) take the plain window."""
+    if _take_window_path(df, num_partitions):
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
+            out_col, (F.row_number().over(w) + F.lit(start - 1))
+            .cast("long"))
     d, counts, _ = _range_sorted(df, order_cols, num_partitions)
     idx = _global_index(d, _offsets_of(counts, start))
     return d.withColumn(out_col, idx.cast("long")).drop("_pid")
@@ -140,6 +173,10 @@ def global_ntile(df: DataFrame, order_cols: list[str], n_bins: int, *,
     (pass a unique tie-breaker), hash-exact against the window form's
     oracle. The ``floor`` divisions are exact: row indices ≪ 2⁵³.
     """
+    if _take_window_path(df, num_partitions):
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(out_col,
+                             F.ntile(n_bins).over(w).cast("long"))
     d, counts, n = _range_sorted(df, order_cols, num_partitions)
     # materialize the index ONCE (see _global_index caution): the bucket
     # formula references it three times, and a nondeterministic id
@@ -190,6 +227,16 @@ def global_cumsums_with_totals(
     so callers that also need Σvalue (a KS scan needs n_a/n_b, an AUC
     needs P/N) skip a whole extra aggregation job and its cross-join."""
     assert len(value_cols) == len(out_cols)
+    if _take_window_path(df, num_partitions):
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        out = df
+        for v, o in zip(value_cols, out_cols):
+            out = out.withColumn(o, F.sum(v).over(w).cast("long"))
+        row = df.agg(*[F.sum(v).alias(f"_t{i}")
+                       for i, v in enumerate(value_cols)]).collect()[0]
+        return out, [int(row[f"_t{i}"] or 0)
+                     for i in range(len(value_cols))]
     d, counts, _ = _range_sorted(df, order_cols, num_partitions)
     sums = {r["_pid"]: [r[f"_s{i}"] for i in range(len(value_cols))]
             for r in d.groupBy("_pid").agg(
