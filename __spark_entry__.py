@@ -45,48 +45,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order after the priority block; ALL entries are continuously
 # self-checked by tools/oracle_check.py (see ORACLE_FULL_r04.txt).
 _PRIORITY = [
-    # --- permanent anchors (10): reference surface + the HUGEINT probes
-    # (VERDICT r4 item 1 sanctioned rotating everything else; these stay
-    # every round as regression tripwires for the flagship chain, the KV
-    # projection path, corrupt routing, and the r2/r3 packing root cause)
+    # --- permanent anchors (7): reference surface regression tripwires
+    # (VERDICT r4 item 1 sanctioned rotating everything else). Round 7
+    # trims the four packing probes to ONE — the r2/r3 HUGEINT root
+    # cause they guarded is now also caught statically by
+    # tools/oracle_check.py's HUGEINT-oracle rejection, so a single
+    # packing anchor suffices and three window slots go to first-time
+    # rotation rows (VERDICT r6 item 1: debt is the only gap).
     "daily_genre_kpis", "top_songs_per_genre", "top_genres_per_day",
     "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
-    "pack_documents_512", "packing_stats_512",
-    "pack_tokens_probe", "pack_offsets_probe",
-    # --- round-6 rotation (40): first-ever driver rows (VERDICT r5
-    # item 1: prioritize the E115–E173 analytics families with zero
-    # driver history). Everything rotated OUT is r1–r5 driver-green AND
-    # still full-oracle-checked every round (ORACLE_FULL ledger).
-    # The five r6 two-phase rewrites go first (certified against their
-    # UNCHANGED oracles) plus the new LM integer anchor:
-    "ab_purchase_ks", "vocab_growth_curve", "orders_revenue_8020",
-    "part_abc_classes", "customer_rfm_segments", "doc_lm_count_core",
-    # classifier-eval suite (E150s)
-    "classifier_eval_metrics", "classifier_calibration_bins",
-    "classifier_auc", "docs_quality_rank_corr",
-    # cohort / engagement analytics (E160s–E173)
-    "customer_cohort_ltv", "monthly_new_vs_returning",
-    "weekly_top10_churn", "top_user_paths",
-    "events_daily_count_dispersion", "events_value_autocorrelation",
-    # transcripts + privacy audits
-    "session_transcripts", "transcript_pattern_counts",
-    "events_k_anonymity_audit", "events_k_anonymity_summary",
-    # KMV / bottom-k sketch family
-    "events_user_bottomk_sample", "event_type_user_overlap_kmv",
-    "source_minhash_similarity", "source_minhash_signature_rollup",
-    # sign-bit embedding near-dup family
-    "embedding_signbit_signatures", "neardup_embedding_signbit_pairs",
-    # deterministic splits / leakage audits
-    "events_temporal_split", "temporal_split_user_leakage",
-    "docs_kfold_assign", "docs_kfold_stats",
-    # hypothesis tests / distribution diagnostics
-    "ab_purchase_welch_t", "events_type_dow_independence",
-    "orders_benford_digits", "events_cusum_by_type",
-    # sequence / per-user shapes
-    "user_modal_event_type", "user_event_streaks", "user_daily_ohlc",
-    # remaining exact-aggregation shapes
-    "lineitem_weighted_median_qty", "nation_share_of_region",
-    "top_songs_per_genre_ties",
+    "pack_documents_512",
+    # --- round-7 rotation (43): first-ever driver rows. Everything
+    # rotated OUT is r1–r6 driver-green AND still full-oracle-checked
+    # every round (ORACLE_FULL ledger). Debt after this window: 69.
+    # The new ANN recall certification goes first:
+    "ann_recall_eval",
+    # interval / window / sequence shapes
+    "purchase_click_interval", "events_hopping_counts",
+    "events_windowed_dense", "user_activity_spans",
+    "user_activity_coverage", "events_user_decay_score",
+    "event_transition_matrix", "events_daily_agg_incremental",
+    # dedup / near-dup family (incremental + eval + verify paths)
+    "dedup_incremental_new_docs", "neardup_minhash_incremental",
+    "neardup_minhash_eval", "neardup_bow_cosine_pairs",
+    "neardup_edit_verified", "media_dedup_by_payload",
+    "corpus_build_transitive", "repetition_gate_docs",
+    "shared_ngram_pairs_docs",
+    # corpus curation / packing / sampling
+    "chunk_documents_32", "curation_funnel_report",
+    "pack_sequences_manifest", "sample_docs_per_source",
+    "mixture_sample_docs", "epoch_shuffle_docs", "vocab_coverage",
+    # retrieval / text
+    "docs_conjunctive_search", "docs_phrase_search",
+    "part_name_canonical", "embedding_nearest_seed_assign",
+    # analytics shapes (assoc rules, graph counts, skew, profiles)
+    "part_association_rules", "part_triangle_counts",
+    "orders_by_nation_salted", "events_profile",
+    "views_vs_purchases_daily", "events_value_winsorized",
+    "events_value_equidepth", "customer_lorenz_deciles",
+    # sources / formats
+    "parquet_schema_evolution", "orc_scan_roundtrip",
+    # streaming executions (gate-certified vs batch oracles)
+    "pipeline_stream_e2e_kpis", "events_enriched_streamed",
+    # engine-semantics audits (first two of the nine-probe family)
+    "null_semantics_audit", "decimal_semantics_audit",
 ]
 
 
