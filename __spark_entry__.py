@@ -52,12 +52,15 @@ _PRIORITY = [
     # tools/oracle_check.py's HUGEINT-oracle rejection, so a single
     # packing anchor suffices and three window slots go to first-time
     # rotation rows (VERDICT r6 item 1: debt is the only gap).
-    "daily_genre_kpis", "top_songs_per_genre", "top_genres_per_day",
+    # top_genres_per_day (W2, six driver-green rounds) also rotates out
+    # in favor of a first-time row — W1 keeps the top-k window shape
+    # anchored.
+    "daily_genre_kpis", "top_songs_per_genre",
     "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
     "pack_documents_512",
-    # --- round-7 rotation (43): first-ever driver rows. Everything
+    # --- round-7 rotation (44): first-ever driver rows. Everything
     # rotated OUT is r1–r6 driver-green AND still full-oracle-checked
-    # every round (ORACLE_FULL ledger). Debt after this window: 69.
+    # every round (ORACLE_FULL ledger). Debt after this window: 70.
     # The new ANN recall certification goes first:
     "ann_recall_eval",
     # interval / window / sequence shapes
@@ -87,8 +90,10 @@ _PRIORITY = [
     "parquet_schema_evolution", "orc_scan_roundtrip",
     # streaming executions (gate-certified vs batch oracles)
     "pipeline_stream_e2e_kpis", "events_enriched_streamed",
-    # engine-semantics audits (first two of the nine-probe family)
+    # engine-semantics audits (two never-validated probes plus the
+    # round-7 cast/coercion audit)
     "null_semantics_audit", "decimal_semantics_audit",
+    "cast_semantics_audit",
 ]
 
 

@@ -9823,6 +9823,130 @@ def array_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E184/E185 (round 7) — two more engine-semantics audits: the MAP column
+# surface and the cast/coercion rules. Same contract as E157–E164: tiny
+# VALUES frames, scalar-only output, every probe either verified aligned
+# across engines or the documented divergence shimmed IN THE ORACLE with
+# a comment. Divergences found while building these (excluded or
+# shimmed): Spark try_cast('yes'/'y' AS BOOLEAN) = true but DuckDB =
+# NULL (excluded — no portable answer to certify); DuckDB CAST(double AS
+# BIGINT) ROUNDS while Spark TRUNCATES (shimmed via trunc(), certifying
+# the divergence itself); DuckDB m[k] yields a LIST ([] when missing —
+# [1] indexing shims it to Spark's try_element_at NULL); empty-list
+# array_to_string → NULL in DuckDB (COALESCE shim, as in E163).
+# --------------------------------------------------------------------------
+
+@register("map_semantics_audit", """
+    WITH t(id, m) AS (VALUES
+        (CAST(1 AS BIGINT), map(['b','a','c'],
+                                [CAST(2 AS BIGINT), 1, 5])),
+        (CAST(2 AS BIGINT), map(CAST([] AS VARCHAR[]),
+                                CAST([] AS BIGINT[]))),
+        (CAST(3 AS BIGINT), map(['x'], [CAST(7 AS BIGINT)])))
+    SELECT id,
+           CAST(cardinality(m) AS BIGINT) AS n,
+           COALESCE(array_to_string(list_sort(map_keys(m)), ','), '')
+               AS keys_sorted,
+           m['a'][1] AS v_a,
+           m['z'][1] AS v_z,
+           list_contains(map_keys(m), 'a') AS has_a,
+           CAST(len(list_filter(map_entries(m), e -> e.value > 2))
+               AS BIGINT) AS n_big,
+           COALESCE(array_to_string(list_transform(
+               list_sort(map_keys(m)),
+               k -> CAST(m[k][1] AS VARCHAR)), ','), '')
+               AS vals_by_key,
+           COALESCE(CAST(list_sum(map_values(m)) AS BIGINT), 0) AS vsum
+    FROM t
+""")
+def map_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the MAP-typed column surface (multimodal metadata and KV
+    projections carry maps): construction, cardinality, sorted key set,
+    present/missing lookups (try_element_at NULL — ANSI element_at
+    RAISES on a missing map key, same trap as arrays), key membership,
+    entry filtering, values read in sorted-key order (map iteration
+    ORDER is engine-specific — never certify raw map_values), and a
+    value fold with an explicit seed (empty map → seed, vs DuckDB's
+    NULL list_sum — COALESCE shim)."""
+    return spark.sql("""
+        WITH t(id, m) AS (VALUES
+            (CAST(1 AS BIGINT), map_from_arrays(array('b', 'a', 'c'),
+                 array(CAST(2 AS BIGINT), 1, 5))),
+            (CAST(2 AS BIGINT), CAST(map() AS MAP<STRING, BIGINT>)),
+            (CAST(3 AS BIGINT), map_from_arrays(array('x'),
+                 array(CAST(7 AS BIGINT)))))
+        SELECT id,
+               CAST(size(m) AS BIGINT) AS n,
+               array_join(array_sort(map_keys(m)), ',') AS keys_sorted,
+               try_element_at(m, 'a') AS v_a,
+               try_element_at(m, 'z') AS v_z,
+               array_contains(map_keys(m), 'a') AS has_a,
+               CAST(size(map_filter(m, (k, v) -> v > 2)) AS BIGINT)
+                   AS n_big,
+               array_join(transform(array_sort(map_keys(m)),
+                   k -> CAST(m[k] AS STRING)), ',') AS vals_by_key,
+               aggregate(map_values(m), CAST(0 AS BIGINT),
+                   (acc, x) -> acc + x) AS vsum
+        FROM t
+    """)
+
+
+@register("cast_semantics_audit", """
+    WITH t(id, s) AS (VALUES
+        (CAST(1 AS BIGINT), ' 42 '), (2, '12abc'), (3, ''),
+        (4, '3000000000'), (5, 'true'), (6, 'f'), (7, '2024-2-3'),
+        (8, '2024-02-30'), (9, '1e3'), (10, '-7.9'), (11, 'NaN'))
+    SELECT id, s,
+           -- integral-domain shim: Spark string->int accepts ONLY
+           -- (whitespace-trimmed, optionally signed) digit strings;
+           -- DuckDB also parses decimal/exponent forms by ROUNDING
+           -- ('-7.9' -> -8, '1e3' -> 1000). Certify the shared domain.
+           CASE WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                THEN CAST(TRY_CAST(s AS INT) AS BIGINT) END AS as_int,
+           CASE WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                THEN TRY_CAST(s AS BIGINT) END AS as_big,
+           TRY_CAST(s AS BOOLEAN) AS as_bool,
+           CAST(TRY_CAST(s AS DATE) AS VARCHAR) AS as_date,
+           TRY_CAST(s AS DOUBLE) AS as_double,
+           -- Spark CAST(double AS BIGINT) TRUNCATES; DuckDB ROUNDS.
+           -- trunc() shims the documented divergence (workflow gotcha);
+           -- TRY_CAST because NaN -> BIGINT raises under ANSI Spark.
+           TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT) AS dbl_int,
+           hex(CASE WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(s AS BIGINT) END) AS big_hex
+    FROM t
+""")
+def cast_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the cast/coercion rules every scan-and-coerce path leans on
+    (S1/F8 type coercions, quarantine routing of bad casts):
+    whitespace-trimmed integer parses (integral strings only — Spark
+    rejects decimal/exponent forms that DuckDB parses by rounding; the
+    oracle restricts to the shared domain with a regex shim), garbage →
+    NULL under try_cast, int32 overflow → NULL, boolean token set (only
+    the tokens BOTH engines accept — 'yes'/'y' diverge and are
+    excluded), lenient
+    date parsing ('2024-2-3') vs impossible dates → NULL, scientific/
+    NaN double literals, double→int truncation (oracle shims DuckDB's
+    round-half behavior via trunc — the divergence this suite's money
+    idiom exists for), and hex of a BIGINT."""
+    return spark.sql("""
+        WITH t(id, s) AS (VALUES
+            (CAST(1 AS BIGINT), ' 42 '), (2, '12abc'), (3, ''),
+            (4, '3000000000'), (5, 'true'), (6, 'f'), (7, '2024-2-3'),
+            (8, '2024-02-30'), (9, '1e3'), (10, '-7.9'), (11, 'NaN'))
+        SELECT id, s,
+               CAST(try_cast(s AS INT) AS BIGINT) AS as_int,
+               try_cast(s AS BIGINT) AS as_big,
+               try_cast(s AS BOOLEAN) AS as_bool,
+               CAST(try_cast(s AS DATE) AS STRING) AS as_date,
+               try_cast(s AS DOUBLE) AS as_double,
+               try_cast(try_cast(s AS DOUBLE) AS BIGINT) AS dbl_int,
+               hex(try_cast(s AS BIGINT)) AS big_hex
+        FROM t
+    """)
+
+
+# --------------------------------------------------------------------------
 # E178 (round 6) — t-closeness release audit (operators/privacy.py):
 # the distribution-skew leak k-anonymity/l-diversity cannot see,
 # integer-exact EMD over ordered value buckets.

@@ -48,18 +48,26 @@ COPIES = 10
 #: DELIBERATELY grew (bench_compare ALLOWED_TRADES) because the
 #: single-task window they replaced cannot scale; this probe is the
 #: evidence side of that trade (their ratio at 10x data should track
-#: the data, not a single task's sort).
+#: the data, not a single task's sort) — plus, round 7 (VERDICT r6
+#: item 3), the five most expensive operators in the suite: the
+#: pair-generating / iterative ops where superlinearity would actually
+#: hide. Their inputs are replica-DECORRELATED (see ensure_sf1) so 10x
+#: data means 10x the pair/cluster structure, not a quadratic
+#: dup-explosion the operator is not being graded on.
 CHAIN = ["daily_genre_kpis", "top_songs_per_genre", "kv_genre_kpi_items",
          "pipeline_e2e_kpis",
          "customer_rfm_segments", "ab_purchase_ks",
-         "orders_revenue_8020", "events_value_equidepth"]
+         "orders_revenue_8020", "events_value_equidepth",
+         "neardup_containment_pairs", "semantic_dedup_survivors",
+         "shared_ngram_pairs_docs", "dedup_clusters",
+         "part_order_pagerank"]
 #: super-linear alarm: 10× data should cost ≤ ~12× wall (ratio includes
 #: constant per-query overhead, so a small margin over 10 is normal)
 BLOWUP = 12.0
 
 
 def ensure_sf1(spark: SparkSession) -> str:
-    marker = os.path.join(DST, "_BUILT")
+    marker = os.path.join(DST, "_BUILT_v2")  # v2: + documents/embeddings
     if os.path.exists(marker):
         return DST
     os.makedirs(DST, exist_ok=True)
@@ -67,6 +75,8 @@ def ensure_sf1(spark: SparkSession) -> str:
     li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
     orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
     events = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     offs = {
         "p": part.agg(F.max("p_partkey")).collect()[0][0] + 1,
         "s": li.agg(F.max("l_suppkey")).collect()[0][0] + 1,
@@ -74,16 +84,47 @@ def ensure_sf1(spark: SparkSession) -> str:
         "c": orders.agg(F.max("o_custkey")).collect()[0][0] + 1,
         "e": events.agg(F.max("event_id")).collect()[0][0] + 1,
         "u": events.agg(F.max("user_id")).collect()[0][0] + 1,
+        "d": docs.agg(F.max("doc_id")).collect()[0][0] + 1,
+        "v": emb.agg(F.max("vec_id")).collect()[0][0] + 1,
     }
 
-    def rep(df, shifts: dict[str, str]):
+    def rep(df, shifts: dict[str, str], tweak=None):
         out = None
         for i in range(COPIES):
             d = df
             for col, key in shifts.items():
                 d = d.withColumn(col, F.col(col) + F.lit(i * offs[key]))
+            if tweak is not None:
+                d = tweak(d, i)
             out = d if out is None else out.unionByName(d)
         return out
+
+    # Replica DECORRELATION for similarity-bearing columns: a verbatim
+    # copy of every document/embedding would make each row ~COPIES-way
+    # near-duplicate of its clones, so pair counts grow ~COPIES² — a
+    # quadratic DATA explosion that would read as operator superlinearity.
+    # Instead each replica keeps its INTERNAL similarity structure and is
+    # decorrelated from the others: documents get a per-replica token
+    # suffix (disjoint shingle spaces → per-replica pair structure
+    # mirrors the original exactly), embeddings get a per-replica
+    # circular shift (norms and within-replica cosines preserved bit-for
+    # -bit; across replicas shifted random vectors decorrelate).
+    def tweak_doc(d, i):
+        if i == 0:
+            return d
+        return d.withColumn(
+            "text", F.array_join(F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit(f"_r{i}"))), " "))
+
+    def tweak_emb(d, i):
+        if i == 0:
+            return d
+        dim = 64
+        v = F.col("embedding")
+        return d.withColumn(
+            "embedding",
+            F.concat(F.slice(v, i + 1, dim - i), F.slice(v, 1, i)))
 
     rep(part, {"p_partkey": "p"}).repartition(8) \
         .write.mode("overwrite").parquet(os.path.join(DST, "part.parquet"))
@@ -94,6 +135,10 @@ def ensure_sf1(spark: SparkSession) -> str:
         .write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
     rep(events, {"event_id": "e", "user_id": "u"}).repartition(16) \
         .write.mode("overwrite").parquet(os.path.join(DST, "events.parquet"))
+    rep(docs, {"doc_id": "d"}, tweak=tweak_doc).repartition(16) \
+        .write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
+    rep(emb, {"vec_id": "v"}, tweak=tweak_emb).repartition(8) \
+        .write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
     with open(marker, "w") as fh:
         fh.write(f"src={SRC} copies={COPIES}\n")
     return DST
@@ -122,7 +167,8 @@ def main() -> int:
     # untimed — otherwise the first-measured scale eats all the JIT
     # warm-up and the ratio reads <1× (observed: 0.58× on a 10× input)
     for d in (SRC, sf1):
-        for t in ("part", "lineitem", "orders", "events"):
+        for t in ("part", "lineitem", "orders", "events", "documents",
+                  "embeddings"):
             spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
         for name in CHAIN:
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
