@@ -70,21 +70,20 @@ def test_driver_window_holds_reference_surface_and_family_reps():
     # 50 in order, so ordering drift IS the failure mode
     assert first50 == entrymod._PRIORITY, "window != _PRIORITY pin"
     must_hold = {
-        # permanent anchors (reference surface + HUGEINT probes)
-        "daily_genre_kpis", "top_songs_per_genre", "top_genres_per_day",
+        # permanent anchors (round 7 trimmed the redundant packing/W2
+        # probes to keep window slots for first-time rotation rows)
+        "daily_genre_kpis", "top_songs_per_genre",
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
-        "pack_documents_512", "packing_stats_512",
-        "pack_tokens_probe", "pack_offsets_probe",
-        # round-6 rotation: the five two-phase rewrites (certified
-        # against their unchanged oracles) + zero-history families
-        # (VERDICT r5 item 1)
-        "ab_purchase_ks", "vocab_growth_curve", "orders_revenue_8020",
-        "part_abc_classes", "customer_rfm_segments", "doc_lm_count_core",
-        "classifier_eval_metrics", "classifier_auc",
-        "customer_cohort_ltv", "session_transcripts",
-        "events_k_anonymity_audit", "event_type_user_overlap_kmv",
-        "neardup_embedding_signbit_pairs", "events_temporal_split",
-        "ab_purchase_welch_t", "user_event_streaks",
+        "pack_documents_512",
+        # round-7 rotation: the ANN recall certification + one rep per
+        # never-validated family (VERDICT r6 item 1)
+        "ann_recall_eval", "purchase_click_interval",
+        "events_hopping_counts", "dedup_incremental_new_docs",
+        "neardup_minhash_eval", "chunk_documents_32",
+        "curation_funnel_report", "docs_conjunctive_search",
+        "part_association_rules", "parquet_schema_evolution",
+        "pipeline_stream_e2e_kpis", "null_semantics_audit",
+        "cast_semantics_audit",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 
