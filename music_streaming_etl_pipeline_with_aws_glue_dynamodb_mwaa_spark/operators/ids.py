@@ -212,6 +212,16 @@ def global_cumsums(df: DataFrame, order_cols: list[str],
     driver-side prefix and the partition-local fold must both be exact —
     doubles would make the result depend on the partition count).
     """
+    assert len(value_cols) == len(out_cols)
+    if _take_window_path(df, num_partitions):
+        # plain-cumsum callers don't need the grand totals — skip the
+        # extra aggregation job the with_totals form pays for them
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        out = df
+        for v, o in zip(value_cols, out_cols):
+            out = out.withColumn(o, F.sum(v).over(w).cast("long"))
+        return out
     out, _ = global_cumsums_with_totals(df, order_cols, value_cols,
                                         out_cols,
                                         num_partitions=num_partitions)
