@@ -44,8 +44,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose projections were fixed this round. Everything else keeps its
 # definition order after the priority block; ALL entries are continuously
 # self-checked by tools/oracle_check.py (see ORACLE_FULL_r04.txt).
-_PRIORITY = [
-    # --- permanent anchors (7): reference surface regression tripwires
+# Permanent anchors — the reference-surface regression tripwires that
+# hold a window slot EVERY round. bench.py's compact stdout line reports
+# exactly this set so the driver's cross-round diff always compares a
+# stable per-query basis (rotation rows churn by design).
+_ANCHORS = [
+    "daily_genre_kpis", "top_songs_per_genre",
+    "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
+    "pack_documents_512",
+]
+
+_PRIORITY = _ANCHORS + [
+    # --- permanent anchors (6, _ANCHORS above): reference surface tripwires
     # (VERDICT r4 item 1 sanctioned rotating everything else). Round 7
     # trims the four packing probes to ONE — the r2/r3 HUGEINT root
     # cause they guarded is now also caught statically by
@@ -55,9 +65,6 @@ _PRIORITY = [
     # top_genres_per_day (W2, six driver-green rounds) also rotates out
     # in favor of a first-time row — W1 keeps the top-k window shape
     # anchored.
-    "daily_genre_kpis", "top_songs_per_genre",
-    "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
-    "pack_documents_512",
     # --- round-7 rotation (44): first-ever driver rows. Everything
     # rotated OUT is r1–r6 driver-green AND still full-oracle-checked
     # every round (ORACLE_FULL ledger). Debt after this window: 70.

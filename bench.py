@@ -164,7 +164,11 @@ def main() -> None:
                               "BENCH_LOCAL_latest.json")
     with open(full_out, "w") as fh:
         fh.write(json.dumps(full) + "\n")
-    anchors = [n for n in entrymod._PRIORITY[:10] if n in med]
+    # the PERMANENT anchor set, not a _PRIORITY prefix: rotation rows
+    # churn every round, so a prefix slice would make the driver's
+    # cross-round diff compare disjoint query sets
+    anchors = [n for n in getattr(entrymod, "_ANCHORS",
+                                  entrymod._PRIORITY[:6]) if n in med]
     print(json.dumps({
         "metric": "query_suite_wall_seconds",
         "value": total,

@@ -238,13 +238,19 @@ def global_cumsums_with_totals(
     needs P/N) skip a whole extra aggregation job and its cross-join."""
     assert len(value_cols) == len(out_cols)
     if _take_window_path(df, num_partitions):
+        # checkpoint ONCE: the totals collect() and the returned frame's
+        # later action would otherwise each execute the input's full
+        # lineage — the two-phase branch runs the upstream exactly once
+        # too (its _range_sorted checkpoint), so the small path must not
+        # be the one that recomputes
+        d = df.localCheckpoint()
         w = Window.orderBy(*order_cols).rowsBetween(
             Window.unboundedPreceding, Window.currentRow)
-        out = df
+        out = d
         for v, o in zip(value_cols, out_cols):
             out = out.withColumn(o, F.sum(v).over(w).cast("long"))
-        row = df.agg(*[F.sum(v).alias(f"_t{i}")
-                       for i, v in enumerate(value_cols)]).collect()[0]
+        row = d.agg(*[F.sum(v).alias(f"_t{i}")
+                      for i, v in enumerate(value_cols)]).collect()[0]
         return out, [int(row[f"_t{i}"] or 0)
                      for i in range(len(value_cols))]
     d, counts, _ = _range_sorted(df, order_cols, num_partitions)

@@ -651,10 +651,13 @@ def _lit_vec2(vv) -> Column:
     return F.expr("array(" + ",".join(_vec_sql(v) for v in vv) + ")")
 
 
-def lsh_bucket_expr(vec_col: Column | str, planes: "np.ndarray") -> Column:
+def lsh_bucket_expr(vec_col: str, planes: "np.ndarray") -> Column:
     """Random-hyperplane bucket id via literal planes + sequential-fold
     dots — the oracle-exact twin of ``_bucket_udf``: bit i is
-    ``1[v · plane_i > 0]``, packed little-endian like the numpy path."""
+    ``1[v · plane_i > 0]``, packed little-endian like the numpy path.
+    ``vec_col`` is a COLUMN NAME (the twins build SQL text — see
+    ``_vec_sql`` — so a Column object cannot be interpolated)."""
+    assert isinstance(vec_col, str), "twins take a column NAME"
     terms = " + ".join(
         f"(CASE WHEN {_dot_sql(vec_col, _vec_sql(p))} > 0 "
         f"THEN {1 << i} ELSE 0 END)"
@@ -662,11 +665,13 @@ def lsh_bucket_expr(vec_col: Column | str, planes: "np.ndarray") -> Column:
     return F.expr(f"CAST(({terms}) AS INT)")
 
 
-def project_expr(vec_col: Column | str, mat: "np.ndarray") -> Column:
+def project_expr(vec_col: str, mat: "np.ndarray") -> Column:
     """JL projection as an array of ``out_dim`` sequential-fold dots
     against the literal (dim, out_dim) matrix — the oracle-exact twin of
     ``project_embeddings``'s numpy matmul (identical matrix values; the
-    twin pins the summation order both engines share)."""
+    twin pins the summation order both engines share). ``vec_col`` is a
+    column NAME (SQL-text twin)."""
+    assert isinstance(vec_col, str), "twins take a column NAME"
     return F.expr("array(" + ",".join(
         _dot_sql(vec_col, _vec_sql(mat[:, c]))
         for c in range(mat.shape[1])) + ")")
@@ -694,7 +699,8 @@ def _seq_norm(v) -> float:
     return math.sqrt(_seq_sq(v))
 
 
-def nearest_seeds_expr(vec_col: Column | str, seeds: list, nprobe: int) -> Column:
+def nearest_seeds_expr(vec_col: str, seeds: list, nprobe: int, *,
+                       norm_col: str | None = None) -> Column:
     """Top-``nprobe`` seed ids by cosine (ties → lowest id), as an
     array<long> — the deterministic coarse quantizer the eval query uses
     in place of the float-iterative k-means codebook: ``seeds`` is a
@@ -703,7 +709,13 @@ def nearest_seeds_expr(vec_col: Column | str, seeds: list, nprobe: int) -> Colum
     exactly; every float op is a sequential fold, one sqrt and one
     division — bit-portable (seed norms fold driver-side via
     :func:`_seq_norm`, same bits)."""
-    n = f"sqrt({_dot_sql(vec_col, vec_col)})"
+    # Pass ``norm_col`` when the frame already carries the SAME
+    # sqrt-of-fold norm expression: the inline form re-evaluates the
+    # interpreted 64-element fold once PER SEED per row — the re-fold
+    # cost pq_encode_expr's projection boundary exists to avoid. The
+    # twins build SQL text, so vec_col/norm_col are column NAMES.
+    assert isinstance(vec_col, str), "twins take a column NAME"
+    n = norm_col or f"sqrt({_dot_sql(vec_col, vec_col)})"
     structs = ",".join(
         f"named_struct('cosine', {_dot_sql(vec_col, _vec_sql(v))}"
         f" / ({n} * {_seq_norm(v)!r}D), 'negsid', CAST({-int(sid)} AS BIGINT))"

@@ -647,10 +647,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              for r in seed_rows]
     ccell = corpus.select(
         "neighbor_id",
-        similarity.nearest_seeds_expr("embedding", seeds, 1).getItem(0)
+        similarity.nearest_seeds_expr("embedding", seeds, 1,
+                                      norm_col="_n").getItem(0)
         .alias("_cell"))
     qcell = q.select("query_id", F.explode(
-        similarity.nearest_seeds_expr("_qv", seeds, _ANN_EVAL_NPROBE))
+        similarity.nearest_seeds_expr("_qv", seeds, _ANN_EVAL_NPROBE,
+                                      norm_col="_qn"))
         .alias("_cell"))
     ivf_t = _rerank(ccell.join(F.broadcast(qcell), "_cell")
                     .filter(F.col("neighbor_id") != F.col("query_id"))

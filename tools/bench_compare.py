@@ -89,6 +89,15 @@ def _load(path: str) -> dict:
                 print(f"NOTE: {os.path.basename(path)} is a compact "
                       f"summary — loaded full results from {cand}")
                 break
+        else:
+            # LOUD degradation: silently gating only the ~6 anchor rows
+            # would let a regression in any other query exit 0
+            print(f"WARNING: {os.path.basename(path)} is a compact "
+                  f"summary and its full_results_file ({ref!r}) was not "
+                  f"found — gating only the "
+                  f"{len((src or {}).get('queries', {}))} anchor queries "
+                  f"in the compact line; fetch the full BENCH_LOCAL file "
+                  f"for real coverage")
     if not isinstance(d.get("queries"), dict) and isinstance(
             d.get("tail"), str):
         pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)',
@@ -205,8 +214,13 @@ def main() -> int:
     for q in shared:
         o, n = float(oq[q]), float(nq[q])
         if n > max(ratio * o, FLOOR_SECS):
-            # pre-rewrite old file only (see ALLOWED_TRADES scope note)
-            if q in ALLOWED_TRADES and "queries_min" not in old:
+            # pre-rewrite old file only (see ALLOWED_TRADES scope note).
+            # A compact r7+ summary (full_results_file pointer) also
+            # lacks queries_min but is NOT pre-r6 — never exempt those.
+            if (q in ALLOWED_TRADES and "queries_min" not in old
+                    and "full_results_file" not in old
+                    and "full_results_file" not in (
+                        old.get("parsed") or {})):
                 print(f"DELIBERATE {q}: {o:.2f}s -> {n:.2f}s "
                       f"({ALLOWED_TRADES[q]})")
                 continue

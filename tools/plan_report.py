@@ -110,13 +110,16 @@ def main() -> int:
     captured: list[str] = []
     orig_ckpt = DataFrame.localCheckpoint
 
-    def _capturing(self, eager=True):
+    def _capturing(self, *args, **kwargs):
+        # forward ALL arguments verbatim — PySpark 4.1's signature also
+        # takes storageLevel, and narrowing it here would break such
+        # callers only during plan-report runs
         try:
             captured.append(
                 self._jdf.queryExecution().executedPlan().toString())
         except Exception:  # noqa: BLE001 — capture must never break a query
             pass
-        return orig_ckpt(self, eager)
+        return orig_ckpt(self, *args, **kwargs)
 
     DataFrame.localCheckpoint = _capturing
     rows, errors = [], []
