@@ -174,8 +174,16 @@ def sql_str(s: str) -> str:
 def values_table(rows: list[tuple], cols: list[str],
                  select: list[str] | None = None) -> str:
     """``SELECT <select> FROM (VALUES ...) AS t(<cols>)`` — str cells are
-    escaped, ints emitted bare (CAST in ``select`` fixes widths)."""
+    escaped, ints emitted bare (CAST in ``select`` fixes widths), floats
+    emitted in SCIENTIFIC notation (a plain decimal literal parses
+    through DECIMAL and can land 1 ulp off — the `%.17e` form goes
+    straight to a correctly-rounded DOUBLE), None becomes NULL (CAST in
+    ``select`` fixes its type)."""
     def cell(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.17e}"
         return sql_str(v) if isinstance(v, str) else str(v)
     vals = ", ".join("(" + ", ".join(cell(v) for v in r) + ")"
                      for r in rows)
@@ -350,3 +358,131 @@ def media_wav_loudness_oracle() -> str:
          "CAST(sum_sq AS BIGINT) AS sum_sq",
          "CAST(peak_abs AS BIGINT) AS peak_abs",
          "sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms"])
+
+
+# -- round-7 media replay oracles --------------------------------------------
+# INDEPENDENT codec re-implementations: deliberately NOT importing
+# operators/multimodal.py, so a regression in the codecs under test
+# (bmp_encode/bmp_decode round-trip, wav_encode, resize_nearest) breaks a
+# driver hash instead of reproducing on both sides. Formats per the BMP v3
+# / canonical PCM WAV specs the fixture documents.
+
+def _ref_bmp_encode(px) -> bytes:
+    """24-bit bottom-up BGR BMP with 4-byte row padding (spec twin)."""
+    import struct
+    h, w = px.shape[0], px.shape[1]
+    row = w * 3
+    pad = (-row) % 4
+    img = (row + pad) * h
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", 54 + img, 0, 0, 54)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img,
+                       2835, 2835, 0, 0)
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            out += bytes((int(px[y, x, 2]), int(px[y, x, 1]),
+                          int(px[y, x, 0])))
+        out += b"\x00" * pad
+    return bytes(out)
+
+
+def _ref_wav_encode(samples, rate: int = 8000) -> bytes:
+    """Canonical mono 16-bit PCM WAV (spec twin)."""
+    import struct
+    pcm = b"".join(struct.pack("<h", int(s)) for s in samples)
+    return (struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+            + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate,
+                          rate * 2, 2, 16)
+            + struct.pack("<4sI", b"data", len(pcm)) + pcm)
+
+
+def _fixture_media(did: int):
+    """Regenerate one fixture payload's CONTENT (pixels or samples) per
+    the real_media_fixture contract — content only; encoding goes through
+    the independent spec twins above."""
+    import numpy as np
+    rng = np.random.RandomState(int(did) % (2 ** 31))
+    if did % 2 == 0:
+        return "image", rng.randint(0, 256, size=(12, 16, 3),
+                                    dtype=np.int64).astype(np.uint8)
+    return "audio", rng.randint(-32768, 32767, size=256,
+                                dtype=np.int64).astype(np.int16)
+
+
+def _doc_ids() -> list[int]:
+    path = f"{ORACLE_SF_DIR}/documents.parquet"
+    if not _os.path.exists(path):
+        raise FileNotFoundError(
+            f"replay-oracle corpus missing: {path} — set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR if the testdata moved")
+    return sorted(pq.read_table(path, columns=["doc_id"])
+                  .column("doc_id").to_pylist())
+
+
+def _hex_md5(payload: bytes) -> str:
+    """Mirror of the query's md5(hex(payload)) digest cell: Spark's hex()
+    renders UPPERCASE."""
+    import hashlib
+    return hashlib.md5(payload.hex().upper().encode()).hexdigest()
+
+
+def media_resize_oracle() -> str:
+    """Replay of media_resize_real: regenerate fixture content, resize
+    images with the documented nearest-neighbour index math
+    (src = floor((dst + 0.5) * src / dst)), re-encode through the spec
+    twins, digest. Audio rows pass through with NULL dims."""
+    rows = []
+    for did in _doc_ids():
+        kind, content = _fixture_media(did)
+        if kind == "image":
+            ys = [min(int((y + 0.5) * 12 / 6), 11) for y in range(6)]
+            xs = [min(int((x + 0.5) * 16 / 8), 15) for x in range(8)]
+            resized = content[ys][:, xs]
+            payload = _ref_bmp_encode(resized)
+            rows.append((int(did), "image", 8, 6, len(payload),
+                         _hex_md5(payload)))
+        else:
+            payload = _ref_wav_encode(content)
+            rows.append((int(did), "audio", None, None, len(payload),
+                         _hex_md5(payload)))
+    return values_table(
+        rows, ["media_id", "kind", "width", "height", "byte_len",
+               "payload_digest"],
+        ["CAST(media_id AS BIGINT) AS media_id", "kind",
+         "CAST(width AS INT) AS width", "CAST(height AS INT) AS height",
+         "CAST(byte_len AS INT) AS byte_len", "payload_digest"])
+
+
+def media_features_oracle() -> str:
+    """Replay of media_decode_features_real: the feature doubles are the
+    SAME numpy reductions on the SAME regenerated arrays (bit-identical —
+    numpy reduction order is deterministic for a fixed array), emitted in
+    scientific notation so DuckDB parses them to the exact doubles."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for did in _doc_ids():
+        kind, content = _fixture_media(did)
+        if kind == "image":
+            payload = _ref_bmp_encode(content)
+            px = content.astype(np.float64) / 255.0
+            v = [float(px[..., 0].mean()), float(px[..., 1].mean()),
+                 float(px[..., 2].mean()), float(px.std()),
+                 16 / 4096.0, 12 / 4096.0, 0.0, 0.0]
+        else:
+            payload = _ref_wav_encode(content)
+            x = content.astype(np.float64) / 32768.0
+            v = [float(x.mean()), float(x.std()),
+                 float(np.sqrt((x * x).mean())), float(np.abs(x).max()),
+                 256 / 8000, 0.0, 0.0, 0.0]
+        rows.append((int(did), kind, len(payload),
+                     hashlib.md5(payload).hexdigest(), *v))
+    cols = ["media_id", "kind", "byte_len", "content_md5"] + \
+        [f"f{i}" for i in range(8)]
+    return values_table(
+        rows, cols,
+        ["CAST(media_id AS BIGINT) AS media_id", "kind",
+         "CAST(byte_len AS BIGINT) AS byte_len", "content_md5"]
+        + [f"CAST(f{i} AS DOUBLE) AS f{i}" for i in range(8)])

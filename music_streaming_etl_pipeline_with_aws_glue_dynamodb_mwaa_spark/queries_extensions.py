@@ -5303,25 +5303,34 @@ def jsonl_scan_corrupt_routing(spark: SparkSession,
 # parity pinned in tests/test_media_codecs.py.
 # --------------------------------------------------------------------------
 
-@register("media_decode_features_real", None)  # python-encoded payloads → rows-only
+@register("media_decode_features_real", pyref.media_features_oracle)
 def media_decode_features_real(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Real decode→featurize over real files: deterministic BMP/WAV blobs
-    (doc_id-seeded), magic-byte dispatch, per-channel/sample statistics as
-    an 8-dim vector. Output projects hashable cells (json feature, md5
-    digest) per the driver-hasher contract."""
+    (doc_id-seeded), magic-byte dispatch, per-channel/sample statistics
+    projected as scalar double columns f0..f7 (the array form is not
+    driver-hashable). PROMOTED to oracle-exact in round 7 via a pyref
+    replay (independent spec-twin encoders + the SAME numpy reductions
+    on regenerated content — media_audio_loudness's pattern extended to
+    the full feature vector: an encode/decode/feature regression now
+    breaks a driver hash)."""
     media = multimodal.real_media_fixture(_docs(spark, sf_dir))
     feats = multimodal.extract_media_features_real(media)
-    return feats.select("media_id", "kind", "byte_len", "content_md5",
-                        F.to_json("feature").alias("feature_json"))
+    return feats.select(
+        "media_id", "kind", "byte_len", "content_md5",
+        *[F.try_element_at("feature", F.lit(i + 1)).alias(f"f{i}")
+          for i in range(8)])
 
 
-@register("media_resize_real", None)  # python-encoded payloads → rows-only
+@register("media_resize_real", pyref.media_resize_oracle)
 def media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP resize (decode → nearest-neighbour → re-encode) with the
     payload digested to a hashable cell; audio rows pass through with
     null dims. byte_len pins the re-encoded file size (8×6 24-bit BMP =
-    54 + 6·((8·3+pad)=24) = 198 bytes)."""
+    54 + 6·((8·3+pad)=24) = 198 bytes). PROMOTED to oracle-exact in
+    round 7: pyref.media_resize_oracle regenerates fixture content,
+    resizes with the documented index math and re-encodes through an
+    INDEPENDENT spec-twin BMP writer — byte-level digests certified."""
     media = multimodal.real_media_fixture(_docs(spark, sf_dir))
     out = multimodal.resize_images_real(media, width=8, height=6)
     return out.select(
