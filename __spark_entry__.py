@@ -103,6 +103,16 @@ _PRIORITY = _ANCHORS + [
     "cast_semantics_audit",
 ]
 
+# Round-8 rotation plan (for continuity): 70 registry queries have never
+# held a driver row (tools/oracle_check.py ledger). 51 are SQL-backed —
+# two more 44-row windows retire them all; prioritize the remaining
+# seven semantics audits, the tokenizer-training replays
+# (bpe_merge_table / unigram_piece_table / doc_*_stats), the linfit /
+# search / skyline analytics, and the promoted media_resize_real /
+# media_decode_features_real. The 19 rows-only entries (sketches,
+# float-iterative, ANN variants) should also cycle through for their
+# weaker rows-only driver checks once the SQL-backed debt is retired.
+
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     src = queries_reference.REGISTRY
