@@ -160,8 +160,17 @@ def main() -> None:
     # tail capture so the driver's cross-round diff always has a parsed
     # summary. tools/bench_compare.py follows ``full_results_file`` when
     # gating against a compact driver artifact.
+    # Default filename is RUN-STAMPED (round-7 ADVICE): a fixed
+    # "BENCH_LOCAL_latest.json" default meant two consecutive rounds'
+    # compact lines both pointed at the same repo-root file, so
+    # bench_compare's two-newest comparison resolved OLD and NEW to
+    # whichever run wrote last — old==new, every ratio 1.0, the gate
+    # passing vacuously. A per-run stamp keeps every pointer unique;
+    # the round refresh still pins the canonical name explicitly via
+    # SPARK_GRAFT_BENCH_FULL_OUT=BENCH_LOCAL_r{N}.json.
+    stamp = time.strftime("%Y%m%d_%H%M%S")
     full_out = os.environ.get("SPARK_GRAFT_BENCH_FULL_OUT",
-                              "BENCH_LOCAL_latest.json")
+                              f"BENCH_LOCAL_{stamp}.json")
     with open(full_out, "w") as fh:
         fh.write(json.dumps(full) + "\n")
     # the PERMANENT anchor set, not a _PRIORITY prefix: rotation rows

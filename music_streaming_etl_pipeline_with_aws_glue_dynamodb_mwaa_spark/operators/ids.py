@@ -31,6 +31,7 @@ signature free of SortOrder plumbing.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Iterator
 
 import pandas as pd
@@ -61,7 +62,37 @@ def _est_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
-def _take_window_path(df: DataFrame, num_partitions: int | None) -> bool:
+def _take_window_path(df: DataFrame, num_partitions: int | None,
+                      order_cols: list[str] | None = None) -> bool:
+    """Route between the single-task window and the two-phase machinery.
+
+    CONTRACT (round-7 ADVICE): ``order_cols`` MUST be a TOTAL order —
+    every public helper here says so, because under ties the two plan
+    families are free to assign different (each internally valid) row
+    numbers / buckets, and the adaptive routing makes the chosen family
+    depend on runtime Catalyst stats: a frame whose size estimate
+    crosses :data:`SMALL_N_BYTES` between runs would silently flip plans
+    and, with a non-total order, silently change results. With a total
+    order both paths are hash-certified identical against the same
+    oracles, so routing is invisible. The contract is cheap to violate
+    accidentally, so an opt-in enforcement exists:
+    ``SPARK_GRAFT_IDS_CHECK_TOTAL_ORDER=1`` runs one count-distinct
+    action per call and raises on duplicate order keys (debug/test
+    only — it is a full extra aggregation over the frame).
+    """
+    if order_cols and _os.environ.get("SPARK_GRAFT_IDS_CHECK_TOTAL_ORDER"):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*[F.col(c) for c in order_cols]).alias("k"),
+        ).collect()[0]
+        if row["n"] != row["k"]:
+            raise ValueError(
+                f"ids.* order_cols {order_cols} are NOT a total order "
+                f"({row['n']} rows, {row['k']} distinct keys) — under "
+                f"ties the window and two-phase paths may order rows "
+                f"differently and the adaptive routing would make "
+                f"results depend on runtime size stats; append a unique "
+                f"tie-breaker column")
     return num_partitions is None and _est_bytes(df) <= SMALL_N_BYTES
 
 
@@ -142,7 +173,7 @@ def global_row_numbers(df: DataFrame, order_cols: list[str], *,
     """Append ``out_col``: dense ``start..start+N-1`` following the total
     order of ``order_cols`` (ascending). Small frames (see
     :data:`SMALL_N_BYTES`) take the plain window."""
-    if _take_window_path(df, num_partitions):
+    if _take_window_path(df, num_partitions, order_cols):
         w = Window.orderBy(*order_cols)
         return df.withColumn(
             out_col, (F.row_number().over(w) + F.lit(start - 1))
@@ -173,7 +204,7 @@ def global_ntile(df: DataFrame, order_cols: list[str], n_bins: int, *,
     (pass a unique tie-breaker), hash-exact against the window form's
     oracle. The ``floor`` divisions are exact: row indices ≪ 2⁵³.
     """
-    if _take_window_path(df, num_partitions):
+    if _take_window_path(df, num_partitions, order_cols):
         w = Window.orderBy(*order_cols)
         return df.withColumn(out_col,
                              F.ntile(n_bins).over(w).cast("long"))
@@ -213,7 +244,7 @@ def global_cumsums(df: DataFrame, order_cols: list[str],
     doubles would make the result depend on the partition count).
     """
     assert len(value_cols) == len(out_cols)
-    if _take_window_path(df, num_partitions):
+    if _take_window_path(df, num_partitions, order_cols):
         # plain-cumsum callers don't need the grand totals — skip the
         # extra aggregation job the with_totals form pays for them
         w = Window.orderBy(*order_cols).rowsBetween(
@@ -237,7 +268,7 @@ def global_cumsums_with_totals(
     so callers that also need Σvalue (a KS scan needs n_a/n_b, an AUC
     needs P/N) skip a whole extra aggregation job and its cross-join."""
     assert len(value_cols) == len(out_cols)
-    if _take_window_path(df, num_partitions):
+    if _take_window_path(df, num_partitions, order_cols):
         # checkpoint ONCE: the totals collect() and the returned frame's
         # later action would otherwise each execute the input's full
         # lineage — the two-phase branch runs the upstream exactly once

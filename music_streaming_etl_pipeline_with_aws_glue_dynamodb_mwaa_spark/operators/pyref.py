@@ -25,6 +25,7 @@ checkpoints) regardless.
 
 from __future__ import annotations
 
+import math
 import os as _os
 from collections import Counter
 from functools import lru_cache
@@ -183,6 +184,16 @@ def values_table(rows: list[tuple], cols: list[str],
         if v is None:
             return "NULL"
         if isinstance(v, float):
+            # f"{nan:.17e}" renders 'nan'/'inf' — invalid SQL literals
+            # that would surface as a confusing DuckDB parse error far
+            # from the reduction that produced them (round-7 ADVICE).
+            # No replay oracle legitimately emits a non-finite value, so
+            # fail HERE with a pointed message instead.
+            if not math.isfinite(v):
+                raise ValueError(
+                    f"values_table: non-finite float {v!r} in oracle rows "
+                    f"(cols={cols}) — a replay-oracle reduction produced "
+                    f"NaN/inf; fix the producing pyref function")
             return f"{v:.17e}"
         return sql_str(v) if isinstance(v, str) else str(v)
     vals = ", ".join("(" + ", ".join(cell(v) for v in r) + ")"

@@ -48,20 +48,71 @@ def test_load_driver_wrapper_parsed_pointer(tmp_path):
     assert d.get("queries_min") == {"a": 0.9}
 
 
-def test_exemption_scope_pre_r6_only():
+def _run_main(monkeypatch, old_p, new_p):
+    monkeypatch.setattr(bc.sys, "argv",
+                        ["bench_compare", old_p, new_p, "--no-remeasure"])
+    return bc.main()
+
+
+def test_exemption_scope_pre_r6_only(tmp_path, capsys, monkeypatch):
     """The two-phase trade exemption applies ONLY when the old file is a
     pre-r6 min-only bench: r6+ files carry queries_min, r7+ compact
-    files carry full_results_file — both must gate normally."""
+    files carry full_results_file — both must gate normally. Exercised
+    through main() itself (round-7 ADVICE): a local re-implementation of
+    the predicate could not fail when bench_compare's real condition
+    drifts."""
     q = next(iter(bc.ALLOWED_TRADES))
-    pre_r6 = {"queries": {q: 1.0}}
-    r6 = {"queries": {q: 1.0}, "queries_min": {q: 1.0}}
-    compact = {"queries": {q: 1.0}, "full_results_file": "GONE.json"}
+    new_p = _write(tmp_path, "NEW.json",
+                   {"queries": {q: 4.0}, "queries_min": {q: 4.0}})
 
-    def exempt(old):
-        return ("queries_min" not in old
-                and "full_results_file" not in old
-                and "full_results_file" not in (old.get("parsed") or {}))
+    # pre-r6 min-only old baseline: the 2x flag is a sanctioned trade
+    old_pre = _write(tmp_path, "OLD_pre_r6.json", {"queries": {q: 2.0}})
+    assert _run_main(monkeypatch, old_pre, new_p) == 0
+    assert "DELIBERATE" in capsys.readouterr().out
 
-    assert exempt(pre_r6)
-    assert not exempt(r6)
-    assert not exempt(compact)
+    # r6+ old baseline (has queries_min): same flag is a real regression
+    old_r6 = _write(tmp_path, "OLD_r6.json",
+                    {"queries": {q: 2.0}, "queries_min": {q: 2.0}})
+    assert _run_main(monkeypatch, old_r6, new_p) == 1
+    assert "REGRESSION" in capsys.readouterr().out
+
+    # r7+ compact old (full_results_file pointer, even unresolvable):
+    # never exempt — the two-phase cost is priced into r6+ numbers
+    old_compact = _write(tmp_path, "OLD_compact.json",
+                         {"queries": {q: 2.0},
+                          "full_results_file": "GONE.json"})
+    assert _run_main(monkeypatch, old_compact, new_p) == 1
+    assert "REGRESSION" in capsys.readouterr().out
+
+
+def test_same_full_results_file_is_vacuous_error(tmp_path, capsys,
+                                                 monkeypatch):
+    """Two compact summaries pointing at ONE full-results file would
+    compare a file against itself (every ratio 1.0) — main() must refuse
+    instead of reporting a clean gate (round-7 ADVICE)."""
+    _write(tmp_path, "FULL.json",
+           {"queries": {"a": 1.0}, "queries_min": {"a": 1.0}})
+    old_p = _write(tmp_path, "OLD.json",
+                   {"queries": {"a": 1.0}, "full_results_file": "FULL.json"})
+    new_p = _write(tmp_path, "NEW.json",
+                   {"queries": {"a": 1.0}, "full_results_file": "FULL.json"})
+    assert _run_main(monkeypatch, old_p, new_p) == 2
+    assert "SAME results file" in capsys.readouterr().out
+
+
+def test_distinct_full_results_files_still_gate(tmp_path, capsys,
+                                                monkeypatch):
+    """Control for the same-file guard: two compacts pointing at two
+    DISTINCT full files compare normally."""
+    _write(tmp_path, "FULL_OLD.json",
+           {"queries": {"a": 1.0}, "queries_min": {"a": 1.0}})
+    _write(tmp_path, "FULL_NEW.json",
+           {"queries": {"a": 1.1}, "queries_min": {"a": 1.1}})
+    old_p = _write(tmp_path, "OLD.json",
+                   {"queries": {"a": 1.0},
+                    "full_results_file": "FULL_OLD.json"})
+    new_p = _write(tmp_path, "NEW.json",
+                   {"queries": {"a": 1.1},
+                    "full_results_file": "FULL_NEW.json"})
+    assert _run_main(monkeypatch, old_p, new_p) == 0
+    assert "no per-query regressions" in capsys.readouterr().out

@@ -21,6 +21,22 @@ def test_matches_global_window(spark):
     assert got == expect
 
 
+def test_total_order_debug_check(spark, monkeypatch):
+    """Opt-in SPARK_GRAFT_IDS_CHECK_TOTAL_ORDER (round-7 ADVICE): with a
+    non-total order the adaptive routing could flip plan families on
+    runtime size stats and silently reorder ties — the debug check turns
+    that latent hazard into a loud error; a total order passes."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_IDS_CHECK_TOTAL_ORDER", "1")
+    dup = spark.range(0, 100).select((F.col("id") % 10).alias("k"),
+                                     F.col("id").alias("uid"))
+    with pytest.raises(ValueError, match="NOT a total order"):
+        ids.global_row_numbers(dup, ["k"])
+    out = ids.global_row_numbers(dup, ["k", "uid"])  # unique tie-break: ok
+    assert out.count() == 100
+
+
 def test_dense_start_and_plan(spark):
     df = spark.range(0, 1_000).select(F.col("id").alias("k"))
     out = ids.global_row_numbers(df, ["k"], start=100, num_partitions=5)

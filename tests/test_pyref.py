@@ -17,6 +17,23 @@ def test_values_table_escaping():
     assert list(df["name"]) == ["o'brien", "plain"]
 
 
+def test_values_table_rejects_non_finite_floats():
+    """f'{nan:.17e}' would render an invalid SQL literal whose DuckDB
+    parse error points nowhere near the producing reduction — the cell
+    serializer fails with a pointed message instead (round-7 ADVICE).
+    Finite floats still round-trip bit-exactly."""
+    import math
+
+    import pytest
+
+    sql = pyref.values_table([(1, 0.1 + 0.2)], ["id", "v"])
+    assert duckdb.sql(sql).fetchone()[1] == 0.1 + 0.2
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite float"):
+            pyref.values_table([(1, bad)], ["id", "v"])
+    assert math.isfinite(0.30000000000000004)  # keep the import honest
+
+
 def test_ref_bpe_matches_module_reference():
     texts = ["low low low low low",
              "lower lower newest newest newest",

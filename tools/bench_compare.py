@@ -86,6 +86,7 @@ def _load(path: str) -> dict:
             if os.path.exists(cand):
                 with open(cand) as fh:
                     d = json.load(fh)
+                d["_resolved_full_path"] = os.path.abspath(cand)
                 print(f"NOTE: {os.path.basename(path)} is a compact "
                       f"summary — loaded full results from {cand}")
                 break
@@ -195,6 +196,20 @@ def main() -> int:
             return 0
         old_p, new_p = benches[-2], benches[-1]
     old, new = _load(old_p), _load(new_p)
+    # Same-file guard (round-7 ADVICE): if both compact summaries point at
+    # ONE full-results file (the pre-r8 unstamped default), the comparison
+    # is old==new — every ratio exactly 1.0 and the gate passes without
+    # testing anything. That is a configuration error, not a clean bill.
+    same_full = (old.get("_resolved_full_path") is not None
+                 and old.get("_resolved_full_path")
+                 == new.get("_resolved_full_path"))
+    if same_full or os.path.abspath(old_p) == os.path.abspath(new_p):
+        print(f"ERROR: old and new resolve to the SAME results file "
+              f"({old.get('_resolved_full_path') or os.path.abspath(old_p)})"
+              f" — the comparison is vacuous. Point the compact summaries "
+              f"at distinct full-results files (bench.py run-stamps the "
+              f"default since r8) or pass the BENCH_LOCAL files directly.")
+        return 2
     # Like-for-like estimator pick (round-5 VERDICT item 5): r6+ files
     # carry the median in ``queries`` and the min in ``queries_min``;
     # r1–r5 files have only the min in ``queries``. Compare medians when
