@@ -56,62 +56,54 @@ _ANCHORS = [
 
 _PRIORITY = _ANCHORS + [
     # --- permanent anchors (6, _ANCHORS above): reference surface tripwires
-    # (VERDICT r4 item 1 sanctioned rotating everything else). Round 7
-    # trims the four packing probes to ONE — the r2/r3 HUGEINT root
-    # cause they guarded is now also caught statically by
-    # tools/oracle_check.py's HUGEINT-oracle rejection, so a single
-    # packing anchor suffices and three window slots go to first-time
-    # rotation rows (VERDICT r6 item 1: debt is the only gap).
-    # top_genres_per_day (W2, six driver-green rounds) also rotates out
-    # in favor of a first-time row — W1 keeps the top-k window shape
-    # anchored.
-    # --- round-7 rotation (44): first-ever driver rows. Everything
-    # rotated OUT is r1–r6 driver-green AND still full-oracle-checked
-    # every round (ORACLE_FULL ledger). Debt after this window: 70.
-    # The new ANN recall certification goes first:
-    "ann_recall_eval",
-    # interval / window / sequence shapes
-    "purchase_click_interval", "events_hopping_counts",
-    "events_windowed_dense", "user_activity_spans",
-    "user_activity_coverage", "events_user_decay_score",
-    "event_transition_matrix", "events_daily_agg_incremental",
-    # dedup / near-dup family (incremental + eval + verify paths)
-    "dedup_incremental_new_docs", "neardup_minhash_incremental",
-    "neardup_minhash_eval", "neardup_bow_cosine_pairs",
-    "neardup_edit_verified", "media_dedup_by_payload",
-    "corpus_build_transitive", "repetition_gate_docs",
-    "shared_ngram_pairs_docs",
-    # corpus curation / packing / sampling
-    "chunk_documents_32", "curation_funnel_report",
-    "pack_sequences_manifest", "sample_docs_per_source",
-    "mixture_sample_docs", "epoch_shuffle_docs", "vocab_coverage",
-    # retrieval / text
-    "docs_conjunctive_search", "docs_phrase_search",
-    "part_name_canonical", "embedding_nearest_seed_assign",
-    # analytics shapes (assoc rules, graph counts, skew, profiles)
-    "part_association_rules", "part_triangle_counts",
-    "orders_by_nation_salted", "events_profile",
-    "views_vs_purchases_daily", "events_value_winsorized",
-    "events_value_equidepth", "customer_lorenz_deciles",
-    # sources / formats
-    "parquet_schema_evolution", "orc_scan_roundtrip",
-    # streaming executions (gate-certified vs batch oracles)
-    "pipeline_stream_e2e_kpis", "events_enriched_streamed",
-    # engine-semantics audits (two never-validated probes plus the
-    # round-7 cast/coercion audit)
-    "null_semantics_audit", "decimal_semantics_audit",
-    "cast_semantics_audit",
+    # (VERDICT r4 item 1 sanctioned rotating everything else).
+    # --- round-8 rotation (44): first-ever driver rows, every one.
+    # Everything rotated OUT is r1–r7 driver-green AND still
+    # full-oracle-checked every round (ORACLE_FULL ledger). The two
+    # round-8 agreement-eval anchors (VERDICT r7 item 5) go first so
+    # they certify in their birth round like ann_recall_eval did:
+    "semdedup_agreement_eval", "kmeans_assign_agreement_eval",
+    # the eight remaining engine-semantics audits
+    "string_semantics_audit", "datetime_semantics_audit",
+    "aggregate_semantics_audit", "window_semantics_audit",
+    "json_semantics_audit", "regex_semantics_audit",
+    "array_semantics_audit", "map_semantics_audit",
+    # linfit / forecast-adjacent analytics
+    "events_value_linfit", "events_value_linfit_residuals",
+    "events_value_linfit_by_type", "events_test_zscore_trainfit",
+    "events_value_drift_periods",
+    # gapfill / skyline / concurrency / profile shapes
+    "user_daily_value_gapfill", "part_price_size_skyline",
+    "events_concurrency_histogram", "events_concurrency_histogram_scaled",
+    "user_series_similarity_topk", "order_qty_hof_stats",
+    # graph family
+    "part_clustering_coeff", "part_bfs_hops", "part_order_kcore",
+    "part_degree_histogram",
+    # multimodal (incl. the two r7 oracle-exact promotions)
+    "media_decode_features_real", "media_resize_real",
+    "media_audio_loudness",
+    # tokenizer-training replay oracles + doc stats
+    "bpe_merge_table", "bpe_initial_pair_counts", "doc_bpe_stats",
+    "unigram_piece_table", "unigram_candidate_pieces",
+    "doc_unigram_stats", "shard_docs_equal_tokens",
+    # retrieval / text corpus structures
+    "docs_vocab_index", "docs_term_matrix_sparse", "docs_sentence_stats",
+    "docs_ngram_novelty", "docs_curriculum_deciles",
+    # audits + decimal fact-scale anchor
+    "docs_source_lang_fd_audit", "events_key_candidates_audit",
+    "events_t_closeness_audit", "lineitem_decimal_revenue",
 ]
 
-# Round-8 rotation plan (for continuity): 70 registry queries have never
-# held a driver row (tools/oracle_check.py ledger). 51 are SQL-backed —
-# two more 44-row windows retire them all; prioritize the remaining
-# seven semantics audits, the tokenizer-training replays
-# (bpe_merge_table / unigram_piece_table / doc_*_stats), the linfit /
-# search / skyline analytics, and the promoted media_resize_real /
-# media_decode_features_real. The 19 rows-only entries (sketches,
-# float-iterative, ANN variants) should also cycle through for their
-# weaker rows-only driver checks once the SQL-backed debt is retired.
+# Round-9 rotation plan (for continuity): after this window the
+# never-driver-validated ledger is 28 — 12 SQL-backed
+# (part_pair_support, doc_token_cms, doc_token_cms_estimates,
+# customer_bloom_prune, corpus_drift_report, contrastive_negatives_docs,
+# source_overlap_prefixes, source_lang_gini, part_neighbors_topk,
+# purchase_touch_attribution, events_seasonal_naive_backtest,
+# source_dup_attribution) + 16 rows-only entries (sketches,
+# float-iterative kmeans/semdedup/pagerank, ANN variants, tfidf/bm25/LM,
+# dsir, diversity sampling) that get the weaker rows-only driver check.
+# One 28-row window retires the whole ledger.
 
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

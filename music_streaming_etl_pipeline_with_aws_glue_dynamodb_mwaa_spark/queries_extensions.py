@@ -10250,3 +10250,275 @@ def lineitem_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micros.cast("decimal(38,0)")).cast("decimal(38,0)")
         .cast("string").alias("revenue_micros"),
         F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# E186 (round 8) — SemDeDup agreement certification (round-7 VERDICT item
+# 5a): ONE hash-exact query quantifying the cell-blocking trade of
+# operators/semdedup.py against the exact all-pairs ground truth on a
+# bounded deterministic audit slice — the ann_recall_eval recipe (integer
+# overlap counts + single IEEE divisions, every float op an expression
+# twin shared bit-for-bit with the DuckDB oracle).
+#
+# Why a twin and not the production kernel: semantic_dup_pairs scores
+# pairs with a numpy BLAS matmul whose pairwise summation is not
+# IEEE-portable, and its default codebook is float-Lloyd-trained — both
+# rows-only by nature. The eval re-expresses the SAME algorithm
+# (nearest-seed cells → within-cell exact cosine ≥ τ → greedy
+# drop-higher-id) with sequential-fold dots and deterministic seed
+# centroids; tests/test_round8_evals.py pins the bridge (the production
+# operator given the same centroids emits the identical pair set).
+#
+# The synthetic embeddings corpus has no planted near-dups (max pairwise
+# cosine ≈ 0.5–0.6), so τ is dialed to the data's similarity regime
+# (0.30) to exercise the machinery with non-trivial counts; the
+# production default 0.95 changes only the literal. 100 TB posture: the
+# audit slice is capped by construction (vec_id % 4 = 0 AND vec_id <
+# 4000 → ≤ 1000 rows at ANY corpus scale), so the one sanctioned
+# broadcast self-join is constant-size forever.
+# --------------------------------------------------------------------------
+
+_SDD_EVAL_THRESH = 0.30
+_SDD_EVAL_NSEEDS = 8
+_EVAL_SLICE_CAP = 4000          # vec_id cap → ≤ 1000 slice rows at %4
+
+
+@register("semdedup_agreement_eval", f"""
+    WITH s0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS n
+      FROM embeddings
+      WHERE vec_id % 4 = 0 AND vec_id < {_EVAL_SLICE_CAP}),
+    seeds AS (SELECT vec_id AS sid, v, n FROM s0
+              ORDER BY vec_id LIMIT {_SDD_EVAL_NSEEDS}),
+    cells AS (
+      SELECT vec_id, v, n, sid AS cell FROM (
+        SELECT s0.vec_id, s0.v, s0.n, sd.sid,
+               ROW_NUMBER() OVER (PARTITION BY s0.vec_id
+                 ORDER BY list_dot_product(s0.v, sd.v) / (s0.n * sd.n)
+                          DESC, sd.sid) AS r
+        FROM s0, seeds sd) WHERE r = 1),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.cell AS ca, b.cell AS cb,
+             list_dot_product(a.v, b.v) / (a.n * b.n) AS c
+      FROM cells a, cells b WHERE a.vec_id < b.vec_id),
+    q AS (SELECT * FROM p WHERE c >= {_SDD_EVAL_THRESH:.17e}),
+    rep AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs_exact,
+             CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_cell,
+             CAST(count(DISTINCT ib) AS BIGINT) AS n_drop_exact,
+             CAST(count(DISTINCT CASE WHEN ca = cb THEN ib END) AS BIGINT)
+               AS n_drop_cell
+      FROM q),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n_slice FROM s0)
+    SELECT n_slice, n_pairs_exact, n_pairs_cell, n_drop_exact, n_drop_cell,
+           CASE WHEN n_pairs_exact = 0 THEN NULL
+                ELSE CAST(n_pairs_cell AS DOUBLE) / n_pairs_exact
+           END AS pair_recall,
+           CAST(n_slice - n_drop_exact + n_drop_cell AS DOUBLE) / n_slice
+             AS survivor_agreement
+    FROM rep, ns
+""")
+def semdedup_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row SemDeDup audit: pair recall of the cell-blocked search vs
+    the exact all-pairs set, and the keep/drop agreement of the two
+    survivor sets, on the capped deterministic slice. Cell pairs are a
+    SUBSET of exact pairs (both re-score with the exact cosine), so the
+    report reads directly: pair_recall is the fraction of true
+    near-dup pairs the cell blocking sees, survivor_agreement the
+    fraction of slice ids whose keep/drop fate is unchanged by it.
+    Plan: slice + cells checkpointed once (≤ 1000 rows), ONE broadcast
+    self-join scores every a<b pair with the sequential-fold dot twin,
+    one aggregation derives all four counts in a single action."""
+    emb = _emb(spark, sf_dir)
+    s = (emb.filter((F.col("vec_id") % 4 == 0)
+                    & (F.col("vec_id") < _EVAL_SLICE_CAP))
+         .select("vec_id", "embedding",
+                 similarity.norm_expr("embedding").alias("_n")))
+    seed_rows = (s.orderBy("vec_id").limit(_SDD_EVAL_NSEEDS)
+                 .select("vec_id", "embedding").collect())
+    seeds = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in seed_rows]
+    cells = s.withColumn(
+        "_cell",
+        similarity.nearest_seeds_expr("embedding", seeds, 1,
+                                      norm_col="_n").getItem(0)) \
+        .localCheckpoint()
+    a = cells.select(F.col("vec_id").alias("_ia"),
+                     F.col("embedding").alias("_va"),
+                     F.col("_n").alias("_na"), F.col("_cell").alias("_ca"))
+    b = cells.select(F.col("vec_id").alias("_ib"),
+                     F.col("embedding").alias("_vb"),
+                     F.col("_n").alias("_nb"), F.col("_cell").alias("_cb"))
+    pairs = (a.crossJoin(F.broadcast(b))
+             .filter(F.col("_ia") < F.col("_ib"))
+             .select("_ia", "_ib", "_ca", "_cb",
+                     (similarity.dot_expr("_va", "_vb")
+                      / (F.col("_na") * F.col("_nb"))).alias("_c"))
+             .filter(F.col("_c") >= F.lit(_SDD_EVAL_THRESH)))
+    rep = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_exact"),
+        F.sum(F.when(F.col("_ca") == F.col("_cb"), 1).otherwise(0))
+        .alias("n_pairs_cell"),
+        F.countDistinct("_ib").alias("n_drop_exact"),
+        F.countDistinct(F.when(F.col("_ca") == F.col("_cb"), F.col("_ib")))
+        .alias("n_drop_cell"))
+    ns = cells.agg(F.count(F.lit(1)).alias("n_slice"))
+    return (rep.crossJoin(F.broadcast(ns))
+            .select("n_slice", "n_pairs_exact", "n_pairs_cell",
+                    "n_drop_exact", "n_drop_cell",
+                    F.when(F.col("n_pairs_exact") > 0,
+                           F.col("n_pairs_cell").cast("double")
+                           / F.col("n_pairs_exact")).alias("pair_recall"),
+                    ((F.col("n_slice") - F.col("n_drop_exact")
+                      + F.col("n_drop_cell")).cast("double")
+                     / F.col("n_slice")).alias("survivor_agreement")))
+
+
+# --------------------------------------------------------------------------
+# E187 (round 8) — Lloyd-assignment agreement certification (round-7
+# VERDICT item 5b): hash-exact per-cluster agreement of the k-means
+# assignment AFTER N Lloyd rounds vs the oracle-exact seed assignment
+# (embedding_nearest_seed_assign's shape) on the same capped slice.
+#
+# The production kmeans_fit is rows-only by nature twice over: numpy
+# sample init + distributed float centroid means (partial-agg order).
+# The eval runs a DETERMINISTIC twin of the Lloyd update instead:
+# centroids accumulate as EXACT INTEGERS (components scaled by 2^24 and
+# floor-rounded — multiplication by a power of two is IEEE-exact, so
+# the only rounding is the deterministic floor), making the distributed
+# mean order-independent; cosine to an integer centroid needs neither
+# the count nor the scale (both cancel), so the re-assignment scores
+# dot(v, s_c) / (|v|·|s_c|) with the same sequential-fold twins DuckDB
+# evaluates. Clusters that capture no rows drop out of the next round
+# identically on both engines. tests/test_round8_evals.py pins a pure
+# numpy replication of the same recurrence to the operator's output.
+# --------------------------------------------------------------------------
+
+_KME_EVAL_K = 8
+_KME_EVAL_ROUNDS = 2
+_KME_EVAL_SCALE = 16777216.0            # 2^24 — exact double multiply
+_KME_EVAL_DIM = 64
+
+
+def _kmeans_eval_sql() -> str:
+    d, k, scale = _KME_EVAL_DIM, _KME_EVAL_K, "16777216.0"
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, v, n, cid FROM (
+        SELECT s.vec_id, s.v, s.n, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY list_dot_product(s.v, c.c) / (s.n * c.cn)
+                          DESC, c.cid) AS r
+        FROM s0 s, {cent} c) WHERE r = 1)"""
+
+    def update(name: str, asg: str) -> str:
+        return f"""{name} AS (
+      SELECT cid, c, sqrt(list_dot_product(c, c)) AS cn FROM (
+        SELECT cid, list(CAST(sv AS DOUBLE) ORDER BY j) AS c FROM (
+          SELECT cid, j,
+                 CAST(SUM(CAST(floor(v[j] * {scale} + 0.5) AS BIGINT))
+                      AS BIGINT) AS sv
+          FROM {asg}, range(1, {d + 1}) t(j) GROUP BY cid, j)
+        GROUP BY cid))"""
+
+    rounds = []
+    for r in range(1, _KME_EVAL_ROUNDS + 1):
+        rounds.append(update(f"c{r}", f"a{r - 1}"))
+        rounds.append(assign(f"a{r}", f"c{r}"))
+    last = f"a{_KME_EVAL_ROUNDS}"
+    return f"""
+    WITH s0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS n
+      FROM embeddings
+      WHERE vec_id % 4 = 0 AND vec_id < {_EVAL_SLICE_CAP}),
+    c0 AS (SELECT vec_id AS cid, v AS c, n AS cn FROM s0
+           ORDER BY vec_id LIMIT {k}),
+    {assign('a0', 'c0')},
+    {','.join(rounds)},
+    j AS (SELECT a0.vec_id, a0.cid AS cs, {last}.cid AS cl
+          FROM a0 JOIN {last} ON a0.vec_id = {last}.vec_id),
+    gs AS (SELECT cs AS cluster_id, CAST(count(*) AS BIGINT) AS n_seed,
+                  CAST(sum(CASE WHEN cs = cl THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_stay
+           FROM j GROUP BY cs),
+    gl AS (SELECT cl AS cluster_id, CAST(count(*) AS BIGINT) AS n_lloyd
+           FROM j GROUP BY cl)
+    SELECT COALESCE(gs.cluster_id, gl.cluster_id) AS cluster_id,
+           COALESCE(n_seed, 0) AS n_seed,
+           COALESCE(n_lloyd, 0) AS n_lloyd,
+           COALESCE(n_stay, 0) AS n_stay,
+           CASE WHEN COALESCE(n_seed, 0) = 0 THEN NULL
+                ELSE CAST(COALESCE(n_stay, 0) AS DOUBLE) / n_seed
+           END AS stay_share
+    FROM gs FULL OUTER JOIN gl ON gs.cluster_id = gl.cluster_id
+"""
+
+
+@register("kmeans_assign_agreement_eval", _kmeans_eval_sql())
+def kmeans_assign_agreement_eval(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-cluster agreement report (≤ k rows): how many of each seed
+    cluster's members still sit in that cluster after N deterministic
+    Lloyd rounds (n_seed, n_lloyd, n_stay, stay_share = n_stay/n_seed).
+    Certifies the distributed Lloyd machinery — assignment argmax,
+    grouped centroid accumulation, empty-cluster dropout, re-assignment
+    — hash-exactly; only the float mean is swapped for the
+    order-independent integer form (see section comment). Plan: the
+    slice is checkpointed once; each round is ONE k×(d+1)-row collect
+    (codebook-sized, never corpus-sized) feeding the next round's
+    literal-seed assignment expression; the final action joins two
+    ≤ 1000-row assignment frames."""
+    emb = _emb(spark, sf_dir)
+    s = (emb.filter((F.col("vec_id") % 4 == 0)
+                    & (F.col("vec_id") < _EVAL_SLICE_CAP))
+         .select("vec_id", "embedding",
+                 similarity.norm_expr("embedding").alias("_n"))
+         .localCheckpoint())
+    seed_rows = (s.orderBy("vec_id").limit(_KME_EVAL_K)
+                 .select("vec_id", "embedding").collect())
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in seed_rows]
+    dim = len(cents[0][1])
+
+    def assign(cs: list, out: str) -> DataFrame:
+        return s.withColumn(
+            out, similarity.nearest_seeds_expr("embedding", cs, 1,
+                                               norm_col="_n").getItem(0))
+
+    a0 = assign(cents, "_c0").localCheckpoint()
+    cur = a0
+    for rnd in range(1, _KME_EVAL_ROUNDS + 1):
+        sums = [F.sum(F.floor(F.col("embedding").getItem(i)
+                              * F.lit(_KME_EVAL_SCALE) + F.lit(0.5))
+                      .cast("long")).alias(f"_s{i}")
+                for i in range(dim)]
+        rows = cur.groupBy(f"_c{rnd - 1}").agg(*sums).collect()
+        cs = sorted((int(r[f"_c{rnd - 1}"]),
+                     [float(r[f"_s{i}"]) for i in range(dim)])
+                    for r in rows)
+        cur = assign(cs, f"_c{rnd}")
+    j = (a0.select("vec_id", F.col("_c0").alias("_cs"))
+         .join(cur.select("vec_id",
+                          F.col(f"_c{_KME_EVAL_ROUNDS}").alias("_cl")),
+               "vec_id"))
+    gs = j.groupBy(F.col("_cs").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_seed"),
+        F.sum(F.when(F.col("_cs") == F.col("_cl"), 1).otherwise(0))
+        .alias("n_stay"))
+    gl = j.groupBy(F.col("_cl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_lloyd"))
+    return (gs.join(gl, ["cluster_id"], "full_outer")
+            .select("cluster_id",
+                    F.coalesce("n_seed", F.lit(0)).alias("n_seed"),
+                    F.coalesce("n_lloyd", F.lit(0)).alias("n_lloyd"),
+                    F.coalesce("n_stay", F.lit(0)).alias("n_stay"),
+                    F.when(F.coalesce(F.col("n_seed"), F.lit(0)) > 0,
+                           F.coalesce(F.col("n_stay"), F.lit(0))
+                           .cast("double") / F.col("n_seed"))
+                    .alias("stay_share")))
