@@ -29,6 +29,17 @@ Writes a markdown report (default PLANS_r04.md) with a red-flag summary
 first — the 100 TB posture made auditable in one artifact instead of
 per-query spot checks.
 
+Adaptive-rider dual-path audit (round-7 VERDICT item 2): the ``ids.*``
+helpers route between a single-task window and the two-phase
+range-partition machinery on a Catalyst size estimate
+(``ids._take_window_path``). Planning at sf0.001 always lands on the
+small-N window path, so round 7's audit never saw the plan that runs at
+100 TB. This tool now TRACKS the gate during each build; every query
+that took the window path at least once is re-planned a second time
+with the gate forced to the scale path, reported as its own
+``name ⟨scale⟩`` row and included in the red-flag scan — so "0 flags"
+means 0 flags on BOTH plan families.
+
 Usage: python tools/plan_report.py [sf_dir] [out_md]
 """
 
@@ -122,31 +133,65 @@ def main() -> int:
         return orig_ckpt(self, *args, **kwargs)
 
     DataFrame.localCheckpoint = _capturing
-    rows, errors = [], []
+
+    # Track the adaptive ids.* gate (module docstring): when a build takes
+    # the window path anywhere, re-plan it with the gate forced to the
+    # two-phase path so the red-flag scan provably covers the plan family
+    # that runs at scale.
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import ids
+    orig_gate = ids._take_window_path
+    gate_state = {"window_hits": 0, "force_scale": False}
+
+    def _tracking_gate(df, num_partitions, order_cols=None):
+        if gate_state["force_scale"]:
+            return False
+        took = orig_gate(df, num_partitions, order_cols)
+        gate_state["window_hits"] += took
+        return took
+
+    ids._take_window_path = _tracking_gate
+
+    def _plan_row(fn):
+        captured.clear()
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        f = _merge([_features(p) for p in [plan] + captured])
+        f["ckpt"] = len(captured)
+        return f
+
+    rows, errors, scale_rows = [], [], 0
     try:
         for name, fn in entrymod.queries().items():
-            captured.clear()
+            gate_state["window_hits"] = 0
+            gate_state["force_scale"] = False
             try:
-                df = fn(spark, sf_dir)
-                plan = df._jdf.queryExecution().executedPlan().toString()
-                feats = [_features(p) for p in [plan] + captured]
-                f = _merge(feats)
-                f["ckpt"] = len(captured)
-                rows.append((name, f))
+                rows.append((name, _plan_row(fn)))
             except Exception as exc:  # noqa: BLE001 — report, don't die
                 msg = (str(exc).splitlines() or [repr(exc)])[0][:200]
                 errors.append((name, msg))
+                continue
+            if gate_state["window_hits"]:
+                gate_state["force_scale"] = True
+                try:
+                    rows.append((f"{name} ⟨scale⟩", _plan_row(fn)))
+                    scale_rows += 1
+                except Exception as exc:  # noqa: BLE001
+                    msg = (str(exc).splitlines() or [repr(exc)])[0][:200]
+                    errors.append((f"{name} ⟨scale⟩", msg))
     finally:
         DataFrame.localCheckpoint = orig_ckpt
+        ids._take_window_path = orig_gate
     flags = []
     for name, f in rows:
-        allowed = ALLOWED.get(name, set())
+        allowed = ALLOWED.get(name.removesuffix(" ⟨scale⟩"), set())
         for flag in ("cartesian", "bnlj"):
             if f[flag] and flag not in allowed:
                 flags.append((name, flag))
     with open(out_md, "w") as fh:
         fh.write("# Physical-plan audit — every registered query\n\n")
-        fh.write(f"sf_dir: `{sf_dir}` · {len(rows)} plans · "
+        fh.write(f"sf_dir: `{sf_dir}` · {len(rows)} plans "
+                 f"({scale_rows} forced scale-path re-plans of adaptive "
+                 f"ids.* riders — BOTH plan families are scanned) · "
                  f"{len(errors)} errors · generated by tools/plan_report.py\n\n")
         fh.write("## Red flags\n\n")
         if not flags:
@@ -154,7 +199,10 @@ def main() -> int:
                      "anywhere outside the documented ALLOWED set — "
                      "including inside every checkpointed subtree (the "
                      "`ckpt` column counts the captured pre-checkpoint "
-                     "plans each query's features now include).\n\n")
+                     "plans each query's features now include) and in "
+                     "every `⟨scale⟩` row (the same query re-planned with "
+                     "the adaptive ids.* gate forced to the two-phase "
+                     "path that runs at 100 TB).\n\n")
         else:
             for name, flag in flags:
                 fh.write(f"- **{name}**: {flag}\n")
