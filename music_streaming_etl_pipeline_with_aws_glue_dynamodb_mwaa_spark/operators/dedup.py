@@ -640,6 +640,27 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
     postings on the shingle; verification = exact overlap counts over
     the full postings (``_overlap_counts``), never a doc×doc product.
     """
+    candidates, sh = containment_candidates(
+        df, id_col, text_col, n=n, threshold=threshold,
+        max_shingle_df=max_shingle_df)
+    counts = _overlap_counts(candidates, sh)
+    return (counts.select(
+                "doc_a", "doc_b",
+                (F.col("_c").cast("double") / F.col("_na"))
+                .alias("containment"),
+                F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"))
+            .filter(F.col("containment") >= threshold))
+
+
+def containment_candidates(df: DataFrame, id_col: str, text_col: str, *,
+                           n: int = 3, threshold: float = 0.8,
+                           max_shingle_df: int | None = None
+                           ) -> tuple[DataFrame, DataFrame]:
+    """The prefix-filtered candidate frame of :func:`containment_pairs`
+    plus the full postings it verifies against — split out so scale
+    probes can attribute wall-clock growth to measured candidate-set
+    growth (data property) vs per-candidate cost (operator property)
+    without re-deriving the blocking logic."""
     sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=False)
     docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
     joinable = sh
@@ -661,13 +682,7 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
                & (F.col("a._id") != F.col("b._id")))
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct())
-    counts = _overlap_counts(candidates, sh)
-    return (counts.select(
-                "doc_a", "doc_b",
-                (F.col("_c").cast("double") / F.col("_na"))
-                .alias("containment"),
-                F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"))
-            .filter(F.col("containment") >= threshold))
+    return candidates, sh
 
 
 def shared_ngram_pairs(df: DataFrame, id_col: str, text_col: str, *,

@@ -66,38 +66,42 @@ CHAIN = ["daily_genre_kpis", "top_songs_per_genre", "kv_genre_kpi_items",
 BLOWUP = 12.0
 
 
-def ensure_sf1(spark: SparkSession) -> str:
-    marker = os.path.join(DST, "_BUILT_v2")  # v2: + documents/embeddings
-    if os.path.exists(marker):
-        return DST
-    os.makedirs(DST, exist_ok=True)
-    part = spark.read.parquet(os.path.join(SRC, "part.parquet"))
-    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
-    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
-    events = spark.read.parquet(os.path.join(SRC, "events.parquet"))
-    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
-    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
-    offs = {
-        "p": part.agg(F.max("p_partkey")).collect()[0][0] + 1,
-        "s": li.agg(F.max("l_suppkey")).collect()[0][0] + 1,
-        "o": li.agg(F.max("l_orderkey")).collect()[0][0] + 1,
-        "c": orders.agg(F.max("o_custkey")).collect()[0][0] + 1,
-        "e": events.agg(F.max("event_id")).collect()[0][0] + 1,
-        "u": events.agg(F.max("user_id")).collect()[0][0] + 1,
-        "d": docs.agg(F.max("doc_id")).collect()[0][0] + 1,
-        "v": emb.agg(F.max("vec_id")).collect()[0][0] + 1,
-    }
+#: (table, key-shift columns, repartition, decorrelating tweak tag)
+_TABLES = {
+    "part": ({"p_partkey": "p"}, 8, None),
+    "lineitem": ({"l_partkey": "p", "l_suppkey": "s", "l_orderkey": "o"},
+                 32, None),
+    "orders": ({"o_orderkey": "o", "o_custkey": "c"}, 16, None),
+    "events": ({"event_id": "e", "user_id": "u"}, 16, None),
+    "documents": ({"doc_id": "d"}, 16, "doc"),
+    "embeddings": ({"vec_id": "v"}, 8, "emb"),
+}
 
-    def rep(df, shifts: dict[str, str], tweak=None):
-        out = None
-        for i in range(COPIES):
-            d = df
+
+def ensure_lake(spark: SparkSession, src: str, dst: str, copies: int,
+                tables: list[str], marker_name: str) -> str:
+    """Materialize a ``copies``× replica lake of ``tables`` from ``src``
+    into ``dst`` (key offsets in lockstep, similarity columns
+    decorrelated per replica — see the comment below). Composable: the
+    100× probe builds its lake FROM the sf1 lake, and the doc-suffix /
+    embedding-shift tweaks stack (a second-level replica gets a second
+    suffix), so decorrelation across all 100 replicas is preserved."""
+    marker = os.path.join(dst, marker_name)
+    if os.path.exists(marker):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    dfs = {t: spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+           for t in tables}
+    offs: dict[str, int] = {}
+
+    def _off(key: str, df, col: str) -> None:
+        if key not in offs:
+            offs[key] = df.agg(F.max(col)).collect()[0][0] + 1
+
+    for t, (shifts, _, _) in _TABLES.items():
+        if t in dfs:
             for col, key in shifts.items():
-                d = d.withColumn(col, F.col(col) + F.lit(i * offs[key]))
-            if tweak is not None:
-                d = tweak(d, i)
-            out = d if out is None else out.unionByName(d)
-        return out
+                _off(key, dfs[t], col)
 
     # Replica DECORRELATION for similarity-bearing columns: a verbatim
     # copy of every document/embedding would make each row ~COPIES-way
@@ -124,24 +128,35 @@ def ensure_sf1(spark: SparkSession) -> str:
         v = F.col("embedding")
         return d.withColumn(
             "embedding",
-            F.concat(F.slice(v, i + 1, dim - i), F.slice(v, 1, i)))
+            F.concat(F.slice(v, (i % (dim - 1)) + 1, dim - (i % (dim - 1))),
+                     F.slice(v, 1, i % (dim - 1))))
 
-    rep(part, {"p_partkey": "p"}).repartition(8) \
-        .write.mode("overwrite").parquet(os.path.join(DST, "part.parquet"))
-    rep(li, {"l_partkey": "p", "l_suppkey": "s", "l_orderkey": "o"}) \
-        .repartition(32).write.mode("overwrite") \
-        .parquet(os.path.join(DST, "lineitem.parquet"))
-    rep(orders, {"o_orderkey": "o", "o_custkey": "c"}).repartition(16) \
-        .write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
-    rep(events, {"event_id": "e", "user_id": "u"}).repartition(16) \
-        .write.mode("overwrite").parquet(os.path.join(DST, "events.parquet"))
-    rep(docs, {"doc_id": "d"}, tweak=tweak_doc).repartition(16) \
-        .write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
-    rep(emb, {"vec_id": "v"}, tweak=tweak_emb).repartition(8) \
-        .write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
+    tweaks = {"doc": tweak_doc, "emb": tweak_emb, None: None}
+
+    def rep(df, shifts: dict[str, str], tweak=None):
+        out = None
+        for i in range(copies):
+            d = df
+            for col, key in shifts.items():
+                d = d.withColumn(col, F.col(col) + F.lit(i * offs[key]))
+            if tweak is not None:
+                d = tweak(d, i)
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    for t in tables:
+        shifts, parts, tag = _TABLES[t]
+        rep(dfs[t], shifts, tweak=tweaks[tag]) \
+            .repartition(max(parts, parts * copies // COPIES)) \
+            .write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
     with open(marker, "w") as fh:
-        fh.write(f"src={SRC} copies={COPIES}\n")
-    return DST
+        fh.write(f"src={src} copies={copies}\n")
+    return dst
+
+
+def ensure_sf1(spark: SparkSession) -> str:
+    # _BUILT_v2: + documents/embeddings (round 7)
+    return ensure_lake(spark, SRC, DST, COPIES, list(_TABLES), "_BUILT_v2")
 
 
 def _time(spark: SparkSession, fn, sf_dir: str, n: int = 2) -> float:
@@ -184,9 +199,93 @@ def main() -> int:
         result[name] = {"sf0.1": t_small, "sf1": t_big, "ratio": ratio}
         print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x)",
               file=sys.stderr)
+
+    # Output-growth normalization for the pair-generating worst case
+    # (round-7 VERDICT item 3): a wall ratio alone can't distinguish
+    # "the data grew more pairs" (intended under decorrelated replicas)
+    # from "the operator went superlinear per unit of work" — record the
+    # measured candidate/result pair counts at both scales so the ratio
+    # is attributable, plus the per-candidate cost ratio (~1 = the
+    # operator scales with its work; ≫1 = real superlinearity).
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import dedup  # noqa: E402
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog as _cat  # noqa: E402
+
+    def _containment_counts(sf_dir: str) -> dict[str, int]:
+        docs = _cat.load_table(spark, sf_dir, "documents")
+        cand, _sh = dedup.containment_candidates(docs, "doc_id", "text",
+                                                 n=3, threshold=0.8)
+        c = cand.count()
+        r = qs["neardup_containment_pairs"](spark, sf_dir).count()
+        spark.catalog.clearCache()
+        return {"candidate_pairs": int(c), "result_pairs": int(r)}
+
+    n0 = _containment_counts(SRC)
+    n1 = _containment_counts(sf1)
+    t0 = result["neardup_containment_pairs"]["sf0.1"]
+    t1 = result["neardup_containment_pairs"]["sf1"]
+    normalization = {
+        "query": "neardup_containment_pairs",
+        "sf0.1": n0, "sf1": n1,
+        "candidate_growth": round(n1["candidate_pairs"]
+                                  / max(n0["candidate_pairs"], 1), 2),
+        "result_growth": round(n1["result_pairs"]
+                               / max(n0["result_pairs"], 1), 2),
+        "wall_ratio": result["neardup_containment_pairs"]["ratio"],
+        "per_candidate_cost_ratio": round(
+            (t1 / max(n1["candidate_pairs"], 1))
+            / (t0 / max(n0["candidate_pairs"], 1)), 2),
+    }
+    print(f"# normalization: {normalization}", file=sys.stderr)
+
+    # Optional second scale point (round-7 VERDICT item 6): 100× total
+    # (10× on top of the sf1 lake, documents+lineitem only — the two
+    # worst-ratio operators' inputs) to pin the growth exponent a single
+    # 10× point cannot distinguish. Exponent = log(t_hi/t_lo)/log(10)
+    # per decade; healthy ≈ ≤ 1 + lg(shuffle log factor).
+    probe100 = None
+    if "--probe100" in sys.argv:
+        import math
+        import shutil
+        free_gb = shutil.disk_usage(REPO).free / (1 << 30)
+        if free_gb < 10:
+            probe100 = {"skipped": f"only {free_gb:.1f} GiB free"}
+        else:
+            dst100 = os.path.join(REPO, ".scale_probe", "sf10")
+            sf10 = ensure_lake(spark, sf1, dst100, 10,
+                               ["documents", "lineitem"], "_BUILT_v1")
+            for t in ("documents", "lineitem"):
+                spark.read.parquet(os.path.join(sf10, f"{t}.parquet")).count()
+            probe100 = {"queries": {}}
+            for name in ("neardup_containment_pairs", "part_order_pagerank"):
+                qs[name](spark, sf10).write.format("noop") \
+                    .mode("overwrite").save()      # untimed warm
+                spark.catalog.clearCache()
+                t10 = _time(spark, qs[name], sf10,
+                            n=1)
+                t1q = result[name]["sf1"]
+                probe100["queries"][name] = {
+                    "sf1": t1q, "sf10": t10,
+                    "ratio_10x": round(t10 / max(t1q, 1e-9), 2),
+                    "exponent_sf1_to_sf10": round(
+                        math.log(t10 / max(t1q, 1e-9)) / math.log(10), 2),
+                    "exponent_sf0.1_to_sf1": round(
+                        math.log(t1q / max(result[name]["sf0.1"], 1e-9))
+                        / math.log(10), 2),
+                }
+                print(f"# probe100 {name}: {t1q:.2f}s -> {t10:.2f}s",
+                      file=sys.stderr)
+            n10 = _containment_counts(sf10)
+            probe100["containment_counts_sf10"] = n10
+            probe100["per_candidate_cost_ratio_sf1_to_sf10"] = round(
+                (probe100["queries"]["neardup_containment_pairs"]["sf10"]
+                 / max(n10["candidate_pairs"], 1))
+                / (t1 / max(n1["candidate_pairs"], 1)), 2)
+
     line = json.dumps({
         "metric": "sf1_scale_probe", "unit": "sec",
         "copies": COPIES, "queries": result,
+        "normalization": normalization,
+        **({"probe100": probe100} if probe100 is not None else {}),
         "worst_ratio": worst, "blowup_gate": BLOWUP,
         "superlinear": sorted(n for n, r in result.items()
                               if r["ratio"] > BLOWUP),
