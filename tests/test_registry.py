@@ -75,15 +75,14 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "daily_genre_kpis", "top_songs_per_genre",
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
         "pack_documents_512",
-        # round-7 rotation: the ANN recall certification + one rep per
-        # never-validated family (VERDICT r6 item 1)
-        "ann_recall_eval", "purchase_click_interval",
-        "events_hopping_counts", "dedup_incremental_new_docs",
-        "neardup_minhash_eval", "chunk_documents_32",
-        "curation_funnel_report", "docs_conjunctive_search",
-        "part_association_rules", "parquet_schema_evolution",
-        "pipeline_stream_e2e_kpis", "null_semantics_audit",
-        "cast_semantics_audit",
+        # round-8 rotation: the two agreement-eval certifications + one
+        # rep per never-validated family (VERDICT r7 items 1 and 5)
+        "semdedup_agreement_eval", "kmeans_assign_agreement_eval",
+        "string_semantics_audit", "map_semantics_audit",
+        "events_value_linfit", "user_daily_value_gapfill",
+        "part_price_size_skyline", "part_order_kcore",
+        "media_resize_real", "bpe_merge_table", "unigram_piece_table",
+        "docs_vocab_index", "lineitem_decimal_revenue",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 
