@@ -79,13 +79,24 @@ _TABLES = {
 
 
 def ensure_lake(spark: SparkSession, src: str, dst: str, copies: int,
-                tables: list[str], marker_name: str) -> str:
+                tables: list[str], marker_name: str, *,
+                doc_suffix: str = "r") -> str:
     """Materialize a ``copies``× replica lake of ``tables`` from ``src``
     into ``dst`` (key offsets in lockstep, similarity columns
-    decorrelated per replica — see the comment below). Composable: the
-    100× probe builds its lake FROM the sf1 lake, and the doc-suffix /
-    embedding-shift tweaks stack (a second-level replica gets a second
-    suffix), so decorrelation across all 100 replicas is preserved."""
+    decorrelated per replica — see the comment below). Composable WITH A
+    CAVEAT: a second-level build MUST pass a distinct ``doc_suffix`` —
+    with the same letter, level-2 copy j of a level-1 ORIGINAL
+    (``tok`` → ``tok_r{j}``) collides exactly with level-2 copy 0 of
+    level-1 replica j (``tok_r{j}`` unchanged), planting 2·(copies−1)
+    exact-twin corpus slices (measured: +99,216 directed containment
+    pairs = 9 × 11,024 at 100×, a ~3× result-pair overstatement). The
+    embedding circular-shift has the same composition hazard (total
+    shift i+j collides across (i,j) splits), so a level-2 build of
+    ``embeddings`` is refused rather than silently correlated."""
+    if doc_suffix != "r" and "embeddings" in tables:
+        raise ValueError("second-level embedding replication would "
+                         "correlate replicas (shift i+j collides); "
+                         "extend the shift scheme before enabling this")
     marker = os.path.join(dst, marker_name)
     if os.path.exists(marker):
         return dst
@@ -119,7 +130,7 @@ def ensure_lake(spark: SparkSession, src: str, dst: str, copies: int,
         return d.withColumn(
             "text", F.array_join(F.transform(
                 F.split(F.col("text"), " "),
-                lambda t: F.concat(t, F.lit(f"_r{i}"))), " "))
+                lambda t: F.concat(t, F.lit(f"_{doc_suffix}{i}"))), " "))
 
     def tweak_emb(d, i):
         if i == 0:
@@ -251,8 +262,11 @@ def main() -> int:
             probe100 = {"skipped": f"only {free_gb:.1f} GiB free"}
         else:
             dst100 = os.path.join(REPO, ".scale_probe", "sf10")
+            # _BUILT_v2: level-distinct "q" suffix (the "r"-suffix
+            # composition collision is documented on ensure_lake)
             sf10 = ensure_lake(spark, sf1, dst100, 10,
-                               ["documents", "lineitem"], "_BUILT_v1")
+                               ["documents", "lineitem"], "_BUILT_v2",
+                               doc_suffix="q")
             for t in ("documents", "lineitem"):
                 spark.read.parquet(os.path.join(sf10, f"{t}.parquet")).count()
             probe100 = {"queries": {}}
