@@ -67,6 +67,21 @@ def main() -> None:
               "embeddings"):
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             catalog.load_table(spark, sf_dir, t).count()
+    # …and ONE untimed throwaway query action (round-8 VERDICT item 3):
+    # table counts don't exercise whole-stage codegen / shuffle machinery,
+    # so the first MEASURED query was absorbing ~1.4 s of JVM warm-up
+    # (observed every round as a first-sample flag that re-measured
+    # ambient). Burn the flagship chain once before any clock starts; the
+    # env block records what ran and what it cost so the sample's
+    # provenance is auditable.
+    _wq = entrymod._ANCHORS[0] if getattr(entrymod, "_ANCHORS", None) \
+        else next(iter(entrymod.queries()))
+    _t0 = time.perf_counter()
+    entrymod.queries()[_wq](spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
+    env["warmup_query"] = _wq
+    env["warmup_secs"] = round(time.perf_counter() - _t0, 3)
+    spark.catalog.clearCache()
 
     # Repeats run as INTERLEAVED full passes (suite, then suite again),
     # min per query — a transient stall (GC, page-cache eviction) then

@@ -81,9 +81,14 @@ def _take_window_path(df: DataFrame, num_partitions: int | None,
     only — it is a full extra aggregation over the frame).
     """
     if order_cols and _os.environ.get("SPARK_GRAFT_IDS_CHECK_TOTAL_ORDER"):
+        # distinct over a STRUCT, not bare columns (round-8 ADVICE):
+        # countDistinct(a, b) drops rows where ANY column is NULL, so a
+        # frame with one NULL-keyed row would falsely raise; a struct
+        # value counts NULL-bearing keys like any other value.
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct(*[F.col(c) for c in order_cols]).alias("k"),
+            F.countDistinct(
+                F.struct(*[F.col(c) for c in order_cols])).alias("k"),
         ).collect()[0]
         if row["n"] != row["k"]:
             raise ValueError(

@@ -6,6 +6,8 @@ eval reproduces a pure-numpy replication of its own recurrence."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
@@ -35,12 +37,35 @@ def _slice_np():
     return ids, vecs
 
 
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right sequential fold — bit-identical to the twins'
+    dot_expr / DuckDB list_dot_product arithmetic."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
 def _nearest_seed(vecs, ids, seeds):
-    """argmax cosine, ties -> lowest seed id (the twins' tie rule)."""
-    sv = np.stack([v for _, v in seeds])
-    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ \
-        (sv / np.linalg.norm(sv, axis=1, keepdims=True)).T
-    return np.array([seeds[j][0] for j in np.argmax(sims, axis=1)])
+    """argmax cosine with the twins' SEQUENTIAL-FOLD arithmetic (dot =
+    left-to-right acc + x·y, norm = sqrt(fold dot), cosine =
+    dot/(na·nb)) instead of BLAS normalize-then-matmul (round-8 ADVICE:
+    a BLAS-vs-fold ulp at an argmax near-tie would make the bridge
+    flaky). Ties -> lowest seed id (the twins' tie rule)."""
+    sv = sorted(((int(sid), [float(x) for x in v]) for sid, v in seeds),
+                key=lambda t: t[0])
+    sn = [(sid, v, math.sqrt(_fold_dot(v, v))) for sid, v in sv]
+    out = []
+    for row in vecs:
+        vl = [float(x) for x in row]
+        nv = math.sqrt(_fold_dot(vl, vl))
+        best_sid, best_sim = None, None
+        for sid, v, n in sn:             # ascending sid: strict > keeps
+            sim = _fold_dot(vl, v) / (nv * n)   # the lowest id on ties
+            if best_sim is None or sim > best_sim:
+                best_sid, best_sim = sid, sim
+        out.append(best_sid)
+    return np.array(out)
 
 
 def test_semdedup_twin_matches_production_kernel(spark):
@@ -55,8 +80,15 @@ def test_semdedup_twin_matches_production_kernel(spark):
     cell = _nearest_seed(vecs, ids, seeds)
     unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     sims = unit @ unit.T
-    expect = set()
     n = len(ids)
+    # the pairwise threshold compare stays BLAS (500k pairs); guard it:
+    # BLAS and the twins' sequential fold agree to ~1e-15 relative, so
+    # assert every pair clears the threshold by a margin orders of
+    # magnitude wider — an arithmetic ulp can then never flip a >=
+    # comparison between this ground truth and the twin (round-8 ADVICE)
+    iu = np.triu_indices(n, k=1)
+    assert np.abs(sims[iu] - qe._SDD_EVAL_THRESH).min() > 1e-9
+    expect = set()
     for a in range(n):
         for b in range(a + 1, n):
             if cell[a] == cell[b] and sims[a, b] >= qe._SDD_EVAL_THRESH:

@@ -200,12 +200,14 @@ def main() -> int:
     # ONE full-results file (the pre-r8 unstamped default), the comparison
     # is old==new — every ratio exactly 1.0 and the gate passes without
     # testing anything. That is a configuration error, not a clean bill.
-    same_full = (old.get("_resolved_full_path") is not None
-                 and old.get("_resolved_full_path")
-                 == new.get("_resolved_full_path"))
-    if same_full or os.path.abspath(old_p) == os.path.abspath(new_p):
+    # Compare EFFECTIVE paths on both sides (round-8 ADVICE): a compact
+    # summary resolving to FULL.json vs that same FULL.json passed
+    # directly is just as vacuous as compact-vs-compact.
+    old_eff = old.get("_resolved_full_path") or os.path.abspath(old_p)
+    new_eff = new.get("_resolved_full_path") or os.path.abspath(new_p)
+    if old_eff == new_eff:
         print(f"ERROR: old and new resolve to the SAME results file "
-              f"({old.get('_resolved_full_path') or os.path.abspath(old_p)})"
+              f"({old_eff})"
               f" — the comparison is vacuous. Point the compact summaries "
               f"at distinct full-results files (bench.py run-stamps the "
               f"default since r8) or pass the BENCH_LOCAL files directly.")

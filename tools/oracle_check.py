@@ -75,16 +75,23 @@ def main() -> int:
     import glob
     import json
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # STRICT counting (round-8 VERDICT item 2): a window row counts as
+    # driver-validated only when the driver actually COMPARED something
+    # (rows_match True) — the r1/r2 `err: no_oracle` placeholder rows
+    # carried no rows/schema/hash comparison and must not retire debt.
     validated: set[str] = set()
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
-            validated |= set(json.load(open(f)))
+            d = json.load(open(f))
+            validated |= {k for k, v in d.items()
+                          if isinstance(v, dict) and v.get("rows_match") is True}
         except Exception:
             pass
     window = list(qs)[:50]
     first_time = [n for n in window if n not in validated]
     print(f"# registry: {len(qs)} queries ({len(oracles)} oracle-backed); "
-          f"driver-validated ever: {len(validated & set(qs))}; "
+          f"driver-validated ever (strict: rows_match=True only): "
+          f"{len(validated & set(qs))}; "
           f"current window adds {len(first_time)} first-time rows "
           f"(never-validated remaining after this window: "
           f"{len([n for n in qs if n not in validated]) - len(first_time)})")

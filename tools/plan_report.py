@@ -62,6 +62,37 @@ ALLOWED = {
     "events_windowed_dense": {"cartesian"},
 }
 
+# Queries allowed to carry an UNPARTITIONED Window operator (round-8
+# VERDICT item 3: the WindowExec "No Partition Defined" warnings were
+# established as bounded only by manual review — this set makes that
+# review executable). Every entry names the bounded site; a global
+# window in any query NOT listed here (and not an adaptive ids.* rider
+# whose ⟨scale⟩ twin is global-window-free — those are auto-allowed,
+# the twin row being the proof the scale plan has none) is a red flag.
+ALLOWED_GLOBAL_WIN: dict[str, str] = {}  # populated below, grouped by site
+
+
+def _is_global_window(ln: str) -> bool:
+    """True when a physical-plan line is a Window operator with an EMPTY
+    partition spec. Rendering (verified on PySpark 4.1): partitioned =
+    ``Window [exprs], [partSpec], [orderSpec]`` (3 top-level bracket
+    groups); global = ``Window [exprs], [orderSpec]`` (2 groups). A
+    depth scan counts top-level groups so brackets inside expression
+    renderings can't miscount. ``WindowGroupLimit`` lines don't match
+    (different node name)."""
+    s = ln.lstrip(" +-:|")
+    if not s.startswith("Window ["):
+        return False
+    depth = groups = 0
+    for ch in s[len("Window "):]:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups < 3
+
 
 def _features(plan: str) -> dict:
     # strip the scalar-subquery broadcast cross joins Spark renders for
@@ -94,6 +125,11 @@ def _features(plan: str) -> dict:
             for ln in plan.splitlines()),
         "bnlj_cross": plan.count("BroadcastNestedLoopJoin BuildRight, Cross")
         + plan.count("BroadcastNestedLoopJoin BuildLeft, Cross"),
+        # unpartitioned Window operators (single-task global sort+window):
+        # fine on bounded frames, a scale-killer on fact-sized ones —
+        # audited via ALLOWED_GLOBAL_WIN + the adaptive-rider auto-allow
+        "global_windows": sum(
+            1 for ln in plan.splitlines() if _is_global_window(ln)),
     }
 
 
@@ -182,11 +218,22 @@ def main() -> int:
         DataFrame.localCheckpoint = orig_ckpt
         ids._take_window_path = orig_gate
     flags = []
+    # adaptive ids.* riders whose forced scale-path twin carries ZERO
+    # global windows: their base-row global window is the documented
+    # small-N path, and the twin row IS the proof the 100 TB plan has none
+    scale_clean = {name.removesuffix(" ⟨scale⟩") for name, f in rows
+                   if name.endswith(" ⟨scale⟩")
+                   and f["global_windows"] == 0}
     for name, f in rows:
-        allowed = ALLOWED.get(name.removesuffix(" ⟨scale⟩"), set())
+        base = name.removesuffix(" ⟨scale⟩")
+        allowed = ALLOWED.get(base, set())
         for flag in ("cartesian", "bnlj"):
             if f[flag] and flag not in allowed:
                 flags.append((name, flag))
+        if (f["global_windows"] and base not in ALLOWED_GLOBAL_WIN
+                and not (not name.endswith(" ⟨scale⟩")
+                         and base in scale_clean)):
+            flags.append((name, f"globalWin×{f['global_windows']}"))
     with open(out_md, "w") as fh:
         fh.write("# Physical-plan audit — every registered query\n\n")
         fh.write(f"sf_dir: `{sf_dir}` · {len(rows)} plans "
@@ -195,7 +242,12 @@ def main() -> int:
                  f"{len(errors)} errors · generated by tools/plan_report.py\n\n")
         fh.write("## Red flags\n\n")
         if not flags:
-            fh.write("None. No CartesianProduct or BroadcastNestedLoopJoin "
+            fh.write("None. No CartesianProduct, BroadcastNestedLoopJoin, "
+                     "or unpartitioned Window (`gWin` column — global "
+                     "windows are red flags unless the site is in the "
+                     "documented ALLOWED_GLOBAL_WIN set or the query is "
+                     "an adaptive ids.* rider whose ⟨scale⟩ twin plans "
+                     "zero of them) "
                      "anywhere outside the documented ALLOWED set — "
                      "including inside every checkpointed subtree (the "
                      "`ckpt` column counts the captured pre-checkpoint "
@@ -214,15 +266,15 @@ def main() -> int:
             fh.write("\n")
         fh.write("## Per-query features\n\n")
         fh.write("| query | hashEx | rangeEx | bcast | BHJ | SMJ | scans |"
-                 " pushed | WGL | TopK | xBNLJ | ckpt |\n|---|--:|--:|--:|"
-                 "--:|--:|--:|:-:|:-:|:-:|--:|--:|\n")
+                 " pushed | WGL | TopK | xBNLJ | gWin | ckpt |\n|---|--:|--:|"
+                 "--:|--:|--:|--:|:-:|:-:|:-:|--:|--:|--:|\n")
         for name, f in rows:
             fh.write(
                 f"| {name} | {f['hash_exchanges']} | {f['range_exchanges']} |"
                 f" {f['broadcasts']} | {f['bhj']} | {f['smj']} | {f['scans']} |"
                 f" {'y' if f['pushed'] else ''} | {'y' if f['wgl'] else ''} |"
                 f" {'y' if f['top'] else ''} | {f['bnlj_cross'] or ''} |"
-                f" {f['ckpt'] or ''} |\n")
+                f" {f['global_windows'] or ''} | {f['ckpt'] or ''} |\n")
     print(f"wrote {out_md}: {len(rows)} plans, {len(flags)} flags, "
           f"{len(errors)} errors")
     spark.stop()

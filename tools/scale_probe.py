@@ -97,6 +97,13 @@ def ensure_lake(spark: SparkSession, src: str, dst: str, copies: int,
         raise ValueError("second-level embedding replication would "
                          "correlate replicas (shift i+j collides); "
                          "extend the shift scheme before enabling this")
+    # Single-level hazard too (round-8 ADVICE): the circular shift is
+    # i % (dim-1), so replica 63 (126, …) would get a ZERO shift and
+    # become a verbatim correlated embedding copy.
+    if "embeddings" in tables and copies > 63:
+        raise ValueError("embedding replication caps at 63 copies: the "
+                         "circular shift is i % 63, so replica 63 would "
+                         "be a verbatim (correlated) copy")
     marker = os.path.join(dst, marker_name)
     if os.path.exists(marker):
         return dst
