@@ -150,6 +150,75 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     return ranks
 
 
+def pagerank_integer(edges: DataFrame, *, src: str = "src",
+                     dst: str = "dst", damping_num: int = 85,
+                     damping_den: int = 100, iterations: int = 3,
+                     init_mass: int = 1_000_000_000) -> DataFrame:
+    """Deterministic integer-mass PageRank over a SYMMETRIC edge list —
+    the hash-replayable twin of :func:`pagerank` (round-8 VERDICT item
+    5): the same distributed recurrence (one links equi-join + one
+    groupBy(dst) sum per round, broadcast rank frame, per-round
+    ``localCheckpoint`` lineage cut), with the float mass swapped for
+    exact BIGINT arithmetic so the shuffled partial sums are
+    order-independent and a DuckDB unrolled twin reproduces every round
+    bit-for-bit (the ``kmeans_assign_agreement_eval`` recipe applied to
+    power iteration).
+
+    Recurrence (every op integer-exact, all masses non-negative so
+    Spark ``div`` and DuckDB ``//`` truncation agree):
+
+    - every node starts with ``init_mass``;
+    - a node of mass m and out-degree d sends ``c = (m·85) div (100·d)``
+      along each out-edge (85/100 = the damping factor as a ratio);
+    - its floor remainder ``m − d·c`` (which contains the 15% teleport
+      share) joins a global pool R, conserved exactly as ONE BIGINT sum;
+    - the pool redistributes uniformly: every node receives
+      ``R div n`` on top of its in-edge sum. The sub-n leftover
+      ``R mod n`` is DROPPED — a deterministic, engine-identical rule
+      (total mass shrinks by < n per round; conservation up to that
+      documented remainder is pytest-pinned in tests/test_round9_evals).
+
+    Symmetric graphs only (every edge in both directions — the
+    similarity/co-occurrence graphs this repo scores): src-set =
+    node-set, so no dangling machinery exists to diverge from the twin.
+
+    Overflow posture: masses are bounded by total = n·init_mass, so
+    ``mass·85`` needs n·init_mass·85 < 2^63 — holds to n ≈ 10^8 at the
+    default mass; the eval's bounded slice is ~10^3.
+
+    Returns (node, mass) — BIGINT.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().localCheckpoint())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")) \
+        .localCheckpoint()
+    n = deg.count()
+    if n == 0:
+        return deg.select(F.col("src").alias("node"),
+                          F.lit(0).cast("long").alias("mass"))
+    mass = deg.select(F.col("src").alias("node"),
+                      F.lit(init_mass).cast("long").alias("mass"))
+    for _ in range(iterations):
+        # per-node contribution + floor remainder; TWO consumers (the
+        # pool aggregate and the edge join) ⇒ materialize once
+        per = (mass.join(deg, mass["node"] == deg["src"])
+               .select("node", "mass", "_deg")
+               .withColumn("_c", F.expr(
+                   f"(mass * {damping_num}) div ({damping_den} * _deg)"))
+               .withColumn("_rem", F.col("mass") - F.col("_deg") * F.col("_c"))
+               .localCheckpoint())
+        pool = per.agg(F.sum("_rem").cast("long").alias("_r"))
+        contribs = (e.join(F.broadcast(per.select("node", "_c")),
+                           e["src"] == F.col("node"))
+                    .groupBy(e["dst"].alias("node"))
+                    .agg(F.sum("_c").cast("long").alias("_in")))
+        mass = (contribs.crossJoin(F.broadcast(pool))
+                .select("node", (F.col("_in")
+                                 + F.expr(f"_r div {n}")).alias("mass"))
+                .localCheckpoint())
+    return mass
+
+
 def triangle_count(edges: DataFrame, *, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Per-node triangle participation counts over the undirected graph:

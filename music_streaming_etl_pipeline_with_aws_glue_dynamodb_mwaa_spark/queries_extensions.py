@@ -10522,3 +10522,83 @@ def kmeans_assign_agreement_eval(spark: SparkSession,
                            F.coalesce(F.col("n_stay"), F.lit(0))
                            .cast("double") / F.col("n_seed"))
                     .alias("stay_share")))
+
+
+# --------------------------------------------------------------------------
+# E188 (round 9) — PageRank recurrence certification (round-8 VERDICT item
+# 5): the power-iteration machinery — links join, per-node contribution,
+# grouped in-mass summation, global remainder-pool redistribution, per-
+# round lineage cut — made hash-replayable by accumulating rank MASS as
+# exact BIGINTs (operators/graph.py::pagerank_integer documents the
+# integer recurrence and why Spark `div` ≡ DuckDB `//` here). The
+# production part_order_pagerank stays rows-only by nature (iterative
+# float sums); this eval certifies the same distributed loop shape
+# hash-exactly on a bounded slice, and tests/test_round9_evals.py pins
+# (a) a pure-Python replay of the integer recurrence and (b) top-k rank
+# agreement between the float and integer masses on the same slice.
+# --------------------------------------------------------------------------
+
+_PGR_EVAL_CAP = 512            # l_orderkey bound → constant slice FOREVER
+_PGR_EVAL_ROUNDS = 3
+_PGR_EVAL_MASS = 1_000_000_000
+
+
+def _pagerank_eval_sql() -> str:
+    cap, mass = _PGR_EVAL_CAP, _PGR_EVAL_MASS
+    rounds = []
+    for r in range(1, _PGR_EVAL_ROUNDS + 1):
+        rounds.append(f"""
+    p{r} AS (
+      SELECT m.node, (m.mass * 85) // (100 * d.d) AS c,
+             m.mass - d.d * ((m.mass * 85) // (100 * d.d)) AS rem
+      FROM m{r - 1} m JOIN deg d ON m.node = d.src),
+    m{r} AS (
+      SELECT e.dst AS node,
+             CAST(CAST(SUM(p.c) AS BIGINT)
+                  + (SELECT CAST(SUM(rem) AS BIGINT) FROM p{r})
+                    // (SELECT n FROM nn) AS BIGINT) AS mass
+      FROM p{r} p JOIN e ON p.node = e.src GROUP BY e.dst)""")
+    return f"""
+    WITH fwd AS (
+      SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem WHERE l_orderkey < {cap}),
+    e AS (SELECT src, dst FROM fwd
+          UNION SELECT dst AS src, src AS dst FROM fwd),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    m0 AS (SELECT src AS node, CAST({mass} AS BIGINT) AS mass FROM deg),
+    {','.join(rounds)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'o:' || CAST(node // 2 AS VARCHAR)
+                ELSE 'p:' || CAST(node // 2 AS VARCHAR) END AS node,
+           mass AS mass_int
+    FROM m{_PGR_EVAL_ROUNDS}
+"""
+
+
+@register("pagerank_agreement_eval", _pagerank_eval_sql())
+def pagerank_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final integer mass per node after N deterministic power-iteration
+    rounds on the bounded bipartite order↔part slice (l_orderkey <
+    512 — constant-size at ANY corpus scale, so the per-round broadcast
+    of the node-mass frame is bounded forever). Same packed-key edge
+    construction as the production part_order_pagerank
+    (queries_extensions E-graph family); the distributed recurrence is
+    operators/graph.py::pagerank_integer. Output (node, mass_int) is
+    pure BIGINT → the DuckDB unrolled twin reproduces every shuffle-
+    summed round exactly."""
+    from .operators import graph
+    li = (catalog.load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _PGR_EVAL_CAP))
+    fwd = li.select(
+        F.shiftleft(F.col("l_orderkey"), 1).alias("src"),
+        (F.shiftleft(F.col("l_partkey"), 1) + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    m = graph.pagerank_integer(edges, iterations=_PGR_EVAL_ROUNDS,
+                               init_mass=_PGR_EVAL_MASS)
+    return m.select(
+        F.when(F.col("node") % 2 == 0,
+               F.concat(F.lit("o:"), F.shiftright("node", 1)))
+         .otherwise(F.concat(F.lit("p:"), F.shiftright("node", 1)))
+         .alias("node"),
+        F.col("mass").alias("mass_int"))

@@ -1,0 +1,104 @@
+"""Round-9 agreement evals (VERDICT r8 items 5-6): the hash-exact oracle
+rows live in the driver gate; these tests pin the BRIDGES the oracle
+can't — the integer-mass PageRank recurrence against a pure-Python
+replay AND against the float production path's ranking, and the
+literal-idf lexical eval against the production ln-scored rankings."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import (
+    queries_extensions as qe,
+)
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import (
+    graph,
+    ranking,
+)
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.queries_reference import (
+    REGISTRY,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _slice_edges() -> list[tuple[int, int]]:
+    """The eval's bounded symmetric edge list, straight from parquet."""
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"]).to_pydict()
+    fwd = {(o * 2, p * 2 + 1)
+           for o, p in zip(t["l_orderkey"], t["l_partkey"])
+           if o < qe._PGR_EVAL_CAP}
+    return sorted(fwd | {(b, a) for a, b in fwd})
+
+
+def _ref_integer_pagerank(edges: list[tuple[int, int]], rounds: int,
+                          init_mass: int) -> dict[int, int]:
+    """Pure-Python replay of the graph.pagerank_integer recurrence."""
+    from collections import defaultdict
+    deg: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    mass = {v: init_mass for v in deg}
+    for _ in range(rounds):
+        c = {v: (mass[v] * 85) // (100 * deg[v]) for v in mass}
+        pool = sum(mass[v] - deg[v] * c[v] for v in mass)
+        nxt: dict[int, int] = defaultdict(int)
+        for s, d in edges:
+            nxt[d] += c[s]
+        share = pool // n
+        mass = {v: m + share for v, m in nxt.items()}
+    return dict(mass)
+
+
+def test_pagerank_eval_matches_python_replay(spark):
+    edges = _slice_edges()
+    ref = _ref_integer_pagerank(edges, qe._PGR_EVAL_ROUNDS,
+                                qe._PGR_EVAL_MASS)
+    rows = REGISTRY["pagerank_agreement_eval"][0](spark, SF).collect()
+    got = {}
+    for r in rows:
+        tag, key = r["node"].split(":")
+        node = int(key) * 2 + (0 if tag == "o" else 1)
+        got[node] = r["mass_int"]
+    assert got == ref
+    # mass conservation up to the documented dropped remainders: total
+    # shrinks by < n per round, never grows
+    n = len({s for s, _ in edges})
+    total0 = n * qe._PGR_EVAL_MASS
+    assert total0 - qe._PGR_EVAL_ROUNDS * n < sum(got.values()) <= total0
+
+
+def test_pagerank_integer_agrees_with_float_ranks(spark):
+    """The bridge to the rows-only production path: on the same slice,
+    the float pagerank and the integer-mass recurrence agree on who the
+    top nodes ARE (both damping-0.85 power iterations; the integer form
+    just floors each send). Membership, not order — floor noise can swap
+    adjacent near-ties."""
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_orderkey") < qe._PGR_EVAL_CAP))
+    fwd = li.select(
+        F.shiftleft(F.col("l_orderkey"), 1).alias("src"),
+        (F.shiftleft(F.col("l_partkey"), 1) + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    fl = graph.pagerank(edges, iterations=qe._PGR_EVAL_ROUNDS,
+                        symmetric=True)
+    top_f = [r["node"] for r in fl.orderBy(F.col("rank").desc(),
+                                           "node").limit(50).collect()]
+    im = graph.pagerank_integer(edges, iterations=qe._PGR_EVAL_ROUNDS,
+                                init_mass=qe._PGR_EVAL_MASS)
+    top_i = [r["node"] for r in im.orderBy(F.col("mass").desc(),
+                                           "node").limit(50).collect()]
+    overlap = len(set(top_f) & set(top_i))
+    assert overlap >= 45, (overlap, top_f[:5], top_i[:5])
+
+
+def test_pagerank_integer_empty_graph(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    out = graph.pagerank_integer(e, iterations=2)
+    assert out.columns == ["node", "mass"]
+    assert out.count() == 0

@@ -69,29 +69,92 @@ ALLOWED = {
 # window in any query NOT listed here (and not an adaptive ids.* rider
 # whose ⟨scale⟩ twin is global-window-free — those are auto-allowed,
 # the twin row being the proof the scale plan has none) is a red flag.
-ALLOWED_GLOBAL_WIN: dict[str, str] = {}  # populated below, grouped by site
+# Classified round 9 by dumping every matching Window line from the
+# final + checkpointed plans of all 307 queries and tracing each to its
+# source site.
+ALLOWED_GLOBAL_WIN: dict[str, str] = {
+    # -- value-domain / vocabulary / bin-count-sized window inputs -----
+    "part_price_size_skyline":
+        "frontier thresholds over DISTINCT price (skyline.py: value-"
+        "domain-sized input; two-phase boundary-merge fallback documented)",
+    "docs_vocab_index":
+        "vocabulary rank window (ranking.py::vocab_index — |vocab| rows; "
+        "shard-by-term-hash fallback documented)",
+    "docs_term_matrix_sparse": "same vocab_index rank window",
+    "events_t_closeness_audit":
+        "value-bin cumsum + 1-row bucket totals (privacy.py:87 — |bins| "
+        "rows)",
+    "vocab_growth_curve":
+        "10-bucket growth cumsum (bounded); the ids ntile beside it is "
+        "the adaptive small-N path — its ⟨scale⟩ twin keeps only the "
+        "10-row cumsum",
+    "customer_lorenz_deciles":
+        "10-bin Lorenz cumsum + 1-row total (bounded); ids ntile as "
+        "above — ⟨scale⟩ twin keeps only the bin windows",
+    "curation_funnel_report":
+        "stage-over-stage lag over |pipeline stages| rows (corpus.py:239)",
+    "neardup_bow_cosine_pairs":
+        "dense-BoW block indexer over |vocab| terms (dedup.py — raises "
+        "loudly past max_vocab)",
+    "null_semantics_audit": "literal VALUES probe (5 rows)",
+    # -- k-source mixture plan frames ----------------------------------
+    "mixture_plan_budget":
+        "MAX(weight) OVER () self-rescale on the k-source plan frame "
+        "(mixture.py — k = #observed sources)",
+    "mixture_sample_docs": "same k-source mixture plan frame",
+    "mixture_plan_temperature": "same k-source mixture plan frame",
+    # -- k-row-by-construction window inputs ---------------------------
+    "events_user_bottomk_sample":
+        "KMV bottom-k rank AFTER orderBy().limit(k) (kmv.py — k-row "
+        "input frame)",
+    "hybrid_rrf_topk":
+        "lexical_topn rank AFTER TakeOrderedAndProject(n) "
+        "(ranking.py::lexical_topn — n-row input)",
+    "top_user_paths":
+        "rank<=20 compiles to TakeOrderedAndProject(20) BELOW the window "
+        "(LimitPushDownThroughWindow; 20-row window input — verified in "
+        "the executed plan)",
+    # -- dedicated registered scale twin -------------------------------
+    "events_concurrency_histogram":
+        "sweep-line reference form; events_concurrency_histogram_scaled "
+        "IS the registered two-phase scale path (same oracle, "
+        "hash-certified)",
+}
 
 
 def _is_global_window(ln: str) -> bool:
     """True when a physical-plan line is a Window operator with an EMPTY
-    partition spec. Rendering (verified on PySpark 4.1): partitioned =
-    ``Window [exprs], [partSpec], [orderSpec]`` (3 top-level bracket
-    groups); global = ``Window [exprs], [orderSpec]`` (2 groups). A
-    depth scan counts top-level groups so brackets inside expression
-    renderings can't miscount. ``WindowGroupLimit`` lines don't match
-    (different node name)."""
+    partition spec. Rendering (verified on PySpark 4.1): the node prints
+    ``Window [exprs]`` plus the partition spec and/or order spec as
+    trailing bracket groups, each OMITTED when empty — so 3 groups =
+    partitioned+ordered, 1 group = global unordered (full-frame agg),
+    and 2 groups is AMBIGUOUS: partitioned-unordered (``count(1) over
+    (partition by k)``) vs global-ordered. Disambiguator: an order spec
+    always renders sort directions (``ASC NULLS``/``DESC NULLS``); a
+    partition spec renders bare expressions. A depth scan finds the
+    top-level groups so brackets inside expression renderings can't
+    miscount. ``WindowGroupLimit`` lines don't match (different node
+    name)."""
     s = ln.lstrip(" +-:|")
     if not s.startswith("Window ["):
         return False
-    depth = groups = 0
+    depth = 0
+    groups: list[str] = []
     for ch in s[len("Window "):]:
         if ch == "[":
             if depth == 0:
-                groups += 1
+                groups.append("")
             depth += 1
         elif ch == "]":
             depth -= 1
-    return groups < 3
+        elif depth == 1:
+            groups[-1] += ch
+    if len(groups) >= 3:
+        return False
+    if len(groups) <= 1:
+        return True
+    last = groups[-1]
+    return " ASC NULLS" in last or " DESC NULLS" in last
 
 
 def _features(plan: str) -> dict:
