@@ -10602,3 +10602,228 @@ def pagerank_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.concat(F.lit("p:"), F.shiftright("node", 1)))
          .alias("node"),
         F.col("mass").alias("mass_int"))
+
+
+# --------------------------------------------------------------------------
+# E189 (round 9) — lexical-scoring rank-agreement certification (round-8
+# VERDICT item 6): tfidf_top_terms and bm25_topk are rows-only because
+# engine `ln` is not bit-portable (Java Math.log vs DuckDB libm differ in
+# the last ulp). This eval removes ln from the ENGINES entirely: the
+# vocabulary-sized idf values are computed ONCE driver-side in Python
+# (math.log) and injected as double literals into BOTH plans — every
+# remaining op is an exact-int-times-literal IEEE tree, so the float
+# SCORES (and therefore the rankings) hash bit-identically cross-engine.
+# The eval then reports integer overlap counts between the float-scored
+# rankings and the pure-integer sufficient-statistics orderings
+# (doc_term_stats core), covering both production queries in one ★ row;
+# tests/test_round9_evals.py pins the literal-idf rankings against the
+# production ln-scored rankings Spark-to-Spark.
+# --------------------------------------------------------------------------
+
+_LEX_EVAL_K = 3                     # tfidf per-doc top-k (production k)
+_LEX_EVAL_BMK = 20                  # bm25 global top-k (production k)
+_LEX_EVAL_TERMS = ("hash", "join", "scan")   # production query bag
+_LEX_K1, _LEX_B = 1.2, 0.75                  # production BM25 params
+
+
+def _lex_eval_idf(n_docs: int, df: int) -> tuple[float, float]:
+    """(smoothed tf-idf idf, BM25 idf) — the exact formulas of
+    ranking.tfidf_top_terms / ranking.bm25_scores, evaluated in Python
+    so both engines consume the same double literal."""
+    import math
+    idf_t = math.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+    idf_b = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf_t, idf_b
+
+
+def _lex_eval_consts() -> tuple[float, float, float]:
+    """The BM25 tf-part constants, folded driver-side: score_t =
+    idf_b * ((tf*A1) / (tf + B1 + (C1*dl)/avgdl)) — the SAME
+    parenthesization both engines evaluate."""
+    return (_LEX_K1 + 1.0, _LEX_K1 * (1.0 - _LEX_B), _LEX_K1 * _LEX_B)
+
+
+def _lexical_eval_oracle() -> str:
+    from collections import Counter
+    docs = pyref.load_texts(pyref.ORACLE_SF_DIR)
+    n = len(docs)
+    dfc: Counter = Counter()
+    for _, text in docs:
+        for t in set(text.split(" ")):
+            dfc[t] += 1
+    vals = ",\n        ".join(
+        "({}, {:.17e}, {:.17e})".format(pyref.sql_str(t),
+                                        *_lex_eval_idf(n, d))
+        for t, d in sorted(dfc.items()))
+    terms = ", ".join(pyref.sql_str(t) for t in _LEX_EVAL_TERMS)
+    a1, b1, c1 = _lex_eval_consts()
+    k, bk = _LEX_EVAL_K, _LEX_EVAL_BMK
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (SELECT doc_id, term, tf, dl, df
+          FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)),
+    idf AS (SELECT * FROM (VALUES
+        {vals}) AS t(term, idf_t, idf_b)),
+    a AS (SELECT doc_id, term, rk FROM (
+        SELECT s.doc_id, s.term,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                 ORDER BY s.tf * i.idf_t DESC, s.term) AS rk
+        FROM s JOIN idf i USING (term)) WHERE rk <= {k}),
+    b AS (SELECT doc_id, term, rk FROM (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tf DESC, df ASC, term) AS rk
+        FROM s) WHERE rk <= {k}),
+    tov AS (SELECT CAST(count(*) AS BIGINT) AS tfidf_overlap,
+                   CAST(COALESCE(sum(CASE WHEN a.rk = b.rk THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS tfidf_rank_exact
+            FROM a JOIN b USING (doc_id, term)),
+    tsl AS (SELECT CAST(count(*) AS BIGINT) AS tfidf_slots FROM a),
+    avgd AS (SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+    m AS (SELECT s.doc_id, s.term, s.tf, s.dl, i.idf_b
+          FROM s JOIN idf i USING (term) WHERE s.term IN ({terms})),
+    sc AS (SELECT doc_id, term, tf,
+                  idf_b * ((tf * {a1:.17e}) / (tf + {b1:.17e}
+                           + ({c1:.17e} * dl)
+                             / (SELECT avgdl FROM avgd))) AS sco
+           FROM m),
+    pd AS (SELECT doc_id,
+                  list_reduce(list(sco ORDER BY term), (x, y) -> x + y)
+                    AS bm25,
+                  CAST(sum(tf) AS BIGINT) AS sum_tf,
+                  CAST(count(*) AS BIGINT) AS n_matched
+           FROM sc GROUP BY doc_id),
+    ba AS (SELECT doc_id, rk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM pd) WHERE rk <= {bk}),
+    bb AS (SELECT doc_id, rk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sum_tf DESC,
+                                          n_matched DESC, doc_id) AS rk
+        FROM pd) WHERE rk <= {bk}),
+    bov AS (SELECT CAST(count(*) AS BIGINT) AS bm25_overlap,
+                   CAST(COALESCE(sum(CASE WHEN ba.rk = bb.rk THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS bm25_rank_exact
+            FROM ba JOIN bb USING (doc_id)),
+    bkk AS (SELECT CAST(count(*) AS BIGINT) AS bm25_k FROM ba),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT n_docs, CAST({k} AS BIGINT) AS tfidf_k, tfidf_slots,
+           tfidf_overlap, tfidf_rank_exact,
+           CASE WHEN tfidf_slots > 0
+                THEN CAST(tfidf_overlap AS DOUBLE) / tfidf_slots
+           END AS tfidf_overlap_share,
+           bm25_k, bm25_overlap, bm25_rank_exact,
+           CASE WHEN bm25_k > 0
+                THEN CAST(bm25_overlap AS DOUBLE) / bm25_k
+           END AS bm25_overlap_share
+    FROM nn, tsl, tov, bkk, bov
+"""
+
+
+@register("lexical_rank_agreement_eval", _lexical_eval_oracle)
+def lexical_rank_agreement_eval(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """One-row lexical-retrieval audit covering tfidf_top_terms and
+    bm25_topk: per-doc top-3 tf-idf terms and global top-20 BM25 docs,
+    scored with driver-side literal idfs (see section comment), each
+    compared against the pure-integer sufficient-statistics ordering —
+    (tf DESC, df ASC, term) per doc for tf-idf; (sum_tf DESC, n_matched
+    DESC, doc_id) for BM25. Outputs integer overlap / rank-exact counts
+    + guarded shares. Plan: ONE doc_term_stats shuffle (checkpointed —
+    both rankings and the BM25 branch fold over it), a vocabulary-sized
+    broadcast idf join, per-doc rank windows, and two
+    TakeOrderedAndProject top-20s whose 20-row frames feed the final
+    rank windows (the kmv bottom-k bounded-window pattern)."""
+    docs = _docs(spark, sf_dir)
+    s = ranking.doc_term_stats(docs, "doc_id", "text").localCheckpoint()
+    vocab_rows = (s.select("term", "df", "n_docs").distinct()
+                  .limit(bpe.DRIVER_VOCAB_MAX + 1).collect())
+    if len(vocab_rows) > bpe.DRIVER_VOCAB_MAX:
+        raise ValueError(
+            f"vocabulary exceeds DRIVER_VOCAB_MAX={bpe.DRIVER_VOCAB_MAX} — "
+            f"the literal-idf audit needs a driver-sized vocabulary; "
+            f"raise the cap or pre-prune with min_df")
+    idf_rows = [(r["term"], *_lex_eval_idf(int(r["n_docs"]), int(r["df"])))
+                for r in vocab_rows]
+    idf = spark.createDataFrame(idf_rows,
+                                "term string, idf_t double, idf_b double")
+    sc = s.join(F.broadcast(idf), "term")
+
+    wa = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf_t")).desc(), F.col("term").asc())
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    a = (sc.select("doc_id", "term", F.row_number().over(wa).alias("_rka"))
+         .filter(F.col("_rka") <= _LEX_EVAL_K).localCheckpoint())
+    b = (s.select("doc_id", "term", F.row_number().over(wb).alias("_rkb"))
+         .filter(F.col("_rkb") <= _LEX_EVAL_K))
+    tj = a.join(b, ["doc_id", "term"])
+    t_over = tj.agg(
+        F.count(F.lit(1)).alias("tfidf_overlap"),
+        F.coalesce(F.sum(F.when(F.col("_rka") == F.col("_rkb"), 1)
+                         .otherwise(0)), F.lit(0))
+        .cast("long").alias("tfidf_rank_exact"))
+    t_slots = a.agg(F.count(F.lit(1)).alias("tfidf_slots"))
+
+    dl = s.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    avg = dl.agg((F.sum("dl").cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("avgdl"))
+    a1, b1, c1 = _lex_eval_consts()
+    m = (sc.filter(F.col("term").isin(*_LEX_EVAL_TERMS))
+         .crossJoin(F.broadcast(avg)))
+    sco = (F.col("idf_b")
+           * ((F.col("tf") * F.lit(a1))
+              / (F.col("tf") + F.lit(b1)
+                 + (F.lit(c1) * F.col("dl")) / F.col("avgdl"))))
+    pdoc = (m.select("doc_id", "term", "tf", sco.alias("_s"))
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("term", "_s")).alias("_ts"),
+                 F.sum("tf").cast("long").alias("sum_tf"),
+                 F.count(F.lit(1)).cast("long").alias("n_matched"))
+            .select("doc_id",
+                    F.aggregate(F.transform(F.sort_array("_ts"),
+                                            lambda x: x["_s"]),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x).alias("bm25"),
+                    "sum_tf", "n_matched")
+            .localCheckpoint())
+    wba = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    wbb = Window.orderBy(F.col("sum_tf").desc(), F.col("n_matched").desc(),
+                         F.col("doc_id").asc())
+    ba = (pdoc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+          .limit(_LEX_EVAL_BMK)
+          .select("doc_id", F.row_number().over(wba).alias("_rka")))
+    bb = (pdoc.orderBy(F.col("sum_tf").desc(), F.col("n_matched").desc(),
+                       F.col("doc_id").asc())
+          .limit(_LEX_EVAL_BMK)
+          .select("doc_id", F.row_number().over(wbb).alias("_rkb")))
+    bj = ba.join(bb, "doc_id")
+    b_over = bj.agg(
+        F.count(F.lit(1)).alias("bm25_overlap"),
+        F.coalesce(F.sum(F.when(F.col("_rka") == F.col("_rkb"), 1)
+                         .otherwise(0)), F.lit(0))
+        .cast("long").alias("bm25_rank_exact"))
+    b_k = ba.agg(F.count(F.lit(1)).alias("bm25_k"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (nn.crossJoin(F.broadcast(t_slots))
+            .crossJoin(F.broadcast(t_over))
+            .crossJoin(F.broadcast(b_k))
+            .crossJoin(F.broadcast(b_over))
+            .select("n_docs",
+                    F.lit(_LEX_EVAL_K).cast("long").alias("tfidf_k"),
+                    "tfidf_slots", "tfidf_overlap", "tfidf_rank_exact",
+                    F.when(F.col("tfidf_slots") > 0,
+                           F.col("tfidf_overlap").cast("double")
+                           / F.col("tfidf_slots"))
+                    .alias("tfidf_overlap_share"),
+                    "bm25_k", "bm25_overlap", "bm25_rank_exact",
+                    F.when(F.col("bm25_k") > 0,
+                           F.col("bm25_overlap").cast("double")
+                           / F.col("bm25_k"))
+                    .alias("bm25_overlap_share")))

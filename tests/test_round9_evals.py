@@ -102,3 +102,74 @@ def test_pagerank_integer_empty_graph(spark):
     out = graph.pagerank_integer(e, iterations=2)
     assert out.columns == ["node", "mass"]
     assert out.count() == 0
+
+
+def _stats_rows(spark):
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import (
+        ranking as rk,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return [tuple(r) for r in
+            rk.doc_term_stats(docs, "doc_id", "text")
+            .select("doc_id", "term", "tf", "dl", "df", "n_docs").collect()]
+
+
+def test_lexical_eval_bridges_production_tfidf(spark):
+    """The literal-idf tf-idf ranking (what the hash-exact eval scores)
+    picks the same per-doc top-3 terms as the production engine-ln
+    ranking — the bridge that lets the eval certify tfidf_top_terms."""
+    stats = _stats_rows(spark)
+    # python replication of the eval's literal-idf ranking
+    by_doc: dict = {}
+    for doc_id, term, tf, dl, df, n in stats:
+        s = tf * qe._lex_eval_idf(n, df)[0]
+        by_doc.setdefault(doc_id, []).append((-s, term))
+    lit_top = {(d, t) for d, lst in by_doc.items()
+               for _, t in sorted(lst)[:qe._LEX_EVAL_K]}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prod = {(r["doc_id"], r["term"])
+            for r in ranking.tfidf_top_terms(docs, "doc_id", "text",
+                                             k=qe._LEX_EVAL_K).collect()}
+    # identical up to (at most) 1-ulp idf flips at exact score ties;
+    # none exist at sf0.01, so require equality and let a future corpus
+    # regeneration surface any tie loudly
+    assert lit_top == prod
+
+
+def test_lexical_eval_bridges_production_bm25(spark):
+    stats = _stats_rows(spark)
+    a1, b1, c1 = qe._lex_eval_consts()
+    dls = {}
+    for doc_id, term, tf, dl, df, n in stats:
+        dls[doc_id] = dl
+    avgdl = sum(dls.values()) / float(len(dls))
+    per_doc: dict = {}
+    for doc_id, term, tf, dl, df, n in stats:
+        if term in qe._LEX_EVAL_TERMS:
+            idf_b = qe._lex_eval_idf(n, df)[1]
+            sco = idf_b * ((tf * a1) / (tf + b1 + (c1 * dl) / avgdl))
+            per_doc.setdefault(doc_id, []).append((term, sco))
+    folded = {}
+    for doc_id, ts in per_doc.items():
+        acc = 0.0
+        for _, s in sorted(ts):
+            acc = acc + s
+        folded[doc_id] = acc
+    lit_top = [d for _, d in
+               sorted(((-s, d) for d, s in folded.items()))][:qe._LEX_EVAL_BMK]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prod = [r["doc_id"] for r in
+            ranking.bm25_topk(docs, "doc_id", "text",
+                              list(qe._LEX_EVAL_TERMS),
+                              k=qe._LEX_EVAL_BMK).collect()]
+    assert lit_top == prod
+
+
+def test_lexical_eval_row_consistency(spark):
+    row = REGISTRY["lexical_rank_agreement_eval"][0](spark, SF).collect()[0]
+    assert row["tfidf_overlap"] <= row["tfidf_slots"]
+    assert row["tfidf_rank_exact"] <= row["tfidf_overlap"]
+    assert row["bm25_overlap"] <= row["bm25_k"] == qe._LEX_EVAL_BMK
+    assert row["bm25_rank_exact"] <= row["bm25_overlap"]
+    assert 0.0 < row["tfidf_overlap_share"] <= 1.0
+    assert 0.0 < row["bm25_overlap_share"] <= 1.0

@@ -114,6 +114,9 @@ ALLOWED_GLOBAL_WIN: dict[str, str] = {
         "rank<=20 compiles to TakeOrderedAndProject(20) BELOW the window "
         "(LimitPushDownThroughWindow; 20-row window input — verified in "
         "the executed plan)",
+    "lexical_rank_agreement_eval":
+        "two rank windows over TakeOrderedAndProject(20) outputs (the "
+        "kmv bottom-k bounded-window pattern; 20-row inputs)",
     # -- dedicated registered scale twin -------------------------------
     "events_concurrency_histogram":
         "sweep-line reference form; events_concurrency_histogram_scaled "
