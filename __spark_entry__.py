@@ -57,53 +57,51 @@ _ANCHORS = [
 _PRIORITY = _ANCHORS + [
     # --- permanent anchors (6, _ANCHORS above): reference surface tripwires
     # (VERDICT r4 item 1 sanctioned rotating everything else).
-    # --- round-8 rotation (44): first-ever driver rows, every one.
-    # Everything rotated OUT is r1–r7 driver-green AND still
-    # full-oracle-checked every round (ORACLE_FULL ledger). The two
-    # round-8 agreement-eval anchors (VERDICT r7 item 5) go first so
-    # they certify in their birth round like ann_recall_eval did:
-    "semdedup_agreement_eval", "kmeans_assign_agreement_eval",
-    # the eight remaining engine-semantics audits
-    "string_semantics_audit", "datetime_semantics_audit",
-    "aggregate_semantics_audit", "window_semantics_audit",
-    "json_semantics_audit", "regex_semantics_audit",
-    "array_semantics_audit", "map_semantics_audit",
-    # linfit / forecast-adjacent analytics
-    "events_value_linfit", "events_value_linfit_residuals",
-    "events_value_linfit_by_type", "events_test_zscore_trainfit",
-    "events_value_drift_periods",
-    # gapfill / skyline / concurrency / profile shapes
-    "user_daily_value_gapfill", "part_price_size_skyline",
-    "events_concurrency_histogram", "events_concurrency_histogram_scaled",
-    "user_series_similarity_topk", "order_qty_hof_stats",
-    # graph family
-    "part_clustering_coeff", "part_bfs_hops", "part_order_kcore",
-    "part_degree_histogram",
-    # multimodal (incl. the two r7 oracle-exact promotions)
-    "media_decode_features_real", "media_resize_real",
-    "media_audio_loudness",
-    # tokenizer-training replay oracles + doc stats
-    "bpe_merge_table", "bpe_initial_pair_counts", "doc_bpe_stats",
-    "unigram_piece_table", "unigram_candidate_pieces",
-    "doc_unigram_stats", "shard_docs_equal_tokens",
-    # retrieval / text corpus structures
-    "docs_vocab_index", "docs_term_matrix_sparse", "docs_sentence_stats",
-    "docs_ngram_novelty", "docs_curriculum_deciles",
-    # audits + decimal fact-scale anchor
-    "docs_source_lang_fd_audit", "events_key_candidates_audit",
-    "events_t_closeness_audit", "lineitem_decimal_revenue",
+    # --- round-9 rotation: DEBT ZERO (VERDICT r8 items 1-2). The strict
+    # ledger (rows_match=True rows only — `err: no_oracle` placeholders
+    # don't count) shows exactly 35 registry queries that never held a
+    # genuine driver comparison; ALL 35 rotate in below, so after this
+    # window every query in the registry has been driver-validated.
+    # The two round-9 agreement evals go first (certify in their birth
+    # round, like ann_recall_eval / the r8 evals did):
+    "pagerank_agreement_eval", "lexical_rank_agreement_eval",
+    # the 14 SQL-backed debt queries (incl. the five r1/r2 `no_oracle`
+    # placeholders promoted to oracle-exact in r4 whose hashes the
+    # driver has never actually confirmed — the r8 VERDICT's worst case)
+    "neardup_minhash_pairs", "neardup_simhash_pairs",
+    "part_pair_support", "doc_token_cms", "doc_token_cms_estimates",
+    "customer_bloom_prune", "corpus_drift_report",
+    "contrastive_negatives_docs", "source_overlap_prefixes",
+    "source_lang_gini", "part_neighbors_topk",
+    "purchase_touch_attribution", "events_seasonal_naive_backtest",
+    "source_dup_attribution",
+    # the 21 rows-only-by-nature debt queries (driver certifies
+    # rows+schema; each family's exact core is anchored by a ★ eval —
+    # ann_recall_eval, semdedup/kmeans/pagerank/lexical agreement evals,
+    # doc_lm_count_table, sketch pytest parity)
+    "daily_genre_kpis_approx", "neardup_embedding_pairs_blocked",
+    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "ann_cosine_topk_sq8",
+    "ann_cosine_topk_pq", "ann_cosine_topk_jl",
+    "tfidf_top_terms", "bm25_topk", "doc_lm_quality",
+    "embedding_kmeans_assign", "embedding_kmeans_sizes",
+    "embedding_label_centroids", "semantic_dedup_survivors",
+    "part_order_pagerank",
+    "events_profile_approx", "events_value_percentiles_approx",
+    "events_daily_users_sketch", "events_monthly_users_sketch_rollup",
+    "dsir_doc_weights", "diversity_sample_docs",
+    # 7 re-validation slots: W2 re-anchors (VERDICT r8 item 1 sanctioned
+    # the room) + reference-surface set-op / validate / KV / e2e
+    # tripwires that last held driver rows in early rounds
+    "top_genres_per_day", "validate_split_good", "validate_split_bad",
+    "users_view_and_purchase", "users_view_not_purchase",
+    "kv_top_song_items", "pipeline_e2e_kpis",
 ]
 
-# Round-9 rotation plan (for continuity): after this window the
-# never-driver-validated ledger is 28 — 12 SQL-backed
-# (part_pair_support, doc_token_cms, doc_token_cms_estimates,
-# customer_bloom_prune, corpus_drift_report, contrastive_negatives_docs,
-# source_overlap_prefixes, source_lang_gini, part_neighbors_topk,
-# purchase_touch_attribution, events_seasonal_naive_backtest,
-# source_dup_attribution) + 16 rows-only entries (sketches,
-# float-iterative kmeans/semdedup/pagerank, ANN variants, tfidf/bm25/LM,
-# dsir, diversity sampling) that get the weaker rows-only driver check.
-# One 28-row window retires the whole ledger.
+# Round-9 rotation plan (for continuity): this window retires the
+# ENTIRE never-genuinely-driver-validated ledger (strict counting:
+# 272/307 before, 307/309 after — the two r9 evals are new and rotate
+# in with it). From round 10 on, all 50 slots are free for anchors +
+# regression re-validation; there is no debt left to schedule.
 
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

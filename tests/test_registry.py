@@ -75,14 +75,17 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "daily_genre_kpis", "top_songs_per_genre",
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
         "pack_documents_512",
-        # round-8 rotation: the two agreement-eval certifications + one
-        # rep per never-validated family (VERDICT r7 items 1 and 5)
-        "semdedup_agreement_eval", "kmeans_assign_agreement_eval",
-        "string_semantics_audit", "map_semantics_audit",
-        "events_value_linfit", "user_daily_value_gapfill",
-        "part_price_size_skyline", "part_order_kcore",
-        "media_resize_real", "bpe_merge_table", "unigram_piece_table",
-        "docs_vocab_index", "lineitem_decimal_revenue",
+        # round-9 rotation: debt zero (VERDICT r8 items 1-2) — the two
+        # birth-round agreement evals + one rep per retired debt family
+        "pagerank_agreement_eval", "lexical_rank_agreement_eval",
+        "neardup_minhash_pairs", "neardup_simhash_pairs",
+        "doc_token_cms", "customer_bloom_prune", "source_lang_gini",
+        "ann_cosine_topk_lsh", "tfidf_top_terms", "bm25_topk",
+        "embedding_kmeans_assign", "semantic_dedup_survivors",
+        "part_order_pagerank", "events_daily_users_sketch",
+        "dsir_doc_weights", "diversity_sample_docs",
+        # re-validation slots (reference-surface tripwires)
+        "top_genres_per_day", "pipeline_e2e_kpis",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 

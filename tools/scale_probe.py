@@ -277,7 +277,13 @@ def main() -> int:
             for t in ("documents", "lineitem"):
                 spark.read.parquet(os.path.join(sf10, f"{t}.parquet")).count()
             probe100 = {"queries": {}}
-            for name in ("neardup_containment_pairs", "part_order_pagerank"):
+            # dedup_clusters joined round 9 (VERDICT r8 item 7): transitive
+            # closure is the likeliest superlinear candidate left — CC
+            # round count grows with component diameter, so a second
+            # decade pins whether the sf1 2.07x was constant overhead or
+            # real growth.
+            for name in ("neardup_containment_pairs", "part_order_pagerank",
+                         "dedup_clusters"):
                 qs[name](spark, sf10).write.format("noop") \
                     .mode("overwrite").save()      # untimed warm
                 spark.catalog.clearCache()
