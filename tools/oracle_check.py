@@ -76,25 +76,49 @@ def main() -> int:
     import json
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # STRICT counting (round-8 VERDICT item 2): a window row counts as
-    # driver-validated only when the driver actually COMPARED something
+    # oracle-validated only when the driver actually COMPARED something
     # (rows_match True) — the r1/r2 `err: no_oracle` placeholder rows
     # carried no rows/schema/hash comparison and must not retire debt.
+    # Rows-only-BY-DESIGN queries (no oracle entry) can never earn a
+    # rows_match row — the driver's strongest possible check for them is
+    # the rows-only row (spark_rows recorded, err == no_oracle), so they
+    # ledger in their own tier instead of inflating either count.
     validated: set[str] = set()
+    rows_only_checked: set[str] = set()
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             d = json.load(open(f))
-            validated |= {k for k, v in d.items()
-                          if isinstance(v, dict) and v.get("rows_match") is True}
+            for k, v in d.items():
+                if not isinstance(v, dict):
+                    continue
+                if v.get("rows_match") is True:
+                    validated.add(k)
+                elif (v.get("err") == "no_oracle"
+                      and v.get("spark_rows") is not None):
+                    rows_only_checked.add(k)
         except Exception:
             pass
     window = list(qs)[:50]
-    first_time = [n for n in window if n not in validated]
-    print(f"# registry: {len(qs)} queries ({len(oracles)} oracle-backed); "
-          f"driver-validated ever (strict: rows_match=True only): "
-          f"{len(validated & set(qs))}; "
-          f"current window adds {len(first_time)} first-time rows "
-          f"(never-validated remaining after this window: "
-          f"{len([n for n in qs if n not in validated]) - len(first_time)})")
+    ob = [n for n in qs if n in oracles]
+    ro = [n for n in qs if n not in oracles]
+    ob_debt = [n for n in ob if n not in validated]
+    ro_unchecked = [n for n in ro if n not in rows_only_checked]
+    first_time = [n for n in window
+                  if n not in validated
+                  and not (n not in oracles and n in rows_only_checked)]
+    print(f"# registry: {len(qs)} queries ({len(ob)} oracle-backed + "
+          f"{len(ro)} rows-only-by-design); "
+          f"oracle-validated ever (strict: rows_match=True only): "
+          f"{len(validated & set(ob))}/{len(ob)} "
+          f"(never genuinely validated: {len(ob_debt)}); "
+          f"rows-only with a driver rows-only row ever: "
+          f"{len(set(ro) - set(ro_unchecked))}/{len(ro)} "
+          f"(never driver-checked: {len(ro_unchecked)}); "
+          f"current window adds {len(first_time)} first-time rows")
+    if ob_debt:
+        print(f"#   oracle-backed debt: {sorted(ob_debt)}")
+    if ro_unchecked:
+        print(f"#   rows-only never driver-checked: {sorted(ro_unchecked)}")
 
     for name, fn in qs.items():
         if only and name not in only:
