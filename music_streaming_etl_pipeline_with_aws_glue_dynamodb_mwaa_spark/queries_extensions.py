@@ -10827,3 +10827,242 @@ def lexical_rank_agreement_eval(spark: SparkSession,
                            F.col("bm25_overlap").cast("double")
                            / F.col("bm25_k"))
                     .alias("bm25_overlap_share")))
+
+
+# --------------------------------------------------------------------------
+# E190/E191 (round 9) — the literal-log recipe extended to the LAST two
+# float-scored rows-only families (the lexical_rank_agreement_eval /
+# pagerank_agreement_eval trajectory): doc_lm_quality's add-k bigram-LM
+# scores and dsir_doc_weights' hashed-bigram log-likelihood-ratio weights.
+# Both formulas are "exact integer sufficient statistics → ln → sum":
+# the ln values depend only on SMALL integer domains (distinct
+# (C(w1 w2), C(w1·)) count pairs for the LM; the 1000-bucket count table
+# for DSIR), so they are computed ONCE driver-side with math.log and
+# injected as double literals into BOTH plans; the per-doc sum becomes a
+# sorted sequential fold (F.aggregate / list_reduce over the same key
+# order) — every remaining op is IEEE-portable, so the full per-document
+# float score tables hash bit-identically cross-engine. Production stays
+# on engine ln (one fused expression, no driver collect); these evals
+# certify the same recurrence shape end-to-end, and bridge tests pin the
+# literal-scored tables against the production ln-scored ones.
+# --------------------------------------------------------------------------
+
+_LM_EVAL_ADD_K = 0.5                       # production doc_lm_quality add_k
+
+
+def _lm_eval_lp(c12: int, c1: int, v: int) -> float:
+    """add-k bigram log-prob — the exact formula of
+    operators/ranking.py::doc_lm_scores, evaluated in Python so both
+    engines consume the same double literal."""
+    import math
+    return math.log((c12 + _LM_EVAL_ADD_K) / (c1 + _LM_EVAL_ADD_K * v))
+
+
+def _lm_eval_oracle() -> str:
+    from collections import Counter
+    docs = pyref.load_texts(pyref.ORACLE_SF_DIR)
+    bgc: Counter = Counter()
+    ctx: Counter = Counter()
+    for _, text in docs:
+        toks = (text or "").split(" ")
+        for i in range(len(toks) - 1):
+            bgc[toks[i] + " " + toks[i + 1]] += 1
+            ctx[toks[i]] += 1
+    v = len(ctx) + 1
+    pairs = sorted({(c, ctx[bg.split(" ", 1)[0]]) for bg, c in bgc.items()})
+    vals = ",\n        ".join(
+        "({}, {}, {:.17e})".format(c12, c1, _lm_eval_lp(c12, c1, v))
+        for c12, c1 in pairs)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')), 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1])) AS bg
+      FROM documents),
+    occ AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS occ
+            FROM g GROUP BY 1, 2),
+    bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY 1),
+    ctx AS (SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(count(*) AS BIGINT) AS c1 FROM g GROUP BY 1),
+    lp AS (SELECT * FROM (VALUES
+        {vals}) AS t(c12, c1, lp)),
+    j AS (SELECT o.doc_id, o.bg, o.occ, lp.lp
+          FROM occ o
+          JOIN bgc USING (bg)
+          JOIN ctx ON string_split(o.bg, ' ')[1] = ctx.w1
+          JOIN lp ON lp.c12 = bgc.c12 AND lp.c1 = ctx.c1),
+    s AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+                 list_reduce(list(occ * lp ORDER BY bg),
+                             (x, y) -> x + y) AS sum_logprob_lit
+          FROM j GROUP BY 1)
+    SELECT doc_id, n_bigrams, sum_logprob_lit,
+           sum_logprob_lit / n_bigrams AS mean_logprob_lit
+    FROM s
+"""
+
+
+@register("lm_quality_agreement_eval", _lm_eval_oracle)
+def lm_quality_agreement_eval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Hash-exact twin of ``doc_lm_quality``: the SAME shared integer
+    substrate (operators/ranking.py::_lm_joined — one tokenizing explode
+    + broadcast count-table joins), with the ln tree replaced by a
+    driver-side literal log-prob table keyed on the distinct
+    (C(w1 w2), C(w1·)) count pairs and the per-doc float sum replaced by
+    a bigram-sorted sequential fold. Returns the FULL per-document score
+    table (doc_id, n_bigrams, sum_logprob_lit, mean_logprob_lit) —
+    bit-identical cross-engine, certifying the whole scoring recurrence;
+    tests/test_round9_evals.py pins it against the production ln path.
+
+    100 TB posture: the literal table is |distinct (c12, c1) pairs| —
+    count values are heavy-tailed small integers, so the pair domain
+    grows ~polylog with the corpus; the DRIVER_VOCAB_MAX guard raises
+    loudly (never silently truncates) if a corpus breaks that. The fold
+    list per doc is the doc's DISTINCT bigrams — bounded by doc length,
+    never corpus size."""
+    docs = _docs(spark, sf_dir)
+    j = ranking._lm_joined(docs, "doc_id", "text")
+    # self-trained model (production default): every scored bigram exists
+    # in the count tables, so _c12/_c1/_v are non-null by construction
+    occ = (j.groupBy("_id", "_bg")
+           .agg(F.count(F.lit(1)).alias("_occ"),
+                F.first("_c12").alias("_c12"),
+                F.first("_c1").alias("_c1"),
+                F.first("_v").alias("_v"))
+           .localCheckpoint())
+    pair_rows = (occ.select("_c12", "_c1", "_v").distinct()
+                 .limit(bpe.DRIVER_VOCAB_MAX + 1).collect())
+    if len(pair_rows) > bpe.DRIVER_VOCAB_MAX:
+        raise ValueError(
+            f"distinct (c12, c1) count-pair domain exceeds "
+            f"DRIVER_VOCAB_MAX={bpe.DRIVER_VOCAB_MAX} — the literal-log "
+            f"audit needs a driver-sized pair table")
+    lp_rows = [(int(r["_c12"]), int(r["_c1"]),
+                _lm_eval_lp(int(r["_c12"]), int(r["_c1"]), int(r["_v"])))
+               for r in pair_rows]
+    lp = spark.createDataFrame(lp_rows, "c12 long, c1 long, lp double")
+    scored = occ.join(F.broadcast(lp),
+                      (occ["_c12"] == lp["c12"]) & (occ["_c1"] == lp["c1"]))
+    per = (scored.select("_id", "_bg", "_occ",
+                         (F.col("_occ") * F.col("lp")).alias("_t"))
+           .groupBy("_id")
+           .agg(F.sum("_occ").cast("long").alias("n_bigrams"),
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("_bg", "_t"))),
+                        lambda x: x["_t"]),
+                    F.lit(0.0), lambda a, x: a + x).alias("sum_logprob_lit")))
+    return per.select(
+        F.col("_id").alias("doc_id"), "n_bigrams", "sum_logprob_lit",
+        (F.col("sum_logprob_lit") / F.col("n_bigrams"))
+        .alias("mean_logprob_lit"))
+
+
+_DSIR_EVAL_BUCKETS = 1000           # production dsir_doc_weights params
+_DSIR_EVAL_SMOOTH = 1.0
+
+
+def _dsir_eval_llr(tc: int, t_total: int, rc: int, r_total: int) -> float:
+    """Per-bucket target-vs-raw log-likelihood ratio — the exact formula
+    of operators/curation.py::dsir_weights (add-smoothing categorical
+    per side, missing buckets get the smoothing mass)."""
+    import math
+    b, s = _DSIR_EVAL_BUCKETS, _DSIR_EVAL_SMOOTH
+    return (math.log((tc + s) / (t_total + s * b))
+            - math.log((rc + s) / (r_total + s * b)))
+
+
+def _dsir_eval_oracle() -> str:
+    import hashlib
+    from collections import Counter
+    docs = pyref.load_texts(pyref.ORACLE_SF_DIR)
+    b = _DSIR_EVAL_BUCKETS
+    tcnt: Counter = Counter()
+    rcnt: Counter = Counter()
+    for doc_id, text in docs:
+        toks = (text or "").split(" ")
+        side = tcnt if doc_id % 50 == 0 else rcnt
+        for i in range(len(toks) - 1):
+            g = toks[i] + " " + toks[i + 1]
+            bkt = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8],
+                      16) % b
+            side[bkt] += 1
+    t_total, r_total = sum(tcnt.values()), sum(rcnt.values())
+    vals = ",\n        ".join(
+        "({}, {:.17e})".format(
+            k, _dsir_eval_llr(tcnt.get(k, 0), t_total,
+                              rcnt.get(k, 0), r_total))
+        for k in range(b))
+    return f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')), 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1])) AS bg
+      FROM documents WHERE doc_id % 50 != 0),
+    bk AS (SELECT doc_id,
+                  (('0x' || substr(md5(bg), 1, 8))::BIGINT % {b}) AS bkt
+           FROM g),
+    occ AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS occ
+            FROM bk GROUP BY 1, 2),
+    llr AS (SELECT * FROM (VALUES
+        {vals}) AS t(bkt, llr)),
+    sc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+                  list_reduce(list(occ * llr ORDER BY bkt),
+                              (x, y) -> x + y) AS s
+           FROM occ JOIN llr USING (bkt) GROUP BY 1)
+    SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
+           sc.s / sc.n_grams AS dsir_logratio_lit
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN sc USING (doc_id)
+"""
+
+
+@register("dsir_agreement_eval", _dsir_eval_oracle)
+def dsir_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact twin of ``dsir_doc_weights``: same md5-hashed-bigram
+    feature stream and raw/target split (doc_id%50), with the per-bucket
+    ln ratios computed ONCE driver-side from the collected B-row count
+    tables (B=1000 — constant at ANY corpus scale) and injected as
+    double literals; the per-doc mean becomes a bucket-sorted sequential
+    fold over the doc's (bucket, count) pairs (≤B entries per doc,
+    bounded forever). Returns the FULL per-raw-doc weight table
+    (doc_id, n_grams, dsir_logratio_lit) — bit-identical cross-engine;
+    tests/test_round9_evals.py pins it against the production engine-ln
+    path (operators/curation.py::dsir_weights)."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    raw = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    rb = curation._gram_buckets(raw, "doc_id", "text", n=2,
+                                buckets=_DSIR_EVAL_BUCKETS).localCheckpoint()
+    tb = curation._gram_buckets(target, "doc_id", "text", n=2,
+                                buckets=_DSIR_EVAL_BUCKETS)
+    rcnt = {int(r["_b"]): int(r["_c"]) for r in
+            rb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c")).collect()}
+    tcnt = {int(r["_b"]): int(r["_c"]) for r in
+            tb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c")).collect()}
+    r_total, t_total = sum(rcnt.values()), sum(tcnt.values())
+    llr_rows = [(k, _dsir_eval_llr(tcnt.get(k, 0), t_total,
+                                   rcnt.get(k, 0), r_total))
+                for k in range(_DSIR_EVAL_BUCKETS)]
+    llr = spark.createDataFrame(llr_rows, "bkt long, llr double")
+    occ = (rb.groupBy("_id", "_b")
+           .agg(F.count(F.lit(1)).alias("_occ")))
+    sc = (occ.join(F.broadcast(llr), occ["_b"] == llr["bkt"])
+          .select("_id", "_b", "_occ",
+                  (F.col("_occ") * F.col("llr")).alias("_t"))
+          .groupBy("_id")
+          .agg(F.sum("_occ").cast("long").alias("n_grams"),
+               F.aggregate(
+                   F.transform(
+                       F.sort_array(F.collect_list(F.struct("_b", "_t"))),
+                       lambda x: x["_t"]),
+                   F.lit(0.0), lambda a, x: a + x).alias("_s")))
+    return (raw.select("doc_id")
+            .join(sc.withColumnRenamed("_id", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    (F.col("_s") / F.col("n_grams"))
+                    .alias("dsir_logratio_lit")))

@@ -173,3 +173,56 @@ def test_lexical_eval_row_consistency(spark):
     assert row["bm25_rank_exact"] <= row["bm25_overlap"]
     assert 0.0 < row["tfidf_overlap_share"] <= 1.0
     assert 0.0 < row["bm25_overlap_share"] <= 1.0
+
+
+# -- round-9 continuation: the literal-log evals for the LAST two
+# float-scored rows-only families (doc_lm_quality, dsir_doc_weights) ------
+
+
+def test_lm_eval_bridges_production(spark):
+    """The literal-log LM score table must match the production engine-ln
+    path (doc_lm_quality) to float tolerance on every document — the
+    bridge that lets the hash-exact eval certify the production scorer."""
+    ev = {r["doc_id"]: r for r in
+          REGISTRY["lm_quality_agreement_eval"][0](spark, SF).collect()}
+    pr = {r["doc_id"]: r for r in
+          REGISTRY["doc_lm_quality"][0](spark, SF).collect()}
+    assert set(ev) == set(pr)
+    for d, e in ev.items():
+        p = pr[d]
+        assert e["n_bigrams"] == p["n_bigrams"], d
+        assert abs(e["sum_logprob_lit"] - p["sum_logprob"]) <= \
+            1e-9 * abs(p["sum_logprob"]), d
+        assert abs(e["mean_logprob_lit"] - p["mean_logprob"]) <= \
+            1e-9 * abs(p["mean_logprob"]), d
+
+
+def test_dsir_eval_bridges_production(spark):
+    """Literal-llr DSIR weights vs the production engine-ln path
+    (dsir_doc_weights): same doc set, exact n_grams, float-tolerance
+    weights (nulls aligned for gram-less docs)."""
+    ev = {r["doc_id"]: r for r in
+          REGISTRY["dsir_agreement_eval"][0](spark, SF).collect()}
+    pr = {r["doc_id"]: r for r in
+          REGISTRY["dsir_doc_weights"][0](spark, SF).collect()}
+    assert set(ev) == set(pr)
+    n_scored = 0
+    for d, e in ev.items():
+        p = pr[d]
+        assert e["n_grams"] == p["n_grams"], d
+        if p["dsir_logratio"] is None:
+            assert e["dsir_logratio_lit"] is None, d
+            continue
+        n_scored += 1
+        assert abs(e["dsir_logratio_lit"] - p["dsir_logratio"]) <= \
+            1e-9 * max(abs(p["dsir_logratio"]), 1e-12), d
+    assert n_scored > 0
+
+
+def test_lm_eval_lp_formula():
+    """The injected literal is exactly the production formula."""
+    import math
+    assert qe._lm_eval_lp(3, 10, 7) == math.log((3 + 0.5) / (10 + 0.5 * 7))
+    assert qe._dsir_eval_llr(2, 100, 5, 900) == (
+        math.log((2 + 1.0) / (100 + 1000.0))
+        - math.log((5 + 1.0) / (900 + 1000.0)))
