@@ -178,6 +178,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
     used as-is (no extra checkpoint; the caller owns materialization) so
     several shingle consumers over the same slice share ONE scan+explode.
     """
+    candidates, sh = jaccard_candidates(
+        df, id_col, text_col, n=n, threshold=threshold,
+        max_shingle_df=max_shingle_df, prefix_filter=prefix_filter,
+        materialize_postings=materialize_postings, postings=postings)
+    verified = (_jaccard_via_postings(candidates, sh) if verify_via_postings
+                else _exact_jaccard_for_pairs(candidates, df, id_col,
+                                              text_col, n))
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_candidates(df: DataFrame, id_col: str, text_col: str, *,
+                       n: int = 3, threshold: float = 0.8,
+                       max_shingle_df: int | None = None,
+                       prefix_filter: bool = True,
+                       materialize_postings: bool = True,
+                       postings: DataFrame | None = None
+                       ) -> tuple[DataFrame, DataFrame]:
+    """The exact-jaccard path's candidate generator, exposed separately
+    (the ``containment_candidates`` pattern) so the scale probe can
+    normalize wall-clock growth by the measured candidate-pair count —
+    a wall ratio alone can't distinguish "the data grew more candidates"
+    from "the operator went superlinear per unit of work". Returns
+    (candidates (doc_a, doc_b), shingle postings (_id, _shingle));
+    semantics documented on ``ngram_jaccard_pairs``, which folds exact
+    verification over this exact frame pair."""
     if postings is not None:
         sh = postings
     else:
@@ -201,6 +226,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
             .filter(F.col("_rn")
                     <= F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz")) + 1)
             .select("_id", "_shingle", "_sz", "_rn")
+            # Deliberately NOT checkpointed despite the two consumers (the
+            # a/b sides of the self-join below): a round-9 A/B measured an
+            # eager localCheckpoint here regressing the FULL query 15× at
+            # sf1 (7.4 s → 113 s, fresh-JVM min-of-2) — the barrier hides
+            # the subtree's statistics from AQE, which otherwise plans the
+            # whole candidate chain (broadcast choices + partition
+            # coalescing) from observed shuffle sizes. The recompute this
+            # allows is bounded: every logical count (prefix postings,
+            # join matches, candidates) grows exactly 10×/decade
+            # (BENCH_SF1_r09.json jaccard normalization).
         )
         # length-ratio filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| (|∩|≤|A|, |∪|≥|B|),
         # symmetric — pairs with incompatible set sizes never become
@@ -234,10 +269,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
     )
-    verified = (_jaccard_via_postings(candidates, sh) if verify_via_postings
-                else _exact_jaccard_for_pairs(candidates, df, id_col,
-                                              text_col, n))
-    return verified.filter(F.col("jaccard") >= threshold)
+    return candidates, sh
 
 
 # --------------------------------------------------------------------------

@@ -308,6 +308,29 @@ def main() -> int:
                  / max(n10["candidate_pairs"], 1))
                 / (t1 / max(n1["candidate_pairs"], 1)), 2)
 
+            # dedup_clusters attribution (round 9): the CC itself runs the
+            # bounded driver union-find at every probe scale (edge counts
+            # ≪ the 1M valve), so any wall growth lives in the jaccard
+            # candidate generator — normalize by its measured candidate
+            # count exactly like containment.
+            def _jaccard_counts(sf_dir: str) -> dict[str, int]:
+                docs = _cat.load_table(spark, sf_dir, "documents")
+                cand, _sh = dedup.jaccard_candidates(docs, "doc_id", "text",
+                                                     n=3, threshold=0.8)
+                c = cand.count()
+                r = qs["dedup_clusters"](spark, sf_dir).count()
+                spark.catalog.clearCache()
+                return {"candidate_pairs": int(c), "cluster_rows": int(r)}
+
+            j1 = _jaccard_counts(sf1)
+            j10 = _jaccard_counts(sf10)
+            probe100["jaccard_counts"] = {"sf1": j1, "sf10": j10}
+            probe100["jaccard_per_candidate_cost_ratio_sf1_to_sf10"] = round(
+                (probe100["queries"]["dedup_clusters"]["sf10"]
+                 / max(j10["candidate_pairs"], 1))
+                / (probe100["queries"]["dedup_clusters"]["sf1"]
+                   / max(j1["candidate_pairs"], 1)), 2)
+
     line = json.dumps({
         "metric": "sf1_scale_probe", "unit": "sec",
         "copies": COPIES, "queries": result,
