@@ -10887,11 +10887,23 @@ def _lm_eval_oracle() -> str:
                    CAST(count(*) AS BIGINT) AS c1 FROM g GROUP BY 1),
     lp AS (SELECT * FROM (VALUES
         {vals}) AS t(c12, c1, lp)),
-    j AS (SELECT o.doc_id, o.bg, o.occ, lp.lp
+    j AS (SELECT o.doc_id, o.bg, o.occ,
+                 -- LEFT JOIN + loud error (round-9 ADVICE): an INNER join
+                 -- here would silently DROP scored bigrams whenever the
+                 -- driver's Python recount diverged from this SQL
+                 -- tokenization (shrinking n_bigrams), surfacing only as
+                 -- an opaque hash mismatch; failing on the NULL names the
+                 -- divergence directly.
+                 CASE WHEN lp.lp IS NULL THEN error(
+                          'lm_quality_agreement_eval: literal lp table '
+                          || 'missed (c12,c1)=(' || bgc.c12 || ',' || ctx.c1
+                          || ') for bigram ' || o.bg
+                          || ' — driver recount diverged from SQL counts')
+                      ELSE lp.lp END AS lp
           FROM occ o
           JOIN bgc USING (bg)
           JOIN ctx ON string_split(o.bg, ' ')[1] = ctx.w1
-          JOIN lp ON lp.c12 = bgc.c12 AND lp.c1 = ctx.c1),
+          LEFT JOIN lp ON lp.c12 = bgc.c12 AND lp.c1 = ctx.c1),
     s AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
                  list_reduce(list(occ * lp ORDER BY bg),
                              (x, y) -> x + y) AS sum_logprob_lit
@@ -10942,10 +10954,23 @@ def lm_quality_agreement_eval(spark: SparkSession,
                 _lm_eval_lp(int(r["_c12"]), int(r["_c1"]), int(r["_v"])))
                for r in pair_rows]
     lp = spark.createDataFrame(lp_rows, "c12 long, c1 long, lp double")
+    # LEFT join + raise_error (round-9 ADVICE, mirroring the oracle): the
+    # lp table is built FROM occ's own distinct pairs so a miss is
+    # impossible today, but an INNER join would mask any future
+    # divergence (e.g. a limit truncation bug) as silently-dropped rows;
+    # poisoning the scored column makes it a named executor error instead.
     scored = occ.join(F.broadcast(lp),
-                      (occ["_c12"] == lp["c12"]) & (occ["_c1"] == lp["c1"]))
+                      (occ["_c12"] == lp["c12"]) & (occ["_c1"] == lp["c1"]),
+                      "left")
+    lp_checked = F.when(
+        F.col("lp").isNull(),
+        F.raise_error(F.concat(
+            F.lit("lm_quality_agreement_eval: literal lp table missed "
+                  "(c12,c1)=("),
+            F.col("_c12"), F.lit(","), F.col("_c1"), F.lit(")")))
+    ).otherwise(F.col("lp"))
     per = (scored.select("_id", "_bg", "_occ",
-                         (F.col("_occ") * F.col("lp")).alias("_t"))
+                         (F.col("_occ") * lp_checked).alias("_t"))
            .groupBy("_id")
            .agg(F.sum("_occ").cast("long").alias("n_bigrams"),
                 F.aggregate(
