@@ -57,51 +57,41 @@ _ANCHORS = [
 _PRIORITY = _ANCHORS + [
     # --- permanent anchors (6, _ANCHORS above): reference surface tripwires
     # (VERDICT r4 item 1 sanctioned rotating everything else).
-    # --- round-9 rotation: DEBT ZERO (VERDICT r8 items 1-2). The strict
-    # ledger (rows_match=True rows only — `err: no_oracle` placeholders
-    # don't count) shows exactly 35 registry queries that never held a
-    # genuine driver comparison; ALL 35 rotate in below, so after this
-    # window every query in the registry has been driver-validated.
-    # The two round-9 agreement evals go first (certify in their birth
-    # round, like ann_recall_eval / the r8 evals did):
-    "pagerank_agreement_eval", "lexical_rank_agreement_eval",
-    # the 14 SQL-backed debt queries (incl. the five r1/r2 `no_oracle`
-    # placeholders promoted to oracle-exact in r4 whose hashes the
-    # driver has never actually confirmed — the r8 VERDICT's worst case)
-    "neardup_minhash_pairs", "neardup_simhash_pairs",
-    "part_pair_support", "doc_token_cms", "doc_token_cms_estimates",
-    "customer_bloom_prune", "corpus_drift_report",
-    "contrastive_negatives_docs", "source_overlap_prefixes",
-    "source_lang_gini", "part_neighbors_topk",
-    "purchase_touch_attribution", "events_seasonal_naive_backtest",
-    "source_dup_attribution",
-    # the 21 rows-only-by-nature debt queries (driver certifies
-    # rows+schema; each family's exact core is anchored by a ★ eval —
-    # ann_recall_eval, semdedup/kmeans/pagerank/lexical agreement evals,
-    # doc_lm_count_table, sketch pytest parity)
-    "daily_genre_kpis_approx", "neardup_embedding_pairs_blocked",
-    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "ann_cosine_topk_sq8",
-    "ann_cosine_topk_pq", "ann_cosine_topk_jl",
-    "tfidf_top_terms", "bm25_topk", "doc_lm_quality",
-    "embedding_kmeans_assign", "embedding_kmeans_sizes",
-    "embedding_label_centroids", "semantic_dedup_survivors",
-    "part_order_pagerank",
-    "events_profile_approx", "events_value_percentiles_approx",
-    "events_daily_users_sketch", "events_monthly_users_sketch_rollup",
-    "dsir_doc_weights", "diversity_sample_docs",
-    # 7 re-validation slots: W2 re-anchors (VERDICT r8 item 1 sanctioned
-    # the room) + reference-surface set-op / validate / KV / e2e
-    # tripwires that last held driver rows in early rounds
-    "top_genres_per_day", "validate_split_good", "validate_split_bad",
-    "users_view_and_purchase", "users_view_not_purchase",
-    "kv_top_song_items", "pipeline_e2e_kpis",
+    # --- round-10 rotation: SECOND VALIDATION PASS (VERDICT r9 item 5).
+    # Debt is zero except the two round-9-born evals (created after the
+    # r9 window ran), which certify first; every other slot goes to the
+    # registry queries whose LAST driver row is oldest (strict ledger:
+    # r1-era 2, r2-era 20, r3-era fill) so the min last-validated-round
+    # metric that tools/oracle_check.py now prints rises from 1 to 3+.
+    "dsir_agreement_eval", "lm_quality_agreement_eval",
+    # r1/r2-era (22): the original corpus/dedup/text/media/decontam batch
+    "corpus_build", "session_stats",
+    "decontam_doc_flags", "decontam_pairs",
+    "dedup_cluster_reps", "dedup_clusters", "dedup_first_per_group",
+    "doc_fingerprints", "hash_split_assign", "lang_id",
+    "media_byte_stats", "media_frame_sample", "media_kind_stats",
+    "neardup_embedding_pairs", "neardup_jaccard_pairs",
+    "normalize_text_docs", "redact_pii_docs", "stratified_sample_docs",
+    "text_quality", "text_stats", "token_counts_by_source",
+    "winnow_fingerprints",
+    # r3-era fill (20): events/lineitem analytics + media/asof/funnel
+    "asof_purchase_click", "cluster_aware_split",
+    "doc_quality_classifier", "doc_repetition_stats",
+    "doc_token_heavy_hitters", "docs_global_row_numbers",
+    "embedding_quantize_int8", "events_daily_agg",
+    "events_props_extract", "events_session_windows",
+    "events_unique_users_skew_robust", "events_user_rolling_7d",
+    "events_value_bands", "events_windowed_counts",
+    "funnel_conversion", "hybrid_rrf_topk", "jsonl_scan_roundtrip",
+    "lineitem_agg_salted", "lineitem_qty_price_corr", "lineitem_rollup",
 ]
 
-# Round-9 rotation plan (for continuity): this window retires the
-# ENTIRE never-genuinely-driver-validated ledger (strict counting:
-# 272/307 before, 307/309 after — the two r9 evals are new and rotate
-# in with it). From round 10 on, all 50 slots are free for anchors +
-# regression re-validation; there is no debt left to schedule.
+# Round-10 rotation plan (for continuity): with the never-validated
+# ledger retired in r9, the window's job is now STALENESS coverage —
+# each round re-validates the 44 queries whose last driver row is
+# oldest, so every registry entry gets re-certified on a ~6-round
+# cadence. New queries born in a round always take window slots in
+# their birth round (here: the two r9-born agreement evals).
 
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

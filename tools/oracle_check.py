@@ -85,17 +85,22 @@ def main() -> int:
     # ledger in their own tier instead of inflating either count.
     validated: set[str] = set()
     rows_only_checked: set[str] = set()
+    last_round: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
+            import re as _re
+            rnd = int(_re.search(r"r(\d+)", os.path.basename(f)).group(1))
             d = json.load(open(f))
             for k, v in d.items():
                 if not isinstance(v, dict):
                     continue
                 if v.get("rows_match") is True:
                     validated.add(k)
+                    last_round[k] = max(last_round.get(k, 0), rnd)
                 elif (v.get("err") == "no_oracle"
                       and v.get("spark_rows") is not None):
                     rows_only_checked.add(k)
+                    last_round[k] = max(last_round.get(k, 0), rnd)
         except Exception:
             pass
     window = list(qs)[:50]
@@ -119,6 +124,16 @@ def main() -> int:
         print(f"#   oracle-backed debt: {sorted(ob_debt)}")
     if ro_unchecked:
         print(f"#   rows-only never driver-checked: {sorted(ro_unchecked)}")
+    # Staleness metric (round-9 VERDICT item 5): with the never-validated
+    # ledger at zero, rotation quality = how RECENT each query's last
+    # driver row is. The window should push min/median upward each round.
+    lr = sorted(last_round.get(n, 0) for n in qs)
+    if lr:
+        med = lr[len(lr) // 2]
+        stalest = sorted((last_round.get(n, 0), n) for n in qs)[:5]
+        print(f"# last-validated-round over registry: min=r{lr[0]} "
+              f"median=r{med} (stalest: "
+              f"{', '.join(f'{n}@r{r}' for r, n in stalest)})")
 
     for name, fn in qs.items():
         if only and name not in only:
