@@ -116,3 +116,38 @@ def test_distinct_full_results_files_still_gate(tmp_path, capsys,
                     "full_results_file": "FULL_NEW.json"})
     assert _run_main(monkeypatch, old_p, new_p) == 0
     assert "no per-query regressions" in capsys.readouterr().out
+
+
+def test_estimator_pick_fresh_jvm_min(tmp_path, capsys, monkeypatch):
+    """r10+ files tagged basis=fresh_jvm_min compare their ``queries``
+    directly (fresh-jvm-min estimator); a fresh-min file vs an r6-r9
+    median file falls back to min-vs-min via the old file's
+    ``queries_min`` — a median never gates against a min."""
+    new_p = _write(tmp_path, "NEW.json",
+                   {"basis": "fresh_jvm_min", "queries": {"a": 1.0}})
+    old_fresh = _write(tmp_path, "OLD_fresh.json",
+                       {"basis": "fresh_jvm_min", "queries": {"a": 1.0}})
+    assert _run_main(monkeypatch, old_fresh, new_p) == 0
+    assert "fresh-jvm-min" in capsys.readouterr().out
+
+    # r6-r9 old: median in queries (would spuriously flag), min in
+    # queries_min (parity) — the pick must use queries_min.
+    old_r6 = _write(tmp_path, "OLD_r6.json",
+                    {"queries": {"a": 0.4}, "queries_min": {"a": 1.0}})
+    assert _run_main(monkeypatch, old_r6, new_p) == 0
+    out = capsys.readouterr().out
+    assert "(min estimator)" in out and "no per-query regressions" in out
+
+
+def test_trade_exemption_excludes_fresh_min_files(tmp_path, capsys,
+                                                  monkeypatch):
+    """A basis-tagged (r10+) old file has neither queries_min nor a
+    full_results_file pointer, but it is NOT pre-r6 — the two-phase
+    trade exemption must not resurrect for it."""
+    q = next(iter(bc.ALLOWED_TRADES))
+    old_p = _write(tmp_path, "OLD.json",
+                   {"basis": "fresh_jvm_min", "queries": {q: 2.0}})
+    new_p = _write(tmp_path, "NEW.json",
+                   {"basis": "fresh_jvm_min", "queries": {q: 4.0}})
+    assert _run_main(monkeypatch, old_p, new_p) == 1
+    assert "REGRESSION" in capsys.readouterr().out

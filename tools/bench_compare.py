@@ -99,6 +99,12 @@ def _load(path: str) -> dict:
                   f"{len((src or {}).get('queries', {}))} anchor queries "
                   f"in the compact line; fetch the full BENCH_LOCAL file "
                   f"for real coverage")
+    # Surface the sample basis from a driver wrapper's parsed compact
+    # line so the estimator pick below sees it even when the full-results
+    # pointer did not resolve.
+    if "basis" not in d and isinstance(d.get("parsed"), dict) \
+            and d["parsed"].get("basis"):
+        d["basis"] = d["parsed"]["basis"]
     if not isinstance(d.get("queries"), dict) and isinstance(
             d.get("tail"), str):
         pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)',
@@ -212,17 +218,30 @@ def main() -> int:
               f"at distinct full-results files (bench.py run-stamps the "
               f"default since r8) or pass the BENCH_LOCAL files directly.")
         return 2
-    # Like-for-like estimator pick (round-5 VERDICT item 5): r6+ files
-    # carry the median in ``queries`` and the min in ``queries_min``;
-    # r1–r5 files have only the min in ``queries``. Compare medians when
-    # BOTH files have them, else fall back to min-vs-min so a median
-    # file never gates against a min file (a guaranteed spurious flag).
-    if "queries_min" in old and "queries_min" in new:
+    # Like-for-like estimator pick (round-5 VERDICT item 5, extended for
+    # the round-10 protocol): r10+ files are tagged ``basis:
+    # fresh_jvm_min`` and their ``queries`` IS the min-of-fresh-JVM-
+    # batches estimator; r6-r9 files carry the within-JVM median in
+    # ``queries`` and the min in ``queries_min``; r1-r5 files are
+    # min-only. Compare fresh-min vs fresh-min when both are r10+;
+    # mixing a fresh-min file with an older one compares min-vs-min
+    # (the closest pair — a median would gate against a min, a
+    # guaranteed spurious flag); two r6-r9 files compare medians.
+    def _min_est(d: dict) -> dict:
+        if d.get("basis") == "fresh_jvm_min":
+            return d.get("queries", {})
+        return d.get("queries_min") or d.get("queries", {})
+
+    o_fresh = old.get("basis") == "fresh_jvm_min"
+    n_fresh = new.get("basis") == "fresh_jvm_min"
+    if o_fresh and n_fresh:
+        oq, nq, estimator = old["queries"], new["queries"], "fresh-jvm-min"
+    elif o_fresh or n_fresh:
+        oq, nq, estimator = _min_est(old), _min_est(new), "min"
+    elif "queries_min" in old and "queries_min" in new:
         oq, nq, estimator = old["queries"], new["queries"], "median"
     else:
-        oq = old.get("queries_min") or old.get("queries", {})
-        nq = new.get("queries_min") or new.get("queries", {})
-        estimator = "min"
+        oq, nq, estimator = _min_est(old), _min_est(new), "min"
     shared = sorted(set(oq) & set(nq))
     print(f"{os.path.basename(old_p)} -> {os.path.basename(new_p)}: "
           f"{len(shared)} shared queries ({estimator} estimator), "
@@ -235,6 +254,7 @@ def main() -> int:
             # A compact r7+ summary (full_results_file pointer) also
             # lacks queries_min but is NOT pre-r6 — never exempt those.
             if (q in ALLOWED_TRADES and "queries_min" not in old
+                    and "basis" not in old  # r10+ files are never pre-r6
                     and "full_results_file" not in old
                     and "full_results_file" not in (
                         old.get("parsed") or {})):
