@@ -407,6 +407,89 @@ def _ref_wav_encode(samples, rate: int = 8000) -> bytes:
             + struct.pack("<4sI", b"data", len(pcm)) + pcm)
 
 
+def _ref_png_encode(px) -> bytes:
+    """8-bit truecolor PNG, filter cycling y % 5 — independent spec twin
+    of multimodal.png_encode: pure per-byte Python loops straight from
+    the PNG spec's filter pseudocode (no numpy, no shared filter code).
+    zlib.compress(level=6) is the one shared dependency (same stdlib on
+    both sides — as struct.pack is for the BMP/WAV twins)."""
+    import struct
+    import zlib
+    h, w = px.shape[0], px.shape[1]
+    raw_rows = [[int(px[y, x // 3][x % 3]) for x in range(w * 3)]
+                for y in range(h)]
+    lines = bytearray()
+    prior = [0] * (w * 3)
+    for y in range(h):
+        row = raw_rows[y]
+        f = y % 5
+        lines.append(f)
+        for x in range(w * 3):
+            a = row[x - 3] if x >= 3 else 0
+            b = prior[x]
+            c = prior[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - a
+            elif f == 2:
+                v = row[x] - b
+            elif f == 3:
+                v = row[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                v = row[x] - pred
+            lines.append(v % 256)
+        prior = row
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+            + chunk(b"IEND", b""))
+
+
+def media_png_oracle() -> str:
+    """Replay of media_png_decode: regenerate each fixture's pixel CONTENT
+    (never decoding anything), take the channel sums / pixel digest
+    directly from that content, and produce byte_len / payload_md5 through
+    the independent spec-twin encoder — so a hash match certifies BOTH
+    that png_encode writes spec-correct bytes AND that png_decode
+    reconstructs the exact original array through all five filter paths."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for did in _doc_ids():
+        rng = np.random.RandomState(int(did) % (2 ** 31))
+        px = rng.randint(0, 256, size=(12, 16, 3),
+                         dtype=np.int64).astype(np.uint8)
+        payload = _ref_png_encode(px)
+        rows.append((int(did), 16, 12, len(payload),
+                     hashlib.md5(payload).hexdigest(),
+                     int(px[..., 0].sum()), int(px[..., 1].sum()),
+                     int(px[..., 2].sum()),
+                     hashlib.md5(px.tobytes()).hexdigest(), 1))
+    return values_table(
+        rows,
+        ["media_id", "width", "height", "byte_len", "payload_md5",
+         "r_sum", "g_sum", "b_sum", "pixel_md5", "decode_ok"],
+        ["CAST(media_id AS BIGINT) AS media_id",
+         "CAST(width AS INT) AS width", "CAST(height AS INT) AS height",
+         "CAST(byte_len AS BIGINT) AS byte_len", "payload_md5",
+         "CAST(r_sum AS BIGINT) AS r_sum",
+         "CAST(g_sum AS BIGINT) AS g_sum",
+         "CAST(b_sum AS BIGINT) AS b_sum", "pixel_md5",
+         "CAST(decode_ok AS BOOLEAN) AS decode_ok"])
+
+
 def _fixture_media(did: int):
     """Regenerate one fixture payload's CONTENT (pixels or samples) per
     the real_media_fixture contract — content only; encoding goes through
