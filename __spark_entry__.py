@@ -64,8 +64,8 @@ _PRIORITY = _ANCHORS + [
     # r1-era 2, r2-era 20, r3-era fill) so the min last-validated-round
     # metric that tools/oracle_check.py now prints rises from 1 to 3+.
     "dsir_agreement_eval", "lm_quality_agreement_eval",
-    # r10-born queries certify in their birth round:
-    "media_png_decode",
+    # r10-born/promoted queries certify in their birth round:
+    "media_png_decode", "events_value_percentiles_approx",
     # r1/r2-era (22): the original corpus/dedup/text/media/decontam batch
     "corpus_build", "session_stats",
     "decontam_doc_flags", "decontam_pairs",

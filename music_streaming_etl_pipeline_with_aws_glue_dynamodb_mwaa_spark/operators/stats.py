@@ -133,12 +133,29 @@ def group_percentiles(df: DataFrame, keys: list[str], value_col: str, *,
 
 def group_percentiles_approx(df: DataFrame, keys: list[str], value_col: str,
                              *, ps: tuple[float, ...] = (0.5, 0.95),
-                             accuracy: int = 10_000) -> DataFrame:
+                             accuracy: int = 10_000,
+                             pinned: bool = False) -> DataFrame:
     """The 100 TB percentile path: Greenwald-Khanna ``percentile_approx``
     sketches — mergeable partial aggregates, no per-group sort, rank error
-    ≤ 1/accuracy. Engine-specific sketch → rows-only vs the oracle; error
-    against the exact operator is bounded in tests/test_stats.py."""
+    ≤ 1/accuracy.
+
+    ``pinned=True`` (round 10) makes the sketch DETERMINISTIC and hence
+    replay-oracle-certifiable (pyref.GKReplay): hash-repartition on the
+    group keys puts each group in exactly ONE partition (one aggregation
+    buffer, so the order-sensitive partial-sketch merge never runs) and
+    ``sortWithinPartitions`` feeds each buffer its values ascending (the
+    insert order only matters past the 50000-row head buffer, but pinning
+    it makes the contract size-independent). Cost vs the free-form path:
+    one extra shuffle + in-partition sort, and per-group parallelism drops
+    to one task per group — the right trade for a CERTIFICATION query;
+    production aggregation keeps the default mergeable no-sort plan.
+    Default (pinned=False) stays engine-specific → rows-only."""
     c = cents(value_col)
+    if pinned:
+        df = (df.select(*keys, c.alias("_c"))
+              .repartition(*[F.col(k) for k in keys])
+              .sortWithinPartitions(*keys, "_c"))
+        c = F.col("_c")
     aggs = [F.percentile_approx(c, float(p), accuracy)
             .cast("double").alias(f"p{int(p * 100)}_cents") for p in ps]
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"), *aggs)

@@ -94,3 +94,49 @@ def test_percentiles_approx_close_to_exact(spark):
             import bisect
             rank = bisect.bisect_left(vals, approx[k][col])
             assert abs(rank - p * (n - 1)) <= 3, (k, col, rank, p * n)
+
+
+def test_gk_replay_matches_engine(spark):
+    """pyref.GKReplay must reproduce Spark's percentile_approx EXACTLY
+    under the pinned contract (single buffer, ascending inserts) — the
+    basis for the events_value_percentiles_approx replay oracle. Covers
+    single-batch (< 50000 head buffer) and multi-batch sizes, duplicate-
+    heavy and unique values, and three accuracies."""
+    import random
+
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import pyref
+
+    rng = random.Random(7)
+    sizes = (1, 2, 100, 2000, 9999, 10001, 60000)
+    ps = (0.5, 0.95, 0.01, 0.25)
+    for acc in (100, 10_000):
+        for n in sizes:
+            for dist in ("uniq", "dup"):
+                hi = 500 if dist == "dup" else 10**9
+                vals = sorted(float(rng.randint(0, hi)) for _ in range(n))
+                df = spark.createDataFrame(
+                    [(v,) for v in vals], "v double").coalesce(1)
+                got = df.agg(F.percentile_approx(
+                    "v", F.array(*[F.lit(p) for p in ps]),
+                    F.lit(acc))).collect()[0][0]
+                mine = pyref.gk_percentiles(vals, ps, acc)
+                assert list(got) == mine, (acc, n, dist)
+
+
+def test_pinned_percentiles_single_partition_per_group(spark):
+    """The pinned plan's determinism contract: hash repartition on the
+    group key puts every group in exactly one partition."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b", "c"] * 400,
+                      "value": [float(i % 37) for i in range(1200)]}))
+    out = stats.group_percentiles_approx(df, ["k"], "value", pinned=True)
+    assert out.count() == 3
+    # group → one partition: distinct partition ids per key == 1
+    pinned_input = (df.select("k", stats.cents("value").alias("_c"))
+                    .repartition(F.col("k"))
+                    .withColumn("_pid", F.spark_partition_id()))
+    per_key = (pinned_input.groupBy("k")
+               .agg(F.countDistinct("_pid").alias("nparts")).collect())
+    assert all(r["nparts"] == 1 for r in per_key)
