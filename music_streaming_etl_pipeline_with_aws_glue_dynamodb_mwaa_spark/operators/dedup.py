@@ -31,6 +31,32 @@ from pyspark.sql.types import LongType
 
 from ..functions.text_funcs import shingles, tokens
 
+import os as _os
+
+#: How jaccard_candidates materializes the shared postings subtree
+#: ("auto" routes by planner size estimate; "ckpt" = localCheckpoint
+#: (eager=False) RDD cache, "persist" = columnar InMemoryRelation,
+#: "none" = recompute per consumer). Env-switchable for A/B scale
+#: measurement (tools/scale_probe.py round-10 attribution).
+_POSTINGS_MAT = _os.environ.get("SPARK_GRAFT_POSTINGS_MAT", "auto")
+
+#: "auto" flip point, from the round-10 fresh-JVM A/B on the FULL
+#: ngram_jaccard_pairs query (identical 25600/2560 output pairs on every
+#: variant): the RDD-object cache the lazy localCheckpoint creates is
+#: fine while postings fit comfortably in memory as Java objects
+#: (sf0.1: ckpt 3.3-4.2s vs persist 4.4-7.0s across the four dedup
+#: queries; sf1: 10.6 vs 11.5s), but at 26M postings rows the
+#: deserialized cache thrashes the heap and the SAME query reads
+#: ckpt 316s vs persist 160s (compressed columnar InMemoryRelation,
+#: ~10x smaller resident) — sf1→sf10 wall exponent 1.48 vs 1.14.
+#: Threshold sits between the measured sf0.1 (255KB) and sf1 (2.6MB)
+#: postings plan estimates — the two-decade probe pair (sf1, sf10) both
+#: ride the scale form (persist read 11.5s vs ckpt's 10.6s at sf1,
+#: noise-level, and 2x better at sf10), while the sf0.1 bench keeps the
+#: small form that wins there; estimate-unknown defaults huge →
+#: persist, the form that survives scale.
+_POSTINGS_PERSIST_MIN_BYTES = 1 << 20
+
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -169,10 +195,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
     ``materialize_postings`` (default on): the exploded postings feed BOTH
     the docfreq aggregation and the prefix-ranked join side — without a
-    barrier Catalyst re-runs the scan+explode per consumer. A lazy
-    ``localCheckpoint`` computes them once (measured ~45% faster at sf0.1,
-    identical output; blocks are freed by the ContextCleaner — same pattern
-    as corpus.build_corpus).
+    barrier Catalyst re-runs the scan+explode per consumer (measured: the
+    unmaterialized form costs 612s vs 160s at sf10). The materialization
+    FORM routes by size (round 10, see _POSTINGS_PERSIST_MIN_BYTES): a lazy
+    ``localCheckpoint`` RDD cache under the threshold, a columnar
+    ``persist()`` above it — identical output either way.
 
     ``postings``: caller-supplied ``_shingled`` stream (_id, _shingle) —
     used as-is (no extra checkpoint; the caller owns materialization) so
@@ -208,7 +235,16 @@ def jaccard_candidates(df: DataFrame, id_col: str, text_col: str, *,
     else:
         sh = _shingled(df, id_col, text_col, n)
         if materialize_postings:
-            sh = sh.localCheckpoint(eager=False)
+            mode = _POSTINGS_MAT
+            if mode == "auto":
+                from .ids import _est_bytes
+                mode = ("persist" if _est_bytes(sh)
+                        >= _POSTINGS_PERSIST_MIN_BYTES else "ckpt")
+            if mode == "persist":
+                sh = sh.persist()
+            elif mode == "ckpt":
+                sh = sh.localCheckpoint(eager=False)
+            # "none": leave unmaterialized (recompute per consumer)
     joinable = sh
     docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_shingle_df is not None:

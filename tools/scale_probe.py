@@ -177,6 +177,99 @@ def ensure_sf1(spark: SparkSession) -> str:
     return ensure_lake(spark, SRC, DST, COPIES, list(_TABLES), "_BUILT_v2")
 
 
+def stream_probe(spark: SparkSession, sf1: str, *,
+                 n_files: int = 10) -> dict:
+    """Streaming-path scale probe (round-10 VERDICT item 8 — the only
+    execution mode that had no scale measurement): materialize an
+    ``n_files`` date-sliced CSV backlog from the sf1 lake's lineitem
+    (≈10× the bench fixture's volume per file count), drain it through
+    Pipeline.run_streaming (Trigger.AvailableNow, maxFilesPerTrigger=1 →
+    one micro-batch per file, the reference's granularity), and record
+    per-batch wall + input rows plus checkpoint/state sizes. Healthy =
+    per-batch wall stays flat across the drain (state is the file-source
+    offset log — O(files seen), never row-scaled) and scales ~linearly
+    with per-file rows vs the sf0.1 e2e fixture."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.plans.pipeline import (
+        Pipeline, PipelineConfig,
+    )
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog as _cat
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import io as _io
+
+    fix = os.path.join(REPO, ".scale_probe", "stream_sf1")
+    _shutil.rmtree(fix, ignore_errors=True)
+    base = os.path.join(fix, "lake")
+    raw = os.path.join(base, "raw", "streams")
+    os.makedirs(raw, exist_ok=True)
+    streams = _cat.streams_from_lineitem(
+        _cat.load_table(spark, sf1, "lineitem"))
+    # n_files date-disjoint slices over the observed listen_time span —
+    # ntile over the distinct dates would shuffle; a fixed calendar
+    # partition of the span is deterministic and driver-free
+    lo, hi = streams.agg(F.min("listen_time"), F.max("listen_time")).first()
+    bounds = [lo + (hi - lo) * i / n_files for i in range(1, n_files)]
+    edges = [None, *bounds, None]
+    row_counts = []
+    for i in range(n_files):
+        part = streams
+        if edges[i] is not None:
+            part = part.filter(F.col("listen_time") >= edges[i])
+        if edges[i + 1] is not None:
+            part = part.filter(F.col("listen_time") < edges[i + 1])
+        tmp = os.path.join(fix, f"_slice{i}")
+        _io.write_csv(part.coalesce(1), tmp)
+        (srcf,) = _glob.glob(os.path.join(tmp, "part-*.csv"))
+        _shutil.move(srcf, os.path.join(raw, f"batch_{i:02d}.csv"))
+        _shutil.rmtree(tmp)
+    songs = _cat.songs_from_part(_cat.load_table(spark, sf1, "part"))
+    _io.write_csv(songs, os.path.join(base, "raw", "songs"))
+    spark.catalog.clearCache()
+
+    pipe = Pipeline(spark, PipelineConfig(base_dir=base))
+    walls: list[dict] = []
+    inner = pipe.process_stream_batch
+
+    def timed_batch(df, epoch_id):
+        t0 = time.perf_counter()
+        n_rows = df.count()
+        inner(df, epoch_id)
+        walls.append({"epoch": int(epoch_id), "rows": int(n_rows),
+                      "secs": round(time.perf_counter() - t0, 3)})
+
+    pipe.process_stream_batch = timed_batch
+    t0 = time.perf_counter()
+    pipe.run_streaming()
+    total = round(time.perf_counter() - t0, 3)
+
+    def _du(path: str) -> int:
+        tot = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    tot += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return tot
+
+    ckpt = os.path.join(base, "checkpoints", "pipeline")
+    secs = [w["secs"] for w in walls]
+    return {
+        "n_files": n_files,
+        "total_secs": total,
+        "batches": walls,
+        "batch_secs_first": secs[0] if secs else None,
+        "batch_secs_median": sorted(secs)[len(secs) // 2] if secs else None,
+        "batch_secs_last": secs[-1] if secs else None,
+        "checkpoint_bytes": _du(ckpt),
+        "kv_store_bytes": _du(os.path.join(base, "kv")),
+        "note": ("state = file-source offset log only (O(files), not "
+                 "rows); flat per-batch wall across the drain = no "
+                 "accumulating state cost"),
+    }
+
+
 def _time(spark: SparkSession, fn, sf_dir: str, n: int = 2) -> float:
     best = None
     for _ in range(n):
@@ -331,11 +424,21 @@ def main() -> int:
                 / (probe100["queries"]["dedup_clusters"]["sf1"]
                    / max(j1["candidate_pairs"], 1)), 2)
 
+    stream = None
+    if "--stream" in sys.argv:
+        stream = stream_probe(spark, sf1)
+        print(f"# stream probe: {stream['total_secs']}s / "
+              f"{stream['n_files']} micro-batches, per-batch "
+              f"first/median/last = {stream['batch_secs_first']}/"
+              f"{stream['batch_secs_median']}/{stream['batch_secs_last']}s",
+              file=sys.stderr)
+
     line = json.dumps({
         "metric": "sf1_scale_probe", "unit": "sec",
         "copies": COPIES, "queries": result,
         "normalization": normalization,
         **({"probe100": probe100} if probe100 is not None else {}),
+        **({"stream_sf1": stream} if stream is not None else {}),
         "worst_ratio": worst, "blowup_gate": BLOWUP,
         "superlinear": sorted(n for n, r in result.items()
                               if r["ratio"] > BLOWUP),
