@@ -106,6 +106,24 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _materialize_postings(sh: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer postings stream by size (see
+    _POSTINGS_PERSIST_MIN_BYTES for the A/B evidence): RDD localCheckpoint
+    under the threshold, columnar persist() above it, identical output
+    either way. Shared by the jaccard and containment candidate
+    generators."""
+    mode = _POSTINGS_MAT
+    if mode == "auto":
+        from .ids import _est_bytes
+        mode = ("persist" if _est_bytes(sh)
+                >= _POSTINGS_PERSIST_MIN_BYTES else "ckpt")
+    if mode == "persist":
+        return sh.persist()
+    if mode == "ckpt":
+        return sh.localCheckpoint(eager=False)
+    return sh  # "none": recompute per consumer
+
+
 def _exact_jaccard_for_pairs(candidates: DataFrame, df: DataFrame,
                              id_col: str, text_col: str, n: int) -> DataFrame:
     """Exact shingle-set Jaccard for an explicit (doc_a, doc_b) candidate
@@ -235,16 +253,7 @@ def jaccard_candidates(df: DataFrame, id_col: str, text_col: str, *,
     else:
         sh = _shingled(df, id_col, text_col, n)
         if materialize_postings:
-            mode = _POSTINGS_MAT
-            if mode == "auto":
-                from .ids import _est_bytes
-                mode = ("persist" if _est_bytes(sh)
-                        >= _POSTINGS_PERSIST_MIN_BYTES else "ckpt")
-            if mode == "persist":
-                sh = sh.persist()
-            elif mode == "ckpt":
-                sh = sh.localCheckpoint(eager=False)
-            # "none": leave unmaterialized (recompute per consumer)
+            sh = _materialize_postings(sh)
     joinable = sh
     docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_shingle_df is not None:
@@ -729,7 +738,7 @@ def containment_candidates(df: DataFrame, id_col: str, text_col: str, *,
     probes can attribute wall-clock growth to measured candidate-set
     growth (data property) vs per-candidate cost (operator property)
     without re-deriving the blocking logic."""
-    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _materialize_postings(_shingled(df, id_col, text_col, n))
     docfreq = sh.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
     joinable = sh
     if max_shingle_df is not None:
