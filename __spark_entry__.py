@@ -85,7 +85,7 @@ _PRIORITY = _ANCHORS + [
     "events_unique_users_skew_robust", "events_user_rolling_7d",
     "events_value_bands", "events_windowed_counts",
     "funnel_conversion", "hybrid_rrf_topk", "jsonl_scan_roundtrip",
-    "lineitem_agg_salted", "lineitem_qty_price_corr", "lineitem_rollup",
+    "lineitem_agg_salted",
 ]
 
 # Round-10 rotation plan (for continuity): with the never-validated

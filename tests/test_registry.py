@@ -75,17 +75,18 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "daily_genre_kpis", "top_songs_per_genre",
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
         "pack_documents_512",
-        # round-9 rotation: debt zero (VERDICT r8 items 1-2) — the two
-        # birth-round agreement evals + one rep per retired debt family
-        "pagerank_agreement_eval", "lexical_rank_agreement_eval",
-        "neardup_minhash_pairs", "neardup_simhash_pairs",
-        "doc_token_cms", "customer_bloom_prune", "source_lang_gini",
-        "ann_cosine_topk_lsh", "tfidf_top_terms", "bm25_topk",
-        "embedding_kmeans_assign", "semantic_dedup_survivors",
-        "part_order_pagerank", "events_daily_users_sketch",
-        "dsir_doc_weights", "diversity_sample_docs",
-        # re-validation slots (reference-surface tripwires)
-        "top_genres_per_day", "pipeline_e2e_kpis",
+        # round-10 rotation: birth-round certification rows (the two
+        # r9-born agreement evals, the new PNG codec query, the promoted
+        # GK replay oracle) ...
+        "dsir_agreement_eval", "lm_quality_agreement_eval",
+        "media_png_decode", "events_value_percentiles_approx",
+        # ... and staleness reps — one per re-validated r1/r2/r3-era
+        # family (the second validation pass, VERDICT r9 item 5)
+        "corpus_build", "session_stats", "dedup_clusters",
+        "neardup_jaccard_pairs", "text_stats", "lang_id",
+        "media_byte_stats", "decontam_pairs", "hash_split_assign",
+        "asof_purchase_click", "events_session_windows",
+        "funnel_conversion", "jsonl_scan_roundtrip",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 
