@@ -57,6 +57,28 @@ _POSTINGS_MAT = _os.environ.get("SPARK_GRAFT_POSTINGS_MAT", "auto")
 #: persist, the form that survives scale.
 _POSTINGS_PERSIST_MIN_BYTES = 1 << 20
 
+#: Live handles of postings frames routed through the persist() branch of
+#: _materialize_postings. Unlike the localCheckpoint RDD blocks (freed by
+#: the ContextCleaner as soon as the RDD is unreferenced), a cached
+#: InMemoryRelation stays registered in the session's CacheManager until
+#: explicitly unpersisted — repeated jaccard/containment calls in a
+#: long-lived session would otherwise accumulate storage memory (round-10
+#: ADVICE). Callers that run many dedup queries per session should call
+#: :func:`release_cached_postings` after each candidate frame has been
+#: fully consumed (bench workers get the same effect via clearCache()).
+_CACHED_POSTINGS: list[DataFrame] = []
+
+
+def release_cached_postings() -> int:
+    """Unpersist every postings frame cached by _materialize_postings'
+    persist() branch and return how many were released. Safe to call at
+    any time: unpersist() on a frame mid-consumption only drops the cache
+    (consumers recompute), never correctness."""
+    n = len(_CACHED_POSTINGS)
+    while _CACHED_POSTINGS:
+        _CACHED_POSTINGS.pop().unpersist()
+    return n
+
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -111,14 +133,21 @@ def _materialize_postings(sh: DataFrame) -> DataFrame:
     _POSTINGS_PERSIST_MIN_BYTES for the A/B evidence): RDD localCheckpoint
     under the threshold, columnar persist() above it, identical output
     either way. Shared by the jaccard and containment candidate
-    generators."""
+    generators.
+
+    Lifecycle: the persist() branch registers the frame in
+    _CACHED_POSTINGS — session-lifetime storage unless the caller
+    releases it via :func:`release_cached_postings` (see that docstring
+    for why the ckpt branch needs no such hook)."""
     mode = _POSTINGS_MAT
     if mode == "auto":
         from .ids import _est_bytes
         mode = ("persist" if _est_bytes(sh)
                 >= _POSTINGS_PERSIST_MIN_BYTES else "ckpt")
     if mode == "persist":
-        return sh.persist()
+        out = sh.persist()
+        _CACHED_POSTINGS.append(out)
+        return out
     if mode == "ckpt":
         return sh.localCheckpoint(eager=False)
     return sh  # "none": recompute per consumer

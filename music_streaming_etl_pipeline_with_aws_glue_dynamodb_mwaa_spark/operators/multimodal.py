@@ -325,21 +325,59 @@ def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
                     np.where(pb <= pc, b, c)).astype(np.uint8)
 
 
-def png_encode(pixels: np.ndarray, *, level: int = 6) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a real 8-bit truecolor PNG.
-    Filter per row = y % 5 (deterministic; exercises every filter type).
-    The filter arithmetic is vectorized numpy; zlib level is pinned so the
-    pyref spec twin reproduces the byte stream exactly."""
+#: channels per PNG color type (spec §11.2.2): 0 grayscale, 2 truecolor,
+#: 3 palette index, 4 grayscale+alpha, 6 truecolor+alpha.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_raw_rows(pixels: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w[, ch]) sample array → (h, w·ch·depth/8) uint8 byte rows
+    (16-bit samples become big-endian byte pairs, per spec §7.1)."""
+    h = pixels.shape[0]
+    flat = pixels.reshape(h, -1)
+    if depth == 8:
+        return flat.astype(np.uint8)
+    return np.ascontiguousarray(flat.astype(">u2")).view(np.uint8) \
+        .reshape(h, flat.shape[1] * 2)
+
+
+def png_encode(pixels: np.ndarray, *, level: int = 6, color_type: int = 2,
+               depth: int = 8, palette: np.ndarray | None = None) -> bytes:
+    """Encode a sample array as a real non-interlaced PNG. All five
+    public color types (grayscale 0, truecolor 2, palette 3,
+    gray+alpha 4, RGBA 6) at depth 8, plus depth 16 for the non-palette
+    types. Filter per row = y % 5 (deterministic; exercises every filter
+    type); the filter arithmetic is vectorized numpy over RAW BYTES with
+    the spec's bpp left-offset, so one code path serves every
+    type/depth. zlib level is pinned so the pyref per-byte spec twin
+    reproduces the byte stream exactly.
+
+    Input shapes: (h, w) or (h, w, ch) with ch = channels of the color
+    type; palette (type 3) takes uint8 indices plus a (n≤256, 3) uint8
+    ``palette``; depth 16 takes uint16 samples."""
     import zlib
-    h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    zeros = np.zeros((h, 3), dtype=np.uint8)
-    left = np.concatenate([zeros, pixels.reshape(h, -1)[:, :-3]], axis=1)
-    up = np.concatenate([np.zeros((1, w * 3), dtype=np.uint8),
-                         pixels.reshape(h, -1)[:-1]], axis=0)
-    ul = np.concatenate([zeros, up[:, :-3]], axis=1)
-    raw = pixels.reshape(h, -1)
+    ch = _PNG_CHANNELS[color_type]
+    h, w = pixels.shape[0], pixels.shape[1]
+    got_ch = 1 if pixels.ndim == 2 else pixels.shape[2]
+    if got_ch != ch:
+        raise ValueError(f"color_type {color_type} wants {ch} channels, "
+                         f"got {got_ch}")
+    if color_type == 3:
+        if depth != 8:
+            raise NotImplementedError("palette PNG: depth 8 only")
+        if palette is None or palette.ndim != 2 or palette.shape[1] != 3 \
+                or palette.shape[0] > 256:
+            raise ValueError("palette must be (n<=256, 3) uint8")
+    elif depth not in (8, 16):
+        raise NotImplementedError(f"PNG depth {depth} not implemented")
+    raw = _png_raw_rows(pixels, depth)
+    bpp = ch * depth // 8
+    stride = raw.shape[1]
+    zeros = np.zeros((h, bpp), dtype=np.uint8)
+    left = np.concatenate([zeros, raw[:, :-bpp]], axis=1)
+    up = np.concatenate([np.zeros((1, stride), dtype=np.uint8),
+                         raw[:-1]], axis=0)
+    ul = np.concatenate([zeros, up[:, :-bpp]], axis=1)
     lines = bytearray()
     for y in range(h):
         f = y % 5
@@ -356,28 +394,44 @@ def png_encode(pixels: np.ndarray, *, level: int = 6) -> bytes:
             filt = raw[y] - _paeth_pred(left[y], up[y], ul[y])
         lines.append(f)
         lines += filt.astype(np.uint8).tobytes()
-    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(lines), level))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return (out + _png_chunk(b"IDAT", zlib.compress(bytes(lines), level))
             + _png_chunk(b"IEND", b""))
 
 
 def png_decode(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit truecolor non-interlaced PNG into an (h, w, 3)
-    uint8 RGB array. Walks the chunk list (IDAT may be split), inflates,
+    """Decode a non-interlaced PNG into an (h, w, channels) sample array
+    — all five public color types at depth 8 (palette expands through
+    PLTE to (h, w, 3) uint8) and depth 16 for the non-palette types
+    (returned as uint16). Walks the chunk list (IDAT may be split),
+    VERIFIES every chunk's CRC32 (round-10 ADVICE: a bit-flipped IDAT
+    that still inflates must be routed as corrupt, not scored), inflates,
     then unfilters per row: None/Up/Sub vectorized (Sub is a per-lane
-    cumulative sum mod 256), Average/Paeth via the sequential scan the
-    spec requires. Cost is O(pixels) per payload — mapInPandas-friendly
-    at any corpus scale."""
+    cumulative sum mod 256 with the spec's bpp offset), Average/Paeth via
+    the sequential scan the spec requires. Cost is O(pixels) per payload
+    — mapInPandas-friendly at any corpus scale. Remaining honest hooks:
+    sub-byte depths (1/2/4) and Adam7 interlace raise
+    NotImplementedError."""
     import zlib
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, meta = 8, bytearray(), None
+    pos, idat, meta, plte = 8, bytearray(), None, None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            break  # truncated chunk — later size checks raise
         ctype = payload[pos + 4: pos + 8]
         body = payload[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             meta = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -386,11 +440,22 @@ def png_decode(payload: bytes) -> np.ndarray:
     if meta is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_v, comp, filt_m, interlace = meta
-    if (depth, ctype_v, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
-        raise NotImplementedError(
-            f"PNG depth={depth} colortype={ctype_v} interlace={interlace} "
-            f"— only 8-bit truecolor non-interlaced is implemented")
-    stride = w * 3
+    if comp != 0 or filt_m != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if ctype_v not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: invalid color type {ctype_v}")
+    if interlace != 0:
+        raise NotImplementedError("PNG Adam7 interlace not implemented")
+    if ctype_v == 3:
+        if depth != 8:
+            raise NotImplementedError("palette PNG: depth 8 only")
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+    elif depth not in (8, 16):
+        raise NotImplementedError(f"PNG depth={depth} not implemented")
+    ch = _PNG_CHANNELS[ctype_v]
+    bpp = ch * depth // 8
+    stride = w * bpp
     data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if data.size != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
@@ -403,23 +468,23 @@ def png_decode(payload: bytes) -> np.ndarray:
             row = filt.copy()
         elif f == 1:
             # per-byte-lane cumulative sum mod 256 (recon[x] = filt[x] +
-            # recon[x-3] telescopes within each of the 3 lanes)
+            # recon[x-bpp] telescopes within each of the bpp lanes)
             row = filt.copy()
-            for lane in range(3):
-                row[lane::3] = np.cumsum(filt[lane::3],
-                                         dtype=np.int64) % 256
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(filt[lane::bpp],
+                                           dtype=np.int64) % 256
         elif f == 2:
             row = filt + prior  # uint8 wraps = mod 256
         elif f == 3:
             row = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                left = int(row[x - 3]) if x >= 3 else 0
+                left = int(row[x - bpp]) if x >= bpp else 0
                 row[x] = (int(filt[x]) + (left + int(prior[x])) // 2) % 256
         elif f == 4:
             row = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                a = int(row[x - 3]) if x >= 3 else 0
-                c = int(prior[x - 3]) if x >= 3 else 0
+                a = int(row[x - bpp]) if x >= bpp else 0
+                c = int(prior[x - bpp]) if x >= bpp else 0
                 b = int(prior[x])
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -429,7 +494,16 @@ def png_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {f}")
         out[y] = row
         prior = row
-    return out.reshape(h, w, 3)
+    if depth == 16:
+        return np.ascontiguousarray(out).view(">u2") \
+            .astype(np.uint16).reshape(h, w, ch)
+    px = out.reshape(h, w, ch)
+    if ctype_v == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    return px
 
 
 def decode_media(payload: bytes, kind: str):
@@ -445,26 +519,59 @@ def decode_media(payload: bytes, kind: str):
     return decode(payload, kind)  # unchanged stub hook for the rest
 
 
+def png_fixture_content(did: int, img_w: int = 16, img_h: int = 12):
+    """Deterministic per-doc PNG CONTENT recipe shared by the fixture and
+    its pyref replay: (color_type, depth, samples, palette). did % 6
+    cycles all five public color types plus a 16-bit variant, so the
+    certified query exercises every decode path:
+
+      0 → truecolor 8-bit   1 → grayscale 8-bit   2 → palette 8-bit
+      3 → gray+alpha 8-bit  4 → RGBA 8-bit        5 → truecolor 16-bit
+    """
+    rng = np.random.RandomState(int(did) % (2 ** 31))
+    v = int(did) % 6
+    if v == 0:
+        return 2, 8, rng.randint(0, 256, size=(img_h, img_w, 3),
+                                 dtype=np.int64).astype(np.uint8), None
+    if v == 1:
+        return 0, 8, rng.randint(0, 256, size=(img_h, img_w),
+                                 dtype=np.int64).astype(np.uint8), None
+    if v == 2:
+        palette = rng.randint(0, 256, size=(16, 3),
+                              dtype=np.int64).astype(np.uint8)
+        idx = rng.randint(0, 16, size=(img_h, img_w),
+                          dtype=np.int64).astype(np.uint8)
+        return 3, 8, idx, palette
+    if v == 3:
+        return 4, 8, rng.randint(0, 256, size=(img_h, img_w, 2),
+                                 dtype=np.int64).astype(np.uint8), None
+    if v == 4:
+        return 6, 8, rng.randint(0, 256, size=(img_h, img_w, 4),
+                                 dtype=np.int64).astype(np.uint8), None
+    return 2, 16, rng.randint(0, 65536, size=(img_h, img_w, 3),
+                              dtype=np.int64).astype(np.uint16), None
+
+
 def png_media_fixture(docs: DataFrame, *, img_w: int = 16,
                       img_h: int = 12) -> DataFrame:
     """MEDIA frame whose payloads are REAL PNG files: doc_id-seeded
-    deterministic pixels (same seed recipe as real_media_fixture),
-    encoded through png_encode (filter type cycling per row, so every
-    unfilter path is exercised by every image). mapInPandas because file
-    encoding is inherently imperative; per-row cost O(payload), memory
-    one Arrow batch."""
+    deterministic content (png_fixture_content — cycles all five public
+    color types + 16-bit), encoded through png_encode (filter type
+    cycling per row, so every unfilter path is exercised by every
+    image). mapInPandas because file encoding is inherently imperative;
+    per-row cost O(payload), memory one Arrow batch."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "kind": [], "payload": [], "mime": [],
                    "width": [], "height": []}
             for did in pdf["doc_id"]:
-                rng = np.random.RandomState(int(did) % (2**31))
-                px = rng.randint(0, 256, size=(img_h, img_w, 3),
-                                 dtype=np.int64).astype(np.uint8)
+                ct, depth, px, palette = png_fixture_content(
+                    int(did), img_w, img_h)
                 out["media_id"].append(int(did))
                 out["kind"].append("image")
-                out["payload"].append(png_encode(px))
+                out["payload"].append(png_encode(
+                    px, color_type=ct, depth=depth, palette=palette))
                 out["mime"].append("image/png")
                 out["width"].append(img_w)
                 out["height"].append(img_h)
@@ -477,24 +584,29 @@ def png_media_fixture(docs: DataFrame, *, img_w: int = 16,
 
 
 def png_decode_stats(media: DataFrame) -> DataFrame:
-    """REAL PNG decode → exact integer per-channel sums + a digest of the
-    decoded pixel array. The sums/digest depend only on the DECODED
-    content, so an oracle that regenerates content WITHOUT decoding
-    certifies the decoder end-to-end; payload_md5 pins the encoder bytes.
-    Bad-row routing (100 TB posture — one corrupt payload must never kill
-    the job): undecodable rows keep their byte_len/payload_md5 and carry
+    """REAL PNG decode → exact integer per-channel sums (c0..c3 — NULL
+    for channels the color type lacks; palette rows sum the EXPANDED RGB)
+    + a digest of the decoded sample array. The sums/digest depend only
+    on the DECODED content, so an oracle that regenerates content WITHOUT
+    decoding certifies the decoder end-to-end; payload_md5 pins the
+    encoder bytes; color_type/bit_depth come from the IHDR so the oracle
+    also pins header correctness. Bad-row routing (100 TB posture — one
+    corrupt payload must never kill the job): undecodable rows (including
+    CRC-mismatching chunks) keep their byte_len/payload_md5 and carry
     NULL dims/sums with decode_ok=false."""
-    out_schema = ("media_id long, width int, height int, byte_len long, "
-                  "payload_md5 string, r_sum long, g_sum long, b_sum long, "
+    out_schema = ("media_id long, color_type int, bit_depth int, "
+                  "width int, height int, byte_len long, "
+                  "payload_md5 string, c0_sum long, c1_sum long, "
+                  "c2_sum long, c3_sum long, "
                   "pixel_md5 string, decode_ok boolean")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        cols = ("media_id", "color_type", "bit_depth", "width", "height",
+                "byte_len", "payload_md5", "c0_sum", "c1_sum", "c2_sum",
+                "c3_sum", "pixel_md5", "decode_ok")
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "width", "height",
-                                   "byte_len", "payload_md5", "r_sum",
-                                   "g_sum", "b_sum", "pixel_md5",
-                                   "decode_ok")}
+            out = {k: [] for k in cols}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 out["media_id"].append(int(mid))
@@ -505,28 +617,37 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
                 except Exception:  # noqa: BLE001 — corrupt/foreign payload
                     px = None
                 if px is None:
-                    for k in ("width", "height", "r_sum", "g_sum", "b_sum",
+                    for k in ("color_type", "bit_depth", "width", "height",
+                              "c0_sum", "c1_sum", "c2_sum", "c3_sum",
                               "pixel_md5"):
                         out[k].append(None)
                     out["decode_ok"].append(False)
                 else:
+                    # IHDR body starts at byte 16: depth@24, colortype@25
+                    out["color_type"].append(int(data[25]))
+                    out["bit_depth"].append(int(data[24]))
                     out["width"].append(px.shape[1])
                     out["height"].append(px.shape[0])
-                    out["r_sum"].append(int(px[..., 0].sum(dtype=np.int64)))
-                    out["g_sum"].append(int(px[..., 1].sum(dtype=np.int64)))
-                    out["b_sum"].append(int(px[..., 2].sum(dtype=np.int64)))
+                    ch = px.shape[2]
+                    for c in range(4):
+                        out[f"c{c}_sum"].append(
+                            int(px[..., c].sum(dtype=np.int64))
+                            if c < ch else None)
                     out["pixel_md5"].append(
                         hashlib.md5(px.tobytes()).hexdigest())
                     out["decode_ok"].append(True)
             yield pd.DataFrame({
                 "media_id": out["media_id"],
+                "color_type": pd.array(out["color_type"], dtype="Int32"),
+                "bit_depth": pd.array(out["bit_depth"], dtype="Int32"),
                 "width": pd.array(out["width"], dtype="Int32"),
                 "height": pd.array(out["height"], dtype="Int32"),
                 "byte_len": out["byte_len"],
                 "payload_md5": out["payload_md5"],
-                "r_sum": pd.array(out["r_sum"], dtype="Int64"),
-                "g_sum": pd.array(out["g_sum"], dtype="Int64"),
-                "b_sum": pd.array(out["b_sum"], dtype="Int64"),
+                "c0_sum": pd.array(out["c0_sum"], dtype="Int64"),
+                "c1_sum": pd.array(out["c1_sum"], dtype="Int64"),
+                "c2_sum": pd.array(out["c2_sum"], dtype="Int64"),
+                "c3_sum": pd.array(out["c3_sum"], dtype="Int64"),
                 "pixel_md5": out["pixel_md5"],
                 "decode_ok": out["decode_ok"],
             })

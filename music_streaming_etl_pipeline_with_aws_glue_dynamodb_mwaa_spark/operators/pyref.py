@@ -538,27 +538,45 @@ def events_gk_percentiles_oracle() -> str:
          "CAST(p95_cents AS DOUBLE) AS p95_cents"])
 
 
-def _ref_png_encode(px) -> bytes:
-    """8-bit truecolor PNG, filter cycling y % 5 — independent spec twin
-    of multimodal.png_encode: pure per-byte Python loops straight from
-    the PNG spec's filter pseudocode (no numpy, no shared filter code).
-    zlib.compress(level=6) is the one shared dependency (same stdlib on
-    both sides — as struct.pack is for the BMP/WAV twins)."""
+def _ref_png_encode(px, color_type: int = 2, depth: int = 8,
+                    palette=None) -> bytes:
+    """Non-interlaced PNG, filter cycling y % 5, all five public color
+    types at depth 8 plus depth 16 for the non-palette types —
+    independent spec twin of multimodal.png_encode: pure per-byte Python
+    loops straight from the PNG spec's filter pseudocode (no numpy, no
+    shared filter code; 16-bit samples are emitted as hi/lo byte pairs
+    by integer divmod). zlib.compress(level=6) is the one shared
+    dependency (same stdlib on both sides — as struct.pack is for the
+    BMP/WAV twins)."""
     import struct
     import zlib
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     h, w = px.shape[0], px.shape[1]
-    raw_rows = [[int(px[y, x // 3][x % 3]) for x in range(w * 3)]
-                for y in range(h)]
+    bpp = channels * depth // 8
+    stride = w * bpp
+    raw_rows = []
+    for y in range(h):
+        row = []
+        for xw in range(w):
+            for c in range(channels):
+                s = int(px[y, xw] if px.ndim == 2 else px[y, xw][c])
+                if depth == 8:
+                    row.append(s)
+                else:
+                    hi, lo = divmod(s, 256)
+                    row.append(hi)
+                    row.append(lo)
+        raw_rows.append(row)
     lines = bytearray()
-    prior = [0] * (w * 3)
+    prior = [0] * stride
     for y in range(h):
         row = raw_rows[y]
         f = y % 5
         lines.append(f)
-        for x in range(w * 3):
-            a = row[x - 3] if x >= 3 else 0
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
             b = prior[x]
-            c = prior[x - 3] if x >= 3 else 0
+            c = prior[x - bpp] if x >= bpp else 0
             if f == 0:
                 v = row[x]
             elif f == 1:
@@ -580,9 +598,13 @@ def _ref_png_encode(px) -> bytes:
         return (struct.pack(">I", len(d)) + t + d
                 + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        body = bytes(int(palette[i][c]) for i in range(palette.shape[0])
+                     for c in range(3))
+        out += chunk(b"PLTE", body)
+    return (out + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
             + chunk(b"IEND", b""))
 
 
@@ -597,27 +619,43 @@ def media_png_oracle() -> str:
 
     import numpy as np
 
+    from .multimodal import png_fixture_content
+
     rows = []
     for did in _doc_ids():
-        rng = np.random.RandomState(int(did) % (2 ** 31))
-        px = rng.randint(0, 256, size=(12, 16, 3),
-                         dtype=np.int64).astype(np.uint8)
-        payload = _ref_png_encode(px)
-        rows.append((int(did), 16, 12, len(payload),
+        ct, depth, px, palette = png_fixture_content(int(did))
+        payload = _ref_png_encode(px, color_type=ct, depth=depth,
+                                  palette=palette)
+        # decoded-array twin straight from CONTENT (never decoding):
+        # palette rows expand through the palette; grayscale keeps one
+        # channel; dtype mirrors the decoder's (uint8 / uint16).
+        if ct == 3:
+            arr = palette[px]
+        elif px.ndim == 2:
+            arr = px.reshape(px.shape[0], px.shape[1], 1)
+        else:
+            arr = px
+        ch = arr.shape[2]
+        sums = [int(arr[..., c].sum(dtype=np.int64)) if c < ch else None
+                for c in range(4)]
+        rows.append((int(did), ct, depth, 16, 12, len(payload),
                      hashlib.md5(payload).hexdigest(),
-                     int(px[..., 0].sum()), int(px[..., 1].sum()),
-                     int(px[..., 2].sum()),
-                     hashlib.md5(px.tobytes()).hexdigest(), 1))
+                     sums[0], sums[1], sums[2], sums[3],
+                     hashlib.md5(arr.tobytes()).hexdigest(), 1))
     return values_table(
         rows,
-        ["media_id", "width", "height", "byte_len", "payload_md5",
-         "r_sum", "g_sum", "b_sum", "pixel_md5", "decode_ok"],
+        ["media_id", "color_type", "bit_depth", "width", "height",
+         "byte_len", "payload_md5", "c0_sum", "c1_sum", "c2_sum",
+         "c3_sum", "pixel_md5", "decode_ok"],
         ["CAST(media_id AS BIGINT) AS media_id",
+         "CAST(color_type AS INT) AS color_type",
+         "CAST(bit_depth AS INT) AS bit_depth",
          "CAST(width AS INT) AS width", "CAST(height AS INT) AS height",
          "CAST(byte_len AS BIGINT) AS byte_len", "payload_md5",
-         "CAST(r_sum AS BIGINT) AS r_sum",
-         "CAST(g_sum AS BIGINT) AS g_sum",
-         "CAST(b_sum AS BIGINT) AS b_sum", "pixel_md5",
+         "CAST(c0_sum AS BIGINT) AS c0_sum",
+         "CAST(c1_sum AS BIGINT) AS c1_sum",
+         "CAST(c2_sum AS BIGINT) AS c2_sum",
+         "CAST(c3_sum AS BIGINT) AS c3_sum", "pixel_md5",
          "CAST(decode_ok AS BOOLEAN) AS decode_ok"])
 
 

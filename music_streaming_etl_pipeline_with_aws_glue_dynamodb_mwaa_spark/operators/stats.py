@@ -149,10 +149,30 @@ def group_percentiles_approx(df: DataFrame, keys: list[str], value_col: str,
     one extra shuffle + in-partition sort, and per-group parallelism drops
     to one task per group — the right trade for a CERTIFICATION query;
     production aggregation keeps the default mergeable no-sort plan.
-    Default (pinned=False) stays engine-specific → rows-only."""
+    Default (pinned=False) stays engine-specific → rows-only.
+
+    Pinned NULL contract (round-10 ADVICE): the sketch only ever sees
+    non-null values, so the pinned path filters ``value IS NOT NULL`` up
+    front — ``n`` then counts sketch inserts exactly and all-null groups
+    emit nothing, mirroring pyref.events_gk_percentiles_oracle (which
+    skips nulls and empty groups). The free-form path keeps the
+    ANALYZE-style total row count.
+
+    Pinned determinism caveat (round-10 ADVICE): the single-buffer
+    contract rides ObjectHashAggregate's hash path. Its sort-based
+    fallback (after ``spark.sql.objectHashAggregate.sortBased.
+    fallbackThreshold`` = 128 distinct keys per partition by default)
+    re-sorts rows by GROUPING KEY only, so within-group ascending order
+    of ``_c`` is no longer guaranteed — which matters once a group
+    exceeds the 50000-row GK head buffer. Certification queries must
+    keep distinct-groups-per-task under the threshold (the certified
+    events query has ~6 event_types total, orders of magnitude under
+    128, and each group lands in its own task after the repartition) or
+    raise the threshold explicitly."""
     c = cents(value_col)
     if pinned:
-        df = (df.select(*keys, c.alias("_c"))
+        df = (df.filter(F.col(value_col).isNotNull())
+              .select(*keys, c.alias("_c"))
               .repartition(*[F.col(k) for k in keys])
               .sortWithinPartitions(*keys, "_c"))
         c = F.col("_c")

@@ -5346,16 +5346,20 @@ def media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_png_decode", pyref.media_png_oracle)
 def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-format decode (round 10, closes the r9 VERDICT's
-    last media residual): doc_id-seeded pixels → png_encode (stdlib zlib
-    deflate, filter type cycling per row so every unfilter path runs) →
-    png_decode → exact integer channel sums + decoded-array digest.
-    Oracle-exact via pyref.media_png_oracle: an INDEPENDENT per-byte
-    spec-twin encoder reproduces payload bytes (pinning png_encode) while
-    sums/pixel_md5 come straight from regenerated content WITHOUT any
-    decoding (pinning png_decode's full reconstruction). Cites the BMP
-    pattern at operators/multimodal.py bmp_encode/bmp_decode; scale shape
-    is one mapInPandas pass, O(payload) per row, no shuffle."""
+    """REAL compressed-format decode (round 10; round 11 extends it to
+    ALL FIVE public PNG color types + 16-bit and per-chunk CRC
+    verification): doc_id-seeded content cycling grayscale/truecolor/
+    palette/gray+alpha/RGBA/16-bit (png_fixture_content) → png_encode
+    (stdlib zlib deflate, filter type cycling per row so every unfilter
+    path runs for every type) → png_decode → exact integer channel sums
+    + decoded-array digest. Oracle-exact via pyref.media_png_oracle: an
+    INDEPENDENT per-byte spec-twin encoder reproduces payload bytes
+    (pinning png_encode) while sums/pixel_md5 come straight from
+    regenerated content WITHOUT any decoding (pinning png_decode's full
+    reconstruction incl. palette expansion and big-endian 16-bit). Cites
+    the BMP pattern at operators/multimodal.py bmp_encode/bmp_decode;
+    scale shape is one mapInPandas pass, O(payload) per row, no
+    shuffle."""
     media = multimodal.png_media_fixture(_docs(spark, sf_dir))
     return multimodal.png_decode_stats(media)
 

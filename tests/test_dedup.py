@@ -273,3 +273,28 @@ def test_media_payload_dedup_collapses_planted_dups(spark):
     kept = dedup.dedup_exact(
         df.withColumn("_d", F.md5(F.hex("payload"))), ["_d"], ["media_id"])
     assert {r["media_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_release_cached_postings_lifecycle(spark):
+    """The persist() branch of _materialize_postings registers its frame
+    for explicit release (round-10 ADVICE: cached InMemoryRelations
+    otherwise live for the session); release_cached_postings unpersists
+    and empties the registry, and is a safe no-op when nothing is
+    cached."""
+    import music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators.dedup as d
+    assert d.release_cached_postings() == 0
+    docs = _docs(spark)
+    old = d._POSTINGS_MAT
+    d._POSTINGS_MAT = "persist"
+    try:
+        pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          n=3, threshold=0.5)
+        pairs.count()
+        assert len(d._CACHED_POSTINGS) >= 1
+        cached = list(d._CACHED_POSTINGS)
+        assert d.release_cached_postings() == len(cached)
+        assert d._CACHED_POSTINGS == []
+        for frame in cached:
+            assert not frame.is_cached
+    finally:
+        d._POSTINGS_MAT = old

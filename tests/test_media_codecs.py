@@ -197,18 +197,81 @@ def test_png_rejects_corrupt_and_unsupported():
     blob = M.png_encode(px)
     with pytest.raises(Exception):
         M.png_decode(blob[:40])
-    # grayscale IHDR (colortype 0) must hit the NotImplementedError hook
+    # sub-byte depth and Adam7 interlace hit the NotImplementedError hooks
     import struct
     import zlib
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
     def chunk(t, d):
         return (struct.pack(">I", len(d)) + t + d
                 + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
-    gray = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
-            + chunk(b"IEND", b""))
+    def mk(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+                + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
-        M.png_decode(gray)
+        M.png_decode(mk(4, 0, 0))
+    with pytest.raises(NotImplementedError):
+        M.png_decode(mk(8, 2, 1))
+    # invalid color type is a spec violation, not a missing feature
+    with pytest.raises(ValueError):
+        M.png_decode(mk(8, 5, 0))
+
+
+def test_png_crc_mismatch_raises():
+    """A bit flip inside IDAT that still inflates must be caught by the
+    per-chunk CRC check, never scored as a good decode (round-10
+    ADVICE)."""
+    px = np.random.RandomState(5).randint(
+        0, 256, size=(6, 6, 3), dtype=np.int64).astype(np.uint8)
+    blob = bytearray(M.png_encode(px))
+    import struct
+    pos = 8
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack_from(">I", bytes(blob), pos)
+        if blob[pos + 4:pos + 8] == b"IDAT":
+            blob[pos + 8 + ln // 2] ^= 0x01  # flip one payload bit
+            break
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="CRC"):
+        M.png_decode(bytes(blob))
+    # and the Spark stats path routes it instead of dying
+    row_ok = M.png_decode(M.png_encode(px))
+    assert (row_ok == px).all()
+
+
+def test_png_all_color_types_roundtrip_and_twin():
+    """Every public color type (+16-bit) roundtrips and matches the
+    independent per-byte spec-twin encoder byte for byte. h=10 cycles
+    every filter type twice per image."""
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import pyref
+    rng = np.random.RandomState(21)
+    cases = []
+    cases.append((0, 8, rng.randint(0, 256, (10, 7)).astype(np.uint8), None))
+    cases.append((2, 8, rng.randint(0, 256, (10, 7, 3)).astype(np.uint8),
+                  None))
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    cases.append((3, 8, rng.randint(0, 16, (10, 7)).astype(np.uint8), pal))
+    cases.append((4, 8, rng.randint(0, 256, (10, 7, 2)).astype(np.uint8),
+                  None))
+    cases.append((6, 8, rng.randint(0, 256, (10, 7, 4)).astype(np.uint8),
+                  None))
+    cases.append((0, 16, rng.randint(0, 65536, (10, 7)).astype(np.uint16),
+                  None))
+    cases.append((2, 16, rng.randint(0, 65536, (10, 7, 3)).astype(np.uint16),
+                  None))
+    cases.append((6, 16, rng.randint(0, 65536, (10, 7, 4)).astype(np.uint16),
+                  None))
+    for ct, depth, px, palette in cases:
+        blob = M.png_encode(px, color_type=ct, depth=depth, palette=palette)
+        twin = pyref._ref_png_encode(px, color_type=ct, depth=depth,
+                                     palette=palette)
+        assert blob == twin, (ct, depth)
+        out = M.png_decode(blob)
+        if ct == 3:
+            assert (out == palette[px]).all()
+        else:
+            want = px.reshape(px.shape[0], px.shape[1], -1)
+            assert out.dtype == want.dtype and (out == want).all(), (ct, depth)
 
 
 def test_png_split_idat_chunks_decode():
@@ -249,17 +312,21 @@ def test_png_decode_stats_spark_and_bad_row_routing(spark):
     media = M.png_media_fixture(docs)
     stats = M.png_decode_stats(media).toPandas().set_index("media_id")
     assert len(stats) == 12 and bool(stats["decode_ok"].all())
-    # independently recompute one row's sums from the seeded content
-    mid = int(stats.index[0])
-    rng = np.random.RandomState(mid % (2**31))
-    px = rng.randint(0, 256, size=(12, 16, 3),
-                     dtype=np.int64).astype(np.uint8)
-    assert int(stats.loc[mid, "r_sum"]) == int(px[..., 0].sum())
+    # the fixture really cycles multiple color types
+    assert stats["color_type"].nunique() >= 3
+    # independently recompute each row's c0 sum from the seeded content
+    for mid in stats.index:
+        ct, depth, px, palette = M.png_fixture_content(int(mid))
+        arr = palette[px] if ct == 3 else px.reshape(12, 16, -1)
+        assert int(stats.loc[mid, "c0_sum"]) == int(
+            arr[..., 0].sum(dtype=np.int64))
+        assert int(stats.loc[mid, "color_type"]) == ct
+        assert int(stats.loc[mid, "bit_depth"]) == depth
     # corrupt payload routes, never raises
     import pandas as pd
     corrupt = spark.createDataFrame(
         pd.DataFrame({"media_id": [1], "payload": [b"\x89PNGbroken"]}),
         "media_id long, payload binary")
     row = M.png_decode_stats(corrupt).collect()[0]
-    assert row["decode_ok"] is False and row["r_sum"] is None
+    assert row["decode_ok"] is False and row["c0_sum"] is None
     assert row["byte_len"] == 10
