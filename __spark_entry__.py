@@ -57,43 +57,43 @@ _ANCHORS = [
 _PRIORITY = _ANCHORS + [
     # --- permanent anchors (6, _ANCHORS above): reference surface tripwires
     # (VERDICT r4 item 1 sanctioned rotating everything else).
-    # --- round-10 rotation: SECOND VALIDATION PASS (VERDICT r9 item 5).
-    # Debt is zero except the two round-9-born evals (created after the
-    # r9 window ran), which certify first; every other slot goes to the
-    # registry queries whose LAST driver row is oldest (strict ledger:
-    # r1-era 2, r2-era 20, r3-era fill) so the min last-validated-round
-    # metric that tools/oracle_check.py now prints rises from 1 to 3+.
-    "dsir_agreement_eval", "lm_quality_agreement_eval",
-    # r10-born/promoted queries certify in their birth round:
-    "media_png_decode", "events_value_percentiles_approx",
-    # r1/r2-era (22): the original corpus/dedup/text/media/decontam batch
-    "corpus_build", "session_stats",
-    "decontam_doc_flags", "decontam_pairs",
-    "dedup_cluster_reps", "dedup_clusters", "dedup_first_per_group",
-    "doc_fingerprints", "hash_split_assign", "lang_id",
-    "media_byte_stats", "media_frame_sample", "media_kind_stats",
-    "neardup_embedding_pairs", "neardup_jaccard_pairs",
-    "normalize_text_docs", "redact_pii_docs", "stratified_sample_docs",
-    "text_quality", "text_stats", "token_counts_by_source",
-    "winnow_fingerprints",
-    # r3-era fill (20): events/lineitem analytics + media/asof/funnel
-    "asof_purchase_click", "cluster_aware_split",
-    "doc_quality_classifier", "doc_repetition_stats",
-    "doc_token_heavy_hitters", "docs_global_row_numbers",
-    "embedding_quantize_int8", "events_daily_agg",
-    "events_props_extract", "events_session_windows",
-    "events_unique_users_skew_robust", "events_user_rolling_7d",
-    "events_value_bands", "events_windowed_counts",
-    "funnel_conversion", "hybrid_rrf_topk", "jsonl_scan_roundtrip",
-    "lineitem_agg_salted",
+    # --- round-11 rotation: STALENESS PASS (VERDICT r10 item 6).
+    # The 4 queries promoted from rows-only to oracle-exact this round
+    # (portable register-table HLL) certify in their birth round first;
+    # the remaining 40 slots go to the registry queries whose LAST
+    # driver row is oldest (14 r3-era + 26 r4-era), raising the
+    # min last-validated-round metric from r3 to r5.
+    "daily_genre_kpis_approx", "events_profile_approx",
+    "events_daily_users_sketch", "events_monthly_users_sketch_rollup",
+    # r3-era fill (14): lineitem/orders analytics + tpch + media
+    "lineitem_qty_price_corr", "lineitem_rollup",
+    "media_feature_extract", "media_resize_stamped",
+    "neardup_containment_pairs", "orders_cdc_apply",
+    "orders_merge_upsert", "orders_quality_report", "orders_table_diff",
+    "tpch_q10_returned_items", "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "user_state_history",
+    # r4-era fill (26): streaming + table-format + scan/session batch
+    "adaptive_quality_topk", "ann_cosine_topk", "corpus_data_card",
+    "csv_scan_roundtrip", "dedup_exact_text", "doc_tokens_udtf",
+    "docs_clean_boilerplate", "docs_remove_dup_spans",
+    "events_closed_sessions_streamed", "events_distinct_users_streamed",
+    "events_wau_sliding_7d", "events_windowed_counts_streamed",
+    "events_zorder_keys", "jsonl_scan_corrupt_routing",
+    "kv_top_genre_items", "kvstore_read_genre_kpis",
+    "mixture_plan_budget", "mixture_plan_temperature", "orders_cube",
+    "orders_join_view_refresh", "orders_snapshot_changes",
+    "orders_time_travel_v1", "part_name_fuzzy_pairs",
+    "purchase_click_interval_streamed", "scan_project_filter",
+    "sessionize_events",
 ]
 
-# Round-10 rotation plan (for continuity): with the never-validated
-# ledger retired in r9, the window's job is now STALENESS coverage —
-# each round re-validates the 44 queries whose last driver row is
-# oldest, so every registry entry gets re-certified on a ~6-round
-# cadence. New queries born in a round always take window slots in
-# their birth round (here: the two r9-born agreement evals).
+# Rotation plan (for continuity): with the never-validated ledger
+# retired in r9, the window's job is STALENESS coverage — each round
+# re-validates the ~40 queries whose last driver row is oldest, so every
+# registry entry gets re-certified on a ~6-round cadence. New or
+# newly-promoted queries always take window slots in their birth round
+# (here: the four portable-HLL promotions).
 
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

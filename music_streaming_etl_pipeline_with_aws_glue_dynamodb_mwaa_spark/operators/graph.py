@@ -29,8 +29,27 @@ aggregation (operators/skew.py::salted_agg) if one dst dominates.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Layout of the static per-round ``links`` frame on the SHUFFLED path
+#: (read at call time; env-switchable for fresh-JVM A/B measurement,
+#: tools/scale_probe.py --pagerank-ab):
+#:   "ckpt"     — localCheckpoint RDD (default; each round re-exchanges
+#:                links because an RDD scan reports no partitioning);
+#:   "bucketed" — write links ONCE as a bucketBy(src)+sortBy(src) catalog
+#:                table: every round's sort-merge join then reads links
+#:                pre-shuffled AND pre-sorted (no exchange, no sort on
+#:                the fact side) — the cluster-scale lever the round-10
+#:                attribution note said local mode "cannot express";
+#:                sources/io.py write_bucketed (E17) expresses it fine.
+_LINKS_LAYOUT = "ckpt"
+
+
+def _links_layout() -> str:
+    return _os.environ.get("SPARK_GRAFT_PAGERANK_LINKS", _LINKS_LAYOUT)
 
 
 #: below this node count the per-round rank frame (~16 B/node) is
@@ -106,8 +125,18 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         broadcast_ranks = n <= BROADCAST_NODES_MAX
 
     links = (e.join(out_deg, "src")
-             .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
-             .localCheckpoint())
+             .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w")))
+    if not broadcast_ranks and _links_layout() == "bucketed":
+        # one up-front bucketed write buys every round an exchange-free,
+        # sort-free fact side in the SMJ (see _LINKS_LAYOUT)
+        from ..sources.io import write_bucketed
+        spark = links.sparkSession
+        nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(links, "_pagerank_links_bucketed", ["src"],
+                       nbuckets, sort_cols=["src"])
+        links = spark.table("_pagerank_links_bucketed")
+    else:
+        links = links.localCheckpoint()
     if symmetric:
         has_dangling, dangling, zero_in = False, None, None
     else:

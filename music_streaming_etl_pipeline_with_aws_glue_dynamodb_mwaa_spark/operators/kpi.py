@@ -90,3 +90,34 @@ def genre_kpi_pipeline(streams: DataFrame, songs: DataFrame, *,
         join_streams_songs(with_listen_date(streams), songs),
         approx=approx, approx_rsd=approx_rsd,
     )
+
+
+def daily_genre_kpis_portable_approx(joined: DataFrame, *,
+                                     lg_k: int = 12) -> DataFrame:
+    """A1 + A4 with the distinct count replaced by the PORTABLE
+    register-table HLL estimate (operators/sketches.py §HLL-as-a-table)
+    — round 11's oracle-exact scale variant: exact sums ride one hash
+    agg, the uniques estimate rides the register pipeline on the SAME
+    keys (co-partitioned join, no extra exchange under AQE), and every
+    float step is reproducible bit-for-bit in DuckDB. The engine-native
+    ``approx_count_distinct`` path (daily_genre_kpis(approx=True))
+    remains the zero-extra-shuffle production alternative.
+
+    ``unique_listeners_est`` is the double estimate; the derived average
+    divides the exact total by it (one IEEE division). Groups whose
+    user_id is entirely NULL keep their exact KPIs with NULL estimate
+    (left join), mirroring the sketch only-sees-inserts contract."""
+    from . import sketches
+    keys = ["listen_date", "track_genre"]
+    exact = joined.groupBy(*keys).agg(
+        F.sum("duration_ms").alias("total_listening_time"),
+        F.count("track_id").alias("listen_count"))
+    est = sketches.hll_distinct_estimates(
+        joined, keys, F.col("user_id"), lg_k=lg_k,
+        out_col="unique_listeners_est")
+    return (exact.join(est, keys, "left")
+            .select(*keys, "unique_listeners_est", "total_listening_time",
+                    "listen_count",
+                    (F.col("total_listening_time").cast("double")
+                     / F.col("unique_listeners_est"))
+                    .alias("avg_listening_time_per_user")))

@@ -111,3 +111,42 @@ def key_candidates_audit(df: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def profile_table_portable_approx(df: DataFrame, canon: list, *,
+                                  lg_k: int = 12) -> DataFrame:
+    """(col_name, n_rows, n_nonnull, n_distinct_est) — the ORACLE-EXACT
+    approx profile (round 11): distinct estimates ride the portable
+    register-table HLL (operators/sketches.py §HLL-as-a-table) over
+    caller-declared CANONICAL KEYS ``[(col_name, Column)]`` — a
+    documented per-type string form both engines render identically
+    (ints/strings as-is, timestamps → epoch micros, doubles → the
+    repo-wide exact-cents measure; engine float→string formatting is NOT
+    portable, which is why the canon is explicit). NULL canonicals are
+    excluded from the sketch (n_nonnull still counts them exactly).
+
+    Shape: one exact-count pass + one melt (map-side explode, ×n_cols
+    rows like profile_table's Expand) into a single register pipeline
+    grouped by col_name — the exchange carries ≤ n_cols·2^lg_k register
+    partials per task regardless of input size."""
+    from . import sketches
+    canon = sorted(canon, key=lambda nc: nc[0])
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, c in canon:
+        aggs.append(F.count(c).alias(f"_nn_{name}"))
+    one = df.agg(*aggs)
+    stack = F.array(*[
+        F.struct(F.lit(name).alias("col_name"),
+                 F.col("_n").alias("n_rows"),
+                 F.col(f"_nn_{name}").alias("n_nonnull"))
+        for name, _ in canon])
+    base = one.select(F.explode(stack).alias("p")).select("p.*")
+    melted = df.select(F.explode(F.array(*[
+        F.struct(F.lit(name).alias("col_name"),
+                 c.cast("string").alias("v"))
+        for name, c in canon])).alias("m")).select("m.*")
+    est = sketches.hll_distinct_estimates(
+        melted, ["col_name"], F.col("v"), lg_k=lg_k,
+        out_col="n_distinct_est")
+    return (base.join(est, "col_name", "left")
+            .select("col_name", "n_rows", "n_nonnull", "n_distinct_est"))

@@ -749,3 +749,73 @@ def media_features_oracle() -> str:
         ["CAST(media_id AS BIGINT) AS media_id", "kind",
          "CAST(byte_len AS BIGINT) AS byte_len", "content_md5"]
         + [f"CAST(f{i} AS DOUBLE) AS f{i}" for i in range(8)])
+
+
+# -- portable-HLL oracle SQL (round 11: promotes the HLL query family) -------
+
+def hll_estimate_cte(group_cols: list[str], *, lg_k: int = 12,
+                     rho_cap: int = 24, vals: str = "vals",
+                     out: str = "hll_est") -> str:
+    """DuckDB CTE chain computing the portable register-table HLL
+    estimate (operators/sketches.py §HLL-as-a-table) from a
+    caller-defined CTE ``vals(group_cols..., v)`` whose ``v`` is the
+    string canonical key with NULLs already filtered. Emits CTE ``out``
+    with (group_cols..., est DOUBLE).
+
+    Shares ONLY driver-computed double literals with the Spark plan
+    (alpha·m²·2^cap and the m−1 linear-counting ln values — the
+    literal-ln recipe); md5/bin/shift/aggregate all run in DuckDB, so a
+    hash match certifies the whole Spark expression tree independently.
+    """
+    from .sketches import hll_estimate_scale_constant, hll_lc_literals
+    g = ", ".join(group_cols)
+    m = 1 << lg_k
+    kk = hll_estimate_scale_constant(lg_k, rho_cap)
+    thr = 2.5 * m
+    lc_vals = ", ".join(f"({v}, {lc:.17e})"
+                        for v, lc in hll_lc_literals(lg_k))
+    return f"""
+    _hll_h AS (SELECT {g}, ('0x' || substr(md5(v), 1, 8))::BIGINT % {m} AS j,
+                      ('0x' || substr(md5(v), 9, 15))::BIGINT AS w
+               FROM {vals}),
+    _hll_regs AS (SELECT {g}, j,
+                  MAX(CASE WHEN w = 0 THEN 61
+                      ELSE 61 - length(bin(w)) END) AS rho_max
+                  FROM _hll_h GROUP BY ALL),
+    _hll_agg AS (SELECT {g}, CAST(count(*) AS BIGINT) AS present,
+                 CAST(SUM(1::BIGINT <<
+                      CAST({rho_cap} - LEAST(rho_max, {rho_cap}) AS INT))
+                      AS BIGINT) AS zp
+                 FROM _hll_regs GROUP BY ALL),
+    _hll_z AS (SELECT {g}, {m} - present AS v0,
+               zp + ({m} - present) * (1::BIGINT << {rho_cap}) AS z
+               FROM _hll_agg),
+    {out} AS (SELECT {g},
+              CASE WHEN v0 > 0 AND {kk:.17e} / CAST(z AS DOUBLE) <= {thr!r}
+                   THEN lc.lc
+                   ELSE {kk:.17e} / CAST(z AS DOUBLE) END AS est
+              FROM _hll_z LEFT JOIN (VALUES {lc_vals}) AS lc(v0x, lc)
+                   ON _hll_z.v0 = lc.v0x)"""
+
+
+def events_daily_users_hll_oracle() -> str:
+    """Twin of events_daily_users_sketch (portable register-table HLL)."""
+    return f"""WITH vals AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+               CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL),
+    {hll_estimate_cte(['day'])}
+    SELECT day, est AS n_users_est FROM hll_est"""
+
+
+def events_monthly_users_hll_oracle() -> str:
+    """Twin of events_monthly_users_sketch_rollup. The Spark side builds
+    DAILY registers and max-merges them to months; max is associative
+    and idempotent, so grouping registers at month grain directly (as
+    here) is bit-identical — the property the rollup query certifies."""
+    return f"""WITH vals AS (
+        SELECT DISTINCT date_trunc('month', CAST(ts AS DATE)) AS month,
+               CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL),
+    {hll_estimate_cte(['month'])}
+    SELECT month, est AS n_users_est FROM hll_est"""

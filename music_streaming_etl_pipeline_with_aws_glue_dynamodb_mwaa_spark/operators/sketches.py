@@ -17,7 +17,11 @@ sparse→dense representation path — but both sit inside the same bound.
 All JVM expressions (`hll_sketch_agg` / `hll_union_agg` /
 `hll_sketch_estimate`); engine-deterministic for fixed input (the sketch
 is hash-based, no randomness) but not oracle-portable (DuckDB's HLL is a
-different implementation), so queries register rows-only by design.
+different implementation). Round 11 therefore added the PORTABLE
+register-table HLL below (§HLL-as-a-table) — the certification surface
+(daily_genre_kpis_approx, events_profile_approx, events_daily/
+monthly_users_sketch*) rides it oracle-exactly, while these binary
+columns remain the compactness-optimal production alternative.
 """
 
 from __future__ import annotations
@@ -195,3 +199,150 @@ def bloom_probe(candidates: DataFrame, bloom: DataFrame, key_col: str, *,
                         .bitwiseAND(F.col("_m"))) != 0).alias("_hit")))
     return (joined.groupBy(key_col)
             .agg(F.min("_hit").alias("in_bloom")))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog AS A TABLE — (group, register, max-rho) rows built with the
+# portable md5 hash, the distinct-count member of the sketch-as-a-table
+# family above (CMS = counts, Bloom = membership, HLL = cardinality).
+# Unlike the binary DataSketches columns at the top of this module, every
+# cell is an exact integer and the estimate is a closed-form expression
+# over exact integers + driver-injected double literals — so the whole
+# pipeline (build → merge → estimate) is oracle-exact in DuckDB and in a
+# pure-Python replay (round-11: promotes the HLL query family from
+# rows-only). Mergeable by construction and EXACTLY so: registers(A ∪ B)
+# = cellwise max — merged-then-estimated is bit-identical to
+# estimate-of-union, a property the binary DataSketches union does NOT
+# guarantee (its sparse→dense path can differ). Trade vs the binary
+# sketch: ≤ 2^lg_k rows per group at rest instead of one compact blob —
+# the right cost when estimates must be reproducible across engines.
+#
+# Hash: slot j = first 8 md5 hex digits mod m (the _cms_bucket idiom);
+# rho = leading-zero count + 1 of a SEPARATE 60-bit slice (md5 hex digits
+# 9..23) via the engine-portable length(bin(w)) trick — float log2 would
+# misround exactly at powers of two. Estimate (Flajolet–Fuin–Gandouet–
+# Meunier with the standard linear-counting small-range correction):
+#
+#     Z        = Σ_j 2^(-min(M_j, rho_cap))        (empty register → 2^0)
+#     E_raw    = alpha_m · m² / Z
+#     E        = m·ln(m/V)  if V > 0 and E_raw ≤ 2.5m   (V = empty count)
+#              = E_raw      otherwise
+#
+# Portability of every float op: Z is carried as the exact integer
+# Σ 2^(rho_cap − min(M, rho_cap)) (≤ m·2^rho_cap = 2^36 at the defaults —
+# exact in int64 AND double), alpha_m·m²·2^rho_cap is ONE driver-computed
+# Python-float literal, E_raw is ONE correctly-rounded IEEE division, and
+# the ln(m/V) values for the m−1 possible V are driver-computed literals
+# broadcast-joined in (the literal-ln recipe from the round-8/9 agreement
+# evals) — no engine libm anywhere. rho_cap=24 saturates a register only
+# past ~2^36 distincts per group at lg_k=12 (100 TB-of-64-bit-keys
+# territory); raise rho_cap and the Z sum stays exact while
+# m·2^rho_cap < 2^53.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+
+def _hll_slot(key, lg_k: int):
+    """Portable register index: first 8 md5 hex digits mod 2^lg_k —
+    DuckDB mirror ``('0x' || substr(md5(v), 1, 8))::BIGINT % m``."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(k.cast("string"))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                  F.lit(1 << lg_k))
+
+
+def _hll_rho(key):
+    """Portable rho: md5 hex digits 9..23 = a 60-bit integer w; rho =
+    61 − length(bin(w)) (= leading zeros of the 60-bit field + 1), the
+    all-zero w mapping to 61. DuckDB mirror: ``CASE WHEN w = 0 THEN 61
+    ELSE 61 - length(bin(w)) END`` with
+    ``w = ('0x' || substr(md5(v), 9, 15))::BIGINT``."""
+    k = F.col(key) if isinstance(key, str) else key
+    w = F.conv(F.substring(F.md5(k.cast("string")), 9, 15), 16, 10) \
+        .cast("long")
+    return (F.when(w == 0, F.lit(61))
+            .otherwise(F.lit(61) - F.length(F.bin(w)))).cast("int")
+
+
+def hll_register_table(df: DataFrame, keys: list[str], value_key, *,
+                       lg_k: int = 12) -> DataFrame:
+    """(keys..., j, rho_max): the portable HLL register table of
+    ``value_key`` (a string-canonical Column or column name) per key
+    group. NULL keys are excluded (a sketch only ever sees inserted
+    values — same contract as the pinned GK path). One hash agg; the
+    exchange carries ≤ 2^lg_k partials per group per task regardless of
+    input size (map-side max-combine), the same no-rescan shape as
+    cms_table."""
+    k = F.col(value_key) if isinstance(value_key, str) else value_key
+    return (df.select(*keys, k.cast("string").alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .groupBy(*keys, _hll_slot(F.col("_v"), lg_k).alias("j"))
+            .agg(F.max(_hll_rho(F.col("_v"))).alias("rho_max")))
+
+
+def hll_merge_register_tables(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Roll registers up to a coarser grain: cellwise max — the EXACT
+    merge (registers(A ∪ B) = max, associative + idempotent), so any
+    merge tree gives bit-identical estimates."""
+    return (regs.groupBy(*keys, "j")
+            .agg(F.max("rho_max").alias("rho_max")))
+
+
+def hll_lc_literals(lg_k: int) -> list[tuple[int, float]]:
+    """(V, m·ln(m/V)) for every possible empty-register count V in
+    [1, m) — the driver-computed linear-counting literals shared by the
+    Spark plan (broadcast join) and the DuckDB oracle (VALUES table), so
+    no engine libm is ever consulted."""
+    m = 1 << lg_k
+    return [(v, m * _math.log(m / v)) for v in range(1, m)]
+
+
+def hll_estimate_scale_constant(lg_k: int, rho_cap: int) -> float:
+    """alpha_m · m² · 2^rho_cap as ONE Python float — E_raw is then a
+    single IEEE division of this literal by the exact integer Z_scaled.
+    (The 2^rho_cap factor is a power-of-two multiply: exact, so this
+    equals the textbook alpha_m·m²/Z bit for bit.)"""
+    m = 1 << lg_k
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << rho_cap)
+
+
+def hll_estimate_registers(regs: DataFrame, keys: list[str], *,
+                           lg_k: int = 12, rho_cap: int = 24,
+                           out_col: str = "n_est") -> DataFrame:
+    """Cardinality estimate per key group from a (portable) register
+    table — every arithmetic step is exact-integer or a single
+    correctly-rounded IEEE op on driver-injected literals (see the
+    section comment), so the output double is reproducible bit-for-bit
+    across Spark, DuckDB, and the pure-Python replay."""
+    m = 1 << lg_k
+    kk = hll_estimate_scale_constant(lg_k, rho_cap)
+    agg = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.expr(
+            f"shiftleft(1L, CAST({rho_cap} - least(rho_max, {rho_cap}) "
+            f"AS INT))")).alias("_zp"))
+    agg = agg.select(
+        *keys,
+        (F.lit(m) - F.col("_present")).alias("_v0"),
+        (F.col("_zp")
+         + (F.lit(m) - F.col("_present")) * F.lit(1 << rho_cap))
+        .alias("_z"))
+    lc = regs.sparkSession.createDataFrame(
+        hll_lc_literals(lg_k), "v0 long, lc double")
+    e_raw = F.lit(kk) / F.col("_z").cast("double")
+    est = (F.when((F.col("_v0") > 0) & (e_raw <= F.lit(2.5 * m)),
+                  F.col("lc"))
+           .otherwise(e_raw))
+    return (agg.join(F.broadcast(lc), agg["_v0"] == lc["v0"], "left")
+            .select(*keys, est.alias(out_col)))
+
+
+def hll_distinct_estimates(df: DataFrame, keys: list[str], value_key, *,
+                           lg_k: int = 12, rho_cap: int = 24,
+                           out_col: str = "n_est") -> DataFrame:
+    """build → estimate in one call (the common single-grain shape)."""
+    return hll_estimate_registers(
+        hll_register_table(df, keys, value_key, lg_k=lg_k),
+        keys, lg_k=lg_k, rho_cap=rho_cap, out_col=out_col)

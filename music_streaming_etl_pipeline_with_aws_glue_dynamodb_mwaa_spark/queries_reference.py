@@ -87,12 +87,50 @@ def daily_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kpi.genre_kpi_pipeline(streams, songs)
 
 
-@register("daily_genre_kpis_approx", None)  # HLL++ ≠ oracle-exact: rows-only
+def _daily_genre_kpis_hll_sql() -> str:
+    """Oracle for the portable-HLL approx KPI: exact sums in plain SQL,
+    the uniques estimate through pyref.hll_estimate_cte (same
+    driver-injected literals as the Spark plan, DuckDB-side md5/bin)."""
+    from .operators.pyref import hll_estimate_cte
+    return f"""
+    WITH j AS (
+        SELECT CAST(l_shipdate AS DATE) AS listen_date, s.track_genre,
+               s.duration_ms, l_suppkey AS user_id
+        FROM lineitem JOIN ({_SONGS_SQL}) s ON l_partkey = s.track_id),
+    exact AS (
+        SELECT listen_date, track_genre,
+               CAST(SUM(duration_ms) AS BIGINT) AS total_listening_time,
+               count(*) AS listen_count
+        FROM j GROUP BY 1, 2),
+    vals AS (
+        SELECT DISTINCT listen_date, track_genre,
+               CAST(user_id AS VARCHAR) AS v
+        FROM j WHERE user_id IS NOT NULL),
+    {hll_estimate_cte(['listen_date', 'track_genre'])}
+    SELECT e.listen_date, e.track_genre, h.est AS unique_listeners_est,
+           e.total_listening_time, e.listen_count,
+           CAST(e.total_listening_time AS DOUBLE) / h.est
+               AS avg_listening_time_per_user
+    FROM exact e LEFT JOIN hll_est h
+         ON e.listen_date = h.listen_date
+         AND e.track_genre = h.track_genre
+    """
+
+
+@register("daily_genre_kpis_approx", _daily_genre_kpis_hll_sql)
 def daily_genre_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale variant of A1: approx_count_distinct avoids the distinct-expand
-    double shuffle (SURVEY.md §2.4) — the 100 TB default."""
+    """Scale variant of A1: the distinct-expand double shuffle is
+    replaced by a cardinality sketch (SURVEY.md §2.4). PROMOTED to
+    oracle-exact in round 11 (VERDICT r10 item 2) by routing the
+    estimate through the portable register-table HLL
+    (operators/sketches.py §HLL-as-a-table; kpi.
+    daily_genre_kpis_portable_approx). The engine-native
+    approx_count_distinct path stays available via
+    genre_kpi_pipeline(approx=True), error-bounded in
+    tests/test_kpi.py::test_approx_kpis_within_rsd."""
     streams, songs = _streams_songs(spark, sf_dir)
-    return kpi.genre_kpi_pipeline(streams, songs, approx=True)
+    joined = kpi.join_streams_songs(kpi.with_listen_date(streams), songs)
+    return kpi.daily_genre_kpis_portable_approx(joined)
 
 
 # --------------------------------------------------------------------------

@@ -75,18 +75,18 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "daily_genre_kpis", "top_songs_per_genre",
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
         "pack_documents_512",
-        # round-10 rotation: birth-round certification rows (the two
-        # r9-born agreement evals, the new PNG codec query, the promoted
-        # GK replay oracle) ...
-        "dsir_agreement_eval", "lm_quality_agreement_eval",
-        "media_png_decode", "events_value_percentiles_approx",
-        # ... and staleness reps — one per re-validated r1/r2/r3-era
-        # family (the second validation pass, VERDICT r9 item 5)
-        "corpus_build", "session_stats", "dedup_clusters",
-        "neardup_jaccard_pairs", "text_stats", "lang_id",
-        "media_byte_stats", "decontam_pairs", "hash_split_assign",
-        "asof_purchase_click", "events_session_windows",
-        "funnel_conversion", "jsonl_scan_roundtrip",
+        # round-11 rotation: birth-round certification rows (the four
+        # portable-HLL promotions, VERDICT r10 item 2) ...
+        "daily_genre_kpis_approx", "events_profile_approx",
+        "events_daily_users_sketch", "events_monthly_users_sketch_rollup",
+        # ... and staleness reps — one per re-validated r3/r4-era family
+        # (the staleness pass, VERDICT r10 item 6)
+        "lineitem_rollup", "orders_cdc_apply", "tpch_q3_shipping_priority",
+        "media_feature_extract", "neardup_containment_pairs",
+        "user_state_history", "ann_cosine_topk", "dedup_exact_text",
+        "events_windowed_counts_streamed", "kvstore_read_genre_kpis",
+        "orders_time_travel_v1", "purchase_click_interval_streamed",
+        "sessionize_events",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 

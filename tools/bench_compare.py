@@ -7,16 +7,20 @@ documented ambient spread of this box, the floor keeps sub-second noise
 from tripping the gate. Exits nonzero on any flagged regression so the
 check works as a CI-style diff instead of narrative.
 
-Flagged queries are AUTO-RE-MEASURED in one fresh JVM before reporting
-(round-5 VERDICT item 7): on this box, ambient load can inflate both
-recorded samples of an unlucky query (round-4 flagged two anchors that
-re-measured at parity), so the gate re-times each flagged query (2
-samples, min) and reclassifies it as ambient noise when the fresh time is
-back under the gate. Bounded: at most ``--remeasure-cap`` queries (default
-8) re-run; ``--no-remeasure`` restores the raw diff.
+Flagged queries are AUTO-RE-MEASURED before reporting (round-5 VERDICT
+item 7): on this box, ambient load can inflate both recorded samples of
+an unlucky query (round-4 flagged two anchors that re-measured at
+parity). Since round 11 the re-measure uses the SAME estimator as the
+main bench — min over 2 interleaved fresh-JVM batches via bench.py's
+``_spawn_batch(only=...)``, plus the targeted third batch for >1.5x
+sample spread — so two same-code gate runs agree on the flag set (the
+old one-shared-JVM re-measure was order-sensitive; VERDICT r10 item 1).
+Bounded: at most ``--remeasure-cap`` queries (default 8) re-run;
+``--no-remeasure`` restores the raw diff.
 
 Usage:
-    python tools/bench_compare.py                # two newest BENCH_r*.json
+    python tools/bench_compare.py     # committed BENCH_LOCAL_r* baseline
+                                      # vs newest driver BENCH_r*.json
     python tools/bench_compare.py OLD.json NEW.json [--ratio 1.5]
                                   [--no-remeasure] [--remeasure-cap 8]
 """
@@ -117,50 +121,44 @@ def _load(path: str) -> dict:
 
 
 def _remeasure(names: list[str], sf_dir: str) -> dict[str, float]:
-    """Re-time ``names`` in ONE fresh subprocess JVM (2 samples each, min,
-    with the same noop-sink forcing and cache hygiene bench.py uses).
-    Returns {} on any subprocess failure — the caller then reports the raw
-    flags rather than hiding them."""
-    import subprocess
-    prog = r"""
-import json, sys, time
-sys.path.insert(0, %(repo)r)
-import __spark_entry__ as e
-from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.session import get_spark
-spark = get_spark("bench-remeasure")
-qs = e.queries()
-sf_dir = %(sf_dir)r
-out = {}
-for name in %(names)r:
-    fn = qs.get(name)
-    if fn is None:
-        continue
-    best = None
-    for i in range(3):  # sample 0 warms fixtures/codegen; 1-2 measured
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        if i > 0 and (best is None or dt < best):
-            best = dt
-        spark.catalog.clearCache()
-        for t in spark.catalog.listTables():
-            if t.name.startswith("_") and t.isTemporary:
-                spark.catalog.dropTempView(t.name)
-    out[name] = round(best, 3)
-print("REMEASURE_JSON:" + json.dumps(out))
-"""
+    """Re-time ``names`` with the SAME estimator the main bench uses:
+    min over interleaved FRESH-JVM batches via bench.py's
+    ``_spawn_batch(only=...)``, plus bench.py's targeted third batch for
+    queries whose two samples disagree > NOISY_RATIO (round-11, VERDICT
+    r10 item 1 — the previous one-shared-JVM/2-sample re-measure was
+    order-sensitive and two same-code gate runs could disagree on a
+    survivor). Returns {} on any subprocess failure — the caller then
+    reports the raw flags rather than hiding them."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             prog % {"repo": repo, "sf_dir": sf_dir, "names": names}],
-            capture_output=True, text=True, timeout=1800, cwd=repo)
-        for line in r.stdout.splitlines():
-            if line.startswith("REMEASURE_JSON:"):
-                return json.loads(line[len("REMEASURE_JSON:"):])
+        import bench
+    except Exception as e:  # pragma: no cover
+        print(f"NOTE: re-measure unavailable ({e}); reporting raw flags")
+        return {}
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
+    samples: dict[str, list[float]] = {}
+    try:
+        for i in range(2):
+            print(f"  re-measure fresh-JVM batch {i + 1}/2 ...")
+            b = bench._spawn_batch(only=names)
+            for n, s in b["queries"].items():
+                samples.setdefault(n, []).append(float(s))
+        noisy = sorted(n for n, ss in samples.items()
+                       if len(ss) >= 2
+                       and max(ss) > bench.NOISY_RATIO * min(ss)
+                       and min(ss) >= bench.NOISY_FLOOR_SECS)
+        if noisy:
+            print(f"  re-measure targeted third batch: {len(noisy)} "
+                  f"high-variance queries ...")
+            b = bench._spawn_batch(only=noisy)
+            for n, s in b["queries"].items():
+                samples.setdefault(n, []).append(float(s))
     except Exception as e:  # pragma: no cover
         print(f"NOTE: re-measure failed ({e}); reporting raw flags")
-    return {}
+        return {}
+    return {n: round(min(ss), 3) for n, ss in samples.items()}
 
 
 def main() -> int:
@@ -192,15 +190,31 @@ def main() -> int:
     if len(args) >= 2:
         old_p, new_p = args[0], args[1]
     else:
-        benches = sorted(
-            glob.glob(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "BENCH_r*.json")),
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # No-args default (round-11, VERDICT r10 item 1): gate the newest
+        # driver record against the COMMITTED fresh-min per-query baseline
+        # (BENCH_LOCAL_r{N}.json, highest N — the re-pin BASELINE.md
+        # promises). Fall back to the two newest driver records when no
+        # committed baseline exists.
+        locals_ = sorted(
+            glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")),
             key=lambda p: int(re.search(r"r(\d+)",
                                         os.path.basename(p)).group(1)))
-        if len(benches) < 2:
-            print("need two BENCH_r*.json files")
+        benches = sorted(
+            glob.glob(os.path.join(repo, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)",
+                                        os.path.basename(p)).group(1)))
+        base = next((p for p in reversed(locals_)
+                     if json.load(open(p)).get("basis") == "fresh_jvm_min"),
+                    None)
+        if base and benches:
+            old_p, new_p = base, benches[-1]
+        elif len(benches) >= 2:
+            old_p, new_p = benches[-2], benches[-1]
+        else:
+            print("need a committed BENCH_LOCAL_r*.json baseline or two "
+                  "BENCH_r*.json files")
             return 0
-        old_p, new_p = benches[-2], benches[-1]
     old, new = _load(old_p), _load(new_p)
     # Same-file guard (round-7 ADVICE): if both compact summaries point at
     # ONE full-results file (the pre-r8 unstamped default), the comparison

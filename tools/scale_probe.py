@@ -178,7 +178,7 @@ def ensure_sf1(spark: SparkSession) -> str:
 
 
 def stream_probe(spark: SparkSession, sf1: str, *,
-                 n_files: int = 10) -> dict:
+                 n_files: int = 10, tag: str = "sf1") -> dict:
     """Streaming-path scale probe (round-10 VERDICT item 8 — the only
     execution mode that had no scale measurement): materialize an
     ``n_files`` date-sliced CSV backlog from the sf1 lake's lineitem
@@ -198,7 +198,7 @@ def stream_probe(spark: SparkSession, sf1: str, *,
     from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog as _cat
     from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import io as _io
 
-    fix = os.path.join(REPO, ".scale_probe", "stream_sf1")
+    fix = os.path.join(REPO, ".scale_probe", f"stream_{tag}")
     _shutil.rmtree(fix, ignore_errors=True)
     base = os.path.join(fix, "lake")
     raw = os.path.join(base, "raw", "streams")
@@ -463,12 +463,75 @@ def main() -> int:
               f"{stream['batch_secs_median']}/{stream['batch_secs_last']}s",
               file=sys.stderr)
 
+    def _ensure_sf10():
+        dst100 = os.path.join(REPO, ".scale_probe", "sf10")
+        return ensure_lake(spark, sf1, dst100, 10,
+                           ["documents", "lineitem"], "_BUILT_v2",
+                           doc_suffix="q")
+
+    # Second stream decade (round-11, VERDICT r10 item 8): the SAME
+    # 10-file drain over the sf10 lake — each micro-batch is 10x wider,
+    # so a flat per-batch wall here certifies the streaming path's cost
+    # is per-batch rows, not accumulated state, across two decades.
+    stream10 = None
+    if "--stream10" in sys.argv:
+        stream10 = stream_probe(spark, _ensure_sf10(), tag="sf10")
+        print(f"# stream10 probe: {stream10['total_secs']}s / "
+              f"{stream10['n_files']} micro-batches, per-batch "
+              f"first/median/last = {stream10['batch_secs_first']}/"
+              f"{stream10['batch_secs_median']}/"
+              f"{stream10['batch_secs_last']}s", file=sys.stderr)
+
+    # Bucketed-links PageRank A/B (round-11, VERDICT r10 item 5): the
+    # full part_order_pagerank query at sf10, one FRESH JVM per links
+    # layout (graph._links_layout), single timed run each — the
+    # cluster-scale lever the r10 attribution said local mode could not
+    # express, now expressed via write_bucketed and measured.
+    pagerank_ab = None
+    if "--pagerank-ab" in sys.argv:
+        import subprocess
+        sf10 = _ensure_sf10()
+        prog = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+import __spark_entry__ as e
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.session import get_spark
+spark = get_spark("pagerank-ab")
+import os
+spark.read.parquet(%(sf10)r + "/lineitem.parquet").count()
+t0 = time.perf_counter()
+e.queries()["part_order_pagerank"](spark, %(sf10)r) \
+    .write.format("noop").mode("overwrite").save()
+print("PAGERANK_AB_SECS:%%.3f" %% (time.perf_counter() - t0))
+"""
+        pagerank_ab = {}
+        for variant in ("ckpt", "bucketed"):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_PAGERANK_LINKS"] = variant
+            print(f"# pagerank A/B: {variant} (fresh JVM) ...",
+                  file=sys.stderr)
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 prog % {"repo": REPO, "sf10": sf10}],
+                env=env, cwd=REPO, capture_output=True, text=True,
+                timeout=5400)
+            secs = None
+            for ln in r.stdout.splitlines():
+                if ln.startswith("PAGERANK_AB_SECS:"):
+                    secs = float(ln.split(":", 1)[1])
+            pagerank_ab[variant] = secs
+            print(f"# pagerank A/B {variant}: {secs}s (rc={r.returncode})",
+                  file=sys.stderr)
+
     line = json.dumps({
         "metric": "sf1_scale_probe", "unit": "sec",
         "copies": COPIES, "queries": result,
         "normalization": normalization,
         **({"probe100": probe100} if probe100 is not None else {}),
         **({"stream_sf1": stream} if stream is not None else {}),
+        **({"stream_sf10": stream10} if stream10 is not None else {}),
+        **({"pagerank_links_ab_sf10": pagerank_ab}
+           if pagerank_ab is not None else {}),
         "worst_ratio": worst, "blowup_gate": BLOWUP,
         "superlinear": sorted(n for n, r in result.items()
                               if r["ratio"] > BLOWUP),
