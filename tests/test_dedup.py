@@ -282,7 +282,8 @@ def test_release_cached_postings_lifecycle(spark):
     and empties the registry, and is a safe no-op when nothing is
     cached."""
     import music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators.dedup as d
-    assert d.release_cached_postings() == 0
+    d.release_cached_postings()          # drain whatever earlier tests cached
+    assert d.release_cached_postings() == 0   # idempotent once drained
     docs = _docs(spark)
     old = d._POSTINGS_MAT
     d._POSTINGS_MAT = "persist"

@@ -43,10 +43,28 @@ def test_flagship_join_is_broadcast_with_partial_agg(spark):
 
 
 def test_approx_variant_avoids_distinct_expand(spark):
+    """The ENGINE-NATIVE approx path (approx_count_distinct) drops the
+    exact countDistinct's extra shuffle round; the REGISTERED query
+    moved to the portable register-table HLL in round 11 (oracle-exact),
+    whose plan is checked separately below."""
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import kpi
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
+    streams = catalog.streams_from_lineitem(
+        catalog.load_table(spark, SF_SMOKE, "lineitem"))
+    songs = catalog.songs_from_part(catalog.load_table(spark, SF_SMOKE, "part"))
     exact = _executed(q("daily_genre_kpis")(spark, SF_SMOKE))
-    approx = _executed(q("daily_genre_kpis_approx")(spark, SF_SMOKE))
-    # exact countDistinct needs an extra shuffle round vs HLL++
+    approx = _executed(kpi.genre_kpi_pipeline(streams, songs, approx=True))
     assert exact.count("Exchange") > approx.count("Exchange")
+
+
+def test_portable_hll_kpi_plan_shape(spark):
+    """The registered portable-HLL approx KPI: the linear-counting
+    literal table joins BROADCAST (never shuffles the aggregate), and no
+    distinct Expand appears anywhere — the register pipeline is plain
+    hash aggregation."""
+    plan = _executed(q("daily_genre_kpis_approx")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Expand" not in plan
 
 
 def test_topk_uses_window_group_limit(spark):
