@@ -275,10 +275,21 @@ def hll_register_table(df: DataFrame, keys: list[str], value_key, *,
     input size (map-side max-combine), the same no-rescan shape as
     cms_table."""
     k = F.col(value_key) if isinstance(value_key, str) else value_key
+    # hash ONCE per row: slot and rho are slices of the same digest, and
+    # Catalyst does not CSE the two md5 calls across the grouping key and
+    # the aggregate expression (measured: 5 md5 sites in the plan, i.e.
+    # recomputed through both partial and final stages)
+    w = F.conv(F.substring(F.col("_h"), 9, 15), 16, 10).cast("long")
+    rho = (F.when(w == 0, F.lit(61))
+           .otherwise(F.lit(61) - F.length(F.bin(w)))).cast("int")
+    slot = F.pmod(F.conv(F.substring(F.col("_h"), 1, 8), 16, 10)
+                  .cast("long"), F.lit(1 << lg_k))
     return (df.select(*keys, k.cast("string").alias("_v"))
             .filter(F.col("_v").isNotNull())
-            .groupBy(*keys, _hll_slot(F.col("_v"), lg_k).alias("j"))
-            .agg(F.max(_hll_rho(F.col("_v"))).alias("rho_max")))
+            .select(*keys, F.md5(F.col("_v")).alias("_h"))
+            .select(*keys, slot.alias("j"), rho.alias("_rho"))
+            .groupBy(*keys, "j")
+            .agg(F.max("_rho").alias("rho_max")))
 
 
 def hll_merge_register_tables(regs: DataFrame, keys: list[str]) -> DataFrame:
