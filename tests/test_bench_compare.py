@@ -151,3 +151,23 @@ def test_trade_exemption_excludes_fresh_min_files(tmp_path, capsys,
                    {"basis": "fresh_jvm_min", "queries": {q: 4.0}})
     assert _run_main(monkeypatch, old_p, new_p) == 1
     assert "REGRESSION" in capsys.readouterr().out
+
+
+def test_trade_exemption_round_scoped_by_filename(tmp_path, capsys,
+                                                  monkeypatch):
+    """Round-11 generalization: each ALLOWED_TRADES entry carries its
+    rewrite round, and the exemption is judged by the OLD file's round
+    parsed from a CANONICAL artifact name — BENCH_LOCAL_r03 predates the
+    r11 HLL promotion (exempt), BENCH_LOCAL_r11 prices it in
+    (regression). Non-canonical names never parse a round."""
+    q = "daily_genre_kpis_approx"
+    assert bc.ALLOWED_TRADES[q][0] == 11
+    new_p = _write(tmp_path, "BENCH_r12.json",
+                   {"basis": "fresh_jvm_min", "queries": {q: 6.0}})
+    old_r3 = _write(tmp_path, "BENCH_LOCAL_r03.json", {"queries": {q: 1.3}})
+    assert _run_main(monkeypatch, old_r3, new_p) == 0
+    assert "DELIBERATE" in capsys.readouterr().out
+    old_r11 = _write(tmp_path, "BENCH_LOCAL_r11.json",
+                     {"basis": "fresh_jvm_min", "queries": {q: 1.3}})
+    assert _run_main(monkeypatch, old_r11, new_p) == 1
+    assert "REGRESSION" in capsys.readouterr().out

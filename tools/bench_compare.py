@@ -37,26 +37,39 @@ RATIO = 1.5
 FLOOR_SECS = 1.0
 
 #: Documented deliberate trades (kept tiny, reviewed each round): queries
-#: whose r6 rewrite REPLACED a single-task global window with the
-#: two-phase range-partition machinery (r5 VERDICT items 2-4). At sf0.1
-#: the window form was a sub-second single task and the two-phase form
-#: pays a fixed ~0.7-1.7s of extra jobs (range sampling + checkpoint +
-#: counts), so a 1.5x flag vs the r5 file is EXPECTED — the rewrite is
-#: certified hash-identical against the unchanged oracle and is the
-#: form that survives 10^9-key inputs (see BENCH_SF1_r06.json for the
-#: scale evidence). Reported as DELIBERATE, excluded from the exit code.
+#: whose implementation was deliberately REWRITTEN in a given round —
+#: r6 replaced single-task global windows with two-phase range-partition
+#: machinery (r5 VERDICT items 2-4; scale evidence BENCH_SF1_r06.json);
+#: r11 replaced the engine-native approx-distinct paths with the
+#: oracle-exact portable register-table HLL (VERDICT r10 item 2 — the
+#: certification surface pays an extra agg+join at sf0.1; the
+#: engine-native forms remain available as documented alternatives).
+#: Reported as DELIBERATE, excluded from the exit code.
 #:
-#: SCOPE (round-6 ADVICE): the exemption applies ONLY when the OLD file
-#: predates the rewrite — i.e. a pre-r6 min-only bench (no
-#: ``queries_min`` key). Once an r6+ baseline exists the two-phase cost
-#: is already priced into the old numbers, so a fresh flag on these
-#: queries is a genuine regression and fails the gate like any other.
+#: SCOPE (round-6 ADVICE, generalized in r11): the exemption applies
+#: ONLY when the OLD file predates the rewrite round — parsed from the
+#: filename's r{N}; once a post-rewrite baseline exists the cost is
+#: priced into the old numbers, so a fresh flag on these queries is a
+#: genuine regression and fails the gate like any other. Files with no
+#: round in their name fall back to the pre-r6 structural check (a
+#: min-only file with no ``queries_min``/``basis``/full-results
+#: pointer).
 ALLOWED_TRADES = {
-    "ab_purchase_ks": "r6 two-phase CDF rewrite (was single-task window)",
-    "vocab_growth_curve": "r6 two-phase ntile rewrite",
-    "orders_revenue_8020": "r6 two-phase cumsum rewrite",
-    "part_abc_classes": "r6 two-phase cumsum rewrite",
-    "customer_rfm_segments": "r6 two-phase ntile x3 rewrite",
+    "ab_purchase_ks": (6, "r6 two-phase CDF rewrite (was single-task window)"),
+    "vocab_growth_curve": (6, "r6 two-phase ntile rewrite"),
+    "orders_revenue_8020": (6, "r6 two-phase cumsum rewrite"),
+    "part_abc_classes": (6, "r6 two-phase cumsum rewrite"),
+    "customer_rfm_segments": (6, "r6 two-phase ntile x3 rewrite"),
+    "daily_genre_kpis_approx":
+        (11, "r11 portable register-table HLL promotion "
+             "(was approx_count_distinct)"),
+    "events_profile_approx":
+        (11, "r11 portable register-table HLL promotion"),
+    "events_daily_users_sketch":
+        (11, "r11 portable register-table HLL promotion "
+             "(was binary DataSketches column)"),
+    "events_monthly_users_sketch_rollup":
+        (11, "r11 portable register-table HLL promotion"),
 }
 
 
@@ -260,21 +273,27 @@ def main() -> int:
     print(f"{os.path.basename(old_p)} -> {os.path.basename(new_p)}: "
           f"{len(shared)} shared queries ({estimator} estimator), "
           f"gate {ratio}x / {FLOOR_SECS}s floor")
+    # canonical round-stamped artifacts ONLY — a loose r\d+ search would
+    # misparse arbitrary filenames (e.g. "OLD_pre_r6.json")
+    m_old = re.match(r"^BENCH(?:_LOCAL|_SF1)?_r0*(\d+)\.json$",
+                     os.path.basename(old_p))
+    old_round = int(m_old.group(1)) if m_old else None
+    # structural pre-r6 fallback for round-less filenames (see scope note)
+    old_is_pre_r6 = ("queries_min" not in old and "basis" not in old
+                     and "full_results_file" not in old
+                     and "full_results_file" not in (old.get("parsed") or {}))
     flagged = []
     for q in shared:
         o, n = float(oq[q]), float(nq[q])
         if n > max(ratio * o, FLOOR_SECS):
-            # pre-rewrite old file only (see ALLOWED_TRADES scope note).
-            # A compact r7+ summary (full_results_file pointer) also
-            # lacks queries_min but is NOT pre-r6 — never exempt those.
-            if (q in ALLOWED_TRADES and "queries_min" not in old
-                    and "basis" not in old  # r10+ files are never pre-r6
-                    and "full_results_file" not in old
-                    and "full_results_file" not in (
-                        old.get("parsed") or {})):
-                print(f"DELIBERATE {q}: {o:.2f}s -> {n:.2f}s "
-                      f"({ALLOWED_TRADES[q]})")
-                continue
+            if q in ALLOWED_TRADES:
+                trade_round, reason = ALLOWED_TRADES[q]
+                pre_rewrite = (old_round < trade_round
+                               if old_round is not None
+                               else old_is_pre_r6 and trade_round == 6)
+                if pre_rewrite:
+                    print(f"DELIBERATE {q}: {o:.2f}s -> {n:.2f}s ({reason})")
+                    continue
             flagged.append((q, o, n))
     tot_o = sum(float(oq[q]) for q in shared)
     tot_n = sum(float(nq[q]) for q in shared)
