@@ -139,6 +139,47 @@ def _worker(out_path: str) -> None:
     finally:
         _sh.rmtree(_warm_dir, ignore_errors=True)
     env["warmup_stream_secs"] = round(time.perf_counter() - _t0, 3)
+    # ...and ONE untimed Python-runtime exercise (round-11): the Arrow
+    # pandas-UDF worker pool and the Python Data Source planner/reader
+    # processes spin up on FIRST use (~2-7 s, measured on the kvstore
+    # split probe: first datasource read 7.0 s, second 0.76 s in the
+    # same JVM). r1-r7's long-lived single-JVM protocol amortized that
+    # into whichever query ran first; fresh-JVM batches re-priced it
+    # into every Python-path query's own slot. Warm both pools so the
+    # measurement is the operator, not interpreter spin-up — exactly
+    # what a real deployment's long-lived executors see.
+    _t0 = time.perf_counter()
+    from pyspark.sql.functions import pandas_udf as _pudf
+    _bench_warm_py = _pudf(lambda s: s, "long")  # legacy-style SCALAR
+    spark.range(64).select(_bench_warm_py("id").alias("v")) \
+        .write.format("noop").mode("overwrite").save()
+    try:
+        from pyspark.sql.datasource import (
+            DataSource as _DS,
+            DataSourceReader as _DSR,
+        )
+
+        class _BenchWarmReader(_DSR):
+            def read(self, partition):
+                yield (1,)
+
+        class _BenchWarmSource(_DS):
+            @classmethod
+            def name(cls):
+                return "bench_warm_source"
+
+            def schema(self):
+                return "v int"
+
+            def reader(self, schema):
+                return _BenchWarmReader()
+
+        spark.dataSource.register(_BenchWarmSource)
+        spark.read.format("bench_warm_source").load() \
+            .write.format("noop").mode("overwrite").save()
+    except Exception:  # pragma: no cover — datasource API unavailable
+        pass
+    env["warmup_python_secs"] = round(time.perf_counter() - _t0, 3)
     spark.catalog.clearCache()
 
     items = list(entrymod.queries().items())

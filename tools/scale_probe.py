@@ -286,23 +286,33 @@ def main() -> int:
     argv = sys.argv[1:]
     if argv and argv[0] == "--out" and len(argv) > 1:
         out_path = argv[1]
+    # --quick (round 11): skip the CHAIN ratio sweep and normalization
+    # (unchanged code paths re-certified in the previous round's file)
+    # and run only the explicitly requested probes — used when a round
+    # adds targeted probes (--stream10 / --pagerank-ab) on top of a
+    # still-valid prior full sweep.
+    quick = "--quick" in sys.argv
     spark = get_spark("scale-probe")
     sf1 = ensure_sf1(spark)
     qs = entrymod.queries()
-    # warm both lakes' footers AND each query's codegen/fixtures once,
-    # untimed — otherwise the first-measured scale eats all the JIT
-    # warm-up and the ratio reads <1× (observed: 0.58× on a 10× input)
-    for d in (SRC, sf1):
-        for t in ("part", "lineitem", "orders", "events", "documents",
-                  "embeddings"):
-            spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
-        for name in CHAIN:
-            qs[name](spark, d).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-
     result: dict[str, dict[str, float]] = {}
     worst = 0.0
-    for name in CHAIN:
+    normalization = None
+    if not quick:
+        # warm both lakes' footers AND each query's codegen/fixtures
+        # once, untimed — otherwise the first-measured scale eats all
+        # the JIT warm-up and the ratio reads <1× (observed: 0.58× on a
+        # 10× input)
+        for d in (SRC, sf1):
+            for t in ("part", "lineitem", "orders", "events", "documents",
+                      "embeddings"):
+                spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+            for name in CHAIN:
+                qs[name](spark, d).write.format("noop") \
+                    .mode("overwrite").save()
+            spark.catalog.clearCache()
+
+    for name in (() if quick else CHAIN):
         t_small = _time(spark, qs[name], SRC)
         t_big = _time(spark, qs[name], sf1)
         ratio = round(t_big / max(t_small, 1e-9), 2)
@@ -330,23 +340,24 @@ def main() -> int:
         spark.catalog.clearCache()
         return {"candidate_pairs": int(c), "result_pairs": int(r)}
 
-    n0 = _containment_counts(SRC)
-    n1 = _containment_counts(sf1)
-    t0 = result["neardup_containment_pairs"]["sf0.1"]
-    t1 = result["neardup_containment_pairs"]["sf1"]
-    normalization = {
-        "query": "neardup_containment_pairs",
-        "sf0.1": n0, "sf1": n1,
-        "candidate_growth": round(n1["candidate_pairs"]
-                                  / max(n0["candidate_pairs"], 1), 2),
-        "result_growth": round(n1["result_pairs"]
-                               / max(n0["result_pairs"], 1), 2),
-        "wall_ratio": result["neardup_containment_pairs"]["ratio"],
-        "per_candidate_cost_ratio": round(
-            (t1 / max(n1["candidate_pairs"], 1))
-            / (t0 / max(n0["candidate_pairs"], 1)), 2),
-    }
-    print(f"# normalization: {normalization}", file=sys.stderr)
+    if not quick:
+        n0 = _containment_counts(SRC)
+        n1 = _containment_counts(sf1)
+        t0 = result["neardup_containment_pairs"]["sf0.1"]
+        t1 = result["neardup_containment_pairs"]["sf1"]
+        normalization = {
+            "query": "neardup_containment_pairs",
+            "sf0.1": n0, "sf1": n1,
+            "candidate_growth": round(n1["candidate_pairs"]
+                                      / max(n0["candidate_pairs"], 1), 2),
+            "result_growth": round(n1["result_pairs"]
+                                   / max(n0["result_pairs"], 1), 2),
+            "wall_ratio": result["neardup_containment_pairs"]["ratio"],
+            "per_candidate_cost_ratio": round(
+                (t1 / max(n1["candidate_pairs"], 1))
+                / (t0 / max(n0["candidate_pairs"], 1)), 2),
+        }
+        print(f"# normalization: {normalization}", file=sys.stderr)
 
     # Optional second scale point (round-7 VERDICT item 6): 100× total
     # (10× on top of the sf1 lake, documents+lineitem only — the two
