@@ -474,11 +474,35 @@ def main() -> int:
               f"{stream['batch_secs_median']}/{stream['batch_secs_last']}s",
               file=sys.stderr)
 
-    def _ensure_sf10():
+    def _ensure_sf10(with_part: bool = False):
         dst100 = os.path.join(REPO, ".scale_probe", "sf10")
-        return ensure_lake(spark, sf1, dst100, 10,
+        lake = ensure_lake(spark, sf1, dst100, 10,
                            ["documents", "lineitem"], "_BUILT_v2",
                            doc_suffix="q")
+        part_p = os.path.join(lake, "part.parquet")
+        if with_part and not os.path.exists(part_p):
+            # replicate the songs dim in LOCKSTEP with the lake's
+            # lineitem: the original sf10 build shifted l_partkey by
+            # i·(max(sf1.l_partkey)+1), so part must use the SAME offset
+            # — max(p_partkey)+1 would desynchronize if the max part key
+            # never appeared in lineitem (checked below).
+            li_max = spark.read.parquet(os.path.join(sf1,
+                                                     "lineitem.parquet")) \
+                .agg(F.max("l_partkey")).first()[0]
+            part = spark.read.parquet(os.path.join(sf1, "part.parquet"))
+            p_max = part.agg(F.max("p_partkey")).first()[0]
+            if li_max != p_max:
+                raise RuntimeError(
+                    f"sf10 part replication would desynchronize: "
+                    f"max(l_partkey)={li_max} != max(p_partkey)={p_max}")
+            off = li_max + 1
+            out = None
+            for i in range(10):
+                d = part.withColumn("p_partkey",
+                                    F.col("p_partkey") + F.lit(i * off))
+                out = d if out is None else out.unionByName(d)
+            out.repartition(8).write.mode("overwrite").parquet(part_p)
+        return lake
 
     # Second stream decade (round-11, VERDICT r10 item 8): the SAME
     # 10-file drain over the sf10 lake — each micro-batch is 10x wider,
@@ -486,7 +510,8 @@ def main() -> int:
     # is per-batch rows, not accumulated state, across two decades.
     stream10 = None
     if "--stream10" in sys.argv:
-        stream10 = stream_probe(spark, _ensure_sf10(), tag="sf10")
+        stream10 = stream_probe(spark, _ensure_sf10(with_part=True),
+                                tag="sf10")
         print(f"# stream10 probe: {stream10['total_secs']}s / "
               f"{stream10['n_files']} micro-batches, per-batch "
               f"first/median/last = {stream10['batch_secs_first']}/"
