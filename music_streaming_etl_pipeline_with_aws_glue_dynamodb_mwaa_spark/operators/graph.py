@@ -131,10 +131,19 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         # sort-free fact side in the SMJ (see _LINKS_LAYOUT)
         from ..sources.io import write_bucketed
         spark = links.sparkSession
+        table = "_pagerank_links_bucketed"
+        # a previous SESSION's leftover warehouse dir is invisible to
+        # this session's in-memory catalog, and saveAsTable refuses to
+        # claim an existing location — drop both table and directory
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = _os.path.join(wh.removeprefix("file:"), table)
+        if _os.path.isdir(loc):
+            import shutil as _sh
+            _sh.rmtree(loc, ignore_errors=True)
         nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        write_bucketed(links, "_pagerank_links_bucketed", ["src"],
-                       nbuckets, sort_cols=["src"])
-        links = spark.table("_pagerank_links_bucketed")
+        write_bucketed(links, table, ["src"], nbuckets, sort_cols=["src"])
+        links = spark.table(table)
     else:
         links = links.localCheckpoint()
     if symmetric:
