@@ -69,9 +69,21 @@ def _links_layout() -> str:
 #: cached rows costs ~3x the exchange it saves on this box; (b) forcing
 #: the broadcast path past the threshold (30M cap) → 872.1 s — a
 #: 16.7M-row (~270 MB) broadcast per round plus per-task hashmap builds.
-#: The adaptive threshold stands; on a real cluster the equivalent
-#: scale lever is bucketing the edge table on src, which local mode
-#: cannot express.
+#: The adaptive threshold stands.
+#:
+#: Round-11 (VERDICT r10 item 5): the bucketed-links layout IS
+#: expressible locally after all (write_bucketed → bucketBy(src)+
+#: sortBy(src) catalog table; the per-round SMJ then reads links with
+#: no exchange), and the measured sf10 A/B (BENCH_SF1_r11.json, fresh
+#: JVM per variant, same day) read bucketed 920.8 s vs ckpt 1513.0 s —
+#: 1.64× faster under that day's heavy host-neighbor load. Because
+#: r10's quiet-day ckpt measured 297.6 s on unchanged code, those
+#: absolute numbers are load-inflated ~5× and the relative win needs an
+#: interleaved quiet-day A/B before flipping the default — until then
+#: "bucketed" stays the opt-in SPARK_GRAFT_PAGERANK_LINKS layout (and
+#: the unambiguous recommendation on a real cluster, where the bucketed
+#: edge table also persists across jobs instead of being rebuilt per
+#: run).
 BROADCAST_NODES_MAX = 2_000_000
 
 
