@@ -57,43 +57,44 @@ _ANCHORS = [
 _PRIORITY = _ANCHORS + [
     # --- permanent anchors (6, _ANCHORS above): reference surface tripwires
     # (VERDICT r4 item 1 sanctioned rotating everything else).
-    # --- round-11 rotation: STALENESS PASS (VERDICT r10 item 6).
-    # The 4 queries promoted from rows-only to oracle-exact this round
-    # (portable register-table HLL) certify in their birth round first;
-    # the remaining 40 slots go to the registry queries whose LAST
-    # driver row is oldest (14 r3-era + 26 r4-era), raising the
-    # min last-validated-round metric from r3 to r5.
-    "daily_genre_kpis_approx", "events_profile_approx",
-    "events_daily_users_sketch", "events_monthly_users_sketch_rollup",
-    # r3-era fill (14): lineitem/orders analytics + tpch + media
-    "lineitem_qty_price_corr", "lineitem_rollup",
-    "media_feature_extract", "media_resize_stamped",
-    "neardup_containment_pairs", "orders_cdc_apply",
-    "orders_merge_upsert", "orders_quality_report", "orders_table_diff",
-    "tpch_q10_returned_items", "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "user_state_history",
-    # r4-era fill (26): streaming + table-format + scan/session batch
-    "adaptive_quality_topk", "ann_cosine_topk", "corpus_data_card",
-    "csv_scan_roundtrip", "dedup_exact_text", "doc_tokens_udtf",
-    "docs_clean_boilerplate", "docs_remove_dup_spans",
-    "events_closed_sessions_streamed", "events_distinct_users_streamed",
-    "events_wau_sliding_7d", "events_windowed_counts_streamed",
-    "events_zorder_keys", "jsonl_scan_corrupt_routing",
-    "kv_top_genre_items", "kvstore_read_genre_kpis",
-    "mixture_plan_budget", "mixture_plan_temperature", "orders_cube",
-    "orders_join_view_refresh", "orders_snapshot_changes",
-    "orders_time_travel_v1", "part_name_fuzzy_pairs",
-    "purchase_click_interval_streamed", "scan_project_filter",
-    "sessionize_events",
+    # --- round-12 rotation: STALENESS PASS (VERDICT r11 item 6).
+    # No new/promoted queries this round, so all 44 fill slots go to the
+    # registry queries whose LAST driver row is oldest: the 9 remaining
+    # r4-era rows plus 35 of the 39 r5-era rows (alphabetical within
+    # round). The 4 r5 stragglers that don't fit the 50-window
+    # (user_cohort_retention, user_interevent_stats, user_value_trend,
+    # weighted_sample_docs) lead the r13 rotation; min last-validated
+    # then rises r5 -> r6.
+    # r4-era fill (9): tpch tails + splits/audits
+    "source_token_cap_docs", "split_leakage_audit",
+    "tpch_q17_small_quantity_revenue", "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_supplier", "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit", "union_by_name_evolution",
+    "user_spend_gini",
+    # r5-era fill (35): stats family + remaining tpch + lm/text batch
+    "asof_purchase_next_click", "bigram_lm_counts", "doc_term_stats",
+    "events_value_anomalies", "events_value_histogram",
+    "events_value_mad_outliers", "events_value_moments",
+    "events_value_ntile", "events_value_percentiles",
+    "fk_orphans_audit", "funnel_user_stages", "kn_continuation_counts",
+    "lineitem_grouping_sets", "lineitem_measures_long",
+    "orders_cdc_change_counts", "orders_custkey_loo_price",
+    "orders_merge_changelog", "orders_status_pivot",
+    "purchase_state_pit", "regional_revenue", "sql_nation_revenue",
+    "token_cooccur_assoc", "tpch_q11_important_stock",
+    "tpch_q12_late_shipments", "tpch_q13_customer_order_counts",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts", "tpch_q19_discounted_revenue",
+    "tpch_q20_dominant_suppliers", "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
 ]
 
 # Rotation plan (for continuity): with the never-validated ledger
 # retired in r9, the window's job is STALENESS coverage — each round
-# re-validates the ~40 queries whose last driver row is oldest, so every
+# re-validates the ~44 queries whose last driver row is oldest, so every
 # registry entry gets re-certified on a ~6-round cadence. New or
-# newly-promoted queries always take window slots in their birth round
-# (here: the four portable-HLL promotions).
+# newly-promoted queries always take window slots in their birth round.
 
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -67,6 +67,40 @@ def _env_snapshot() -> dict:
             "cpu_count": os.cpu_count()}
 
 
+def calibration_kernel(reps: int = 3) -> float:
+    """Fixed CPU-bound calibration kernel (round-12, VERDICT r11 item 3):
+    ``cpu_count`` threads each running a deterministic numpy sort+fp
+    pass (GIL-releasing, so the pool genuinely occupies every core),
+    timed min-over-``reps`` — the same estimator the bench uses for
+    queries. ALL-cores on purpose: a single-threaded probe on a 32-core
+    box reads quiet until the box is fully saturated (measured: 0.83 s
+    at load 13 — identical to idle), while the 32-thread Spark passes
+    it is meant to calibrate degrade with ANY core stolen. No Spark, no
+    I/O, no randomness — its wall moves only with host CPU contention,
+    so the regression gate can NORMALIZE cross-run comparisons by the
+    calibration ratio instead of adjudicating "empty process table,
+    load 13" by narrative. Recorded per fresh-JVM batch in
+    env["calib_secs"] (start) / env["calib_secs_end"]."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    n = os.cpu_count() or 8
+    x = (np.arange(4_000_000, dtype=np.int64) * 2654435761) % 1000003
+
+    def _one(_i: int) -> float:
+        y = np.sort(x)
+        return float(np.sqrt(y.astype(np.float64)).sum())
+
+    best = None
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            list(ex.map(_one, range(n)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def _worker(out_path: str) -> None:
     """ONE fresh-JVM batch: warmup, then a single timed pass over the
     registry (optionally restricted via $SPARK_GRAFT_BENCH_ONLY), with
@@ -78,6 +112,7 @@ def _worker(out_path: str) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     env = _env_snapshot()
+    env["calib_secs"] = calibration_kernel()
     spark = get_spark("bench", cpus=cpus)
     # Warm-up: JVM, codegen, parquet footers — not part of any measurement.
     # Through the catalog, not bare spark.read: events needs its
@@ -203,6 +238,9 @@ def _worker(out_path: str) -> None:
             if t.name.startswith("_") and t.isTemporary:
                 spark.catalog.dropTempView(t.name)
     env["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
+    # bracket the pass: contention arriving MID-batch shows up as a
+    # start/end calibration spread; the gate normalizes by the mean
+    env["calib_secs_end"] = calibration_kernel()
     with open(out_path, "w") as fh:
         json.dump({"queries": times, "env": env}, fh)
     spark.stop()

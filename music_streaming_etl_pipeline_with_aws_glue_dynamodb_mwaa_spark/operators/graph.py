@@ -47,6 +47,11 @@ from pyspark.sql import functions as F
 #:                sources/io.py write_bucketed (E17) expresses it fine.
 _LINKS_LAYOUT = "ckpt"
 
+#: per-process counter making each bucketed-links table name unique —
+#: two concurrent :func:`pagerank` calls in one session must not share a
+#: catalog table / warehouse directory (round-12 ADVICE)
+_BUCKETED_SEQ = 0
+
 
 def _links_layout() -> str:
     return _os.environ.get("SPARK_GRAFT_PAGERANK_LINKS", _LINKS_LAYOUT)
@@ -138,12 +143,18 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
 
     links = (e.join(out_deg, "src")
              .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w")))
+    bucketed_table = None
     if not broadcast_ranks and _links_layout() == "bucketed":
         # one up-front bucketed write buys every round an exchange-free,
         # sort-free fact side in the SMJ (see _LINKS_LAYOUT)
         from ..sources.io import write_bucketed
         spark = links.sparkSession
-        table = "_pagerank_links_bucketed"
+        # unique per call (round-12 ADVICE): a fixed name let two
+        # concurrent pagerank calls in one session clobber each other's
+        # catalog entry / warehouse dir, and leaked the managed table
+        global _BUCKETED_SEQ
+        _BUCKETED_SEQ += 1
+        table = f"_pagerank_links_bucketed_{_os.getpid()}_{_BUCKETED_SEQ}"
         # a previous SESSION's leftover warehouse dir is invisible to
         # this session's in-memory catalog, and saveAsTable refuses to
         # claim an existing location — drop both table and directory
@@ -156,6 +167,7 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
         write_bucketed(links, table, ["src"], nbuckets, sort_cols=["src"])
         links = spark.table(table)
+        bucketed_table = (table, loc)
     else:
         links = links.localCheckpoint()
     if symmetric:
@@ -213,6 +225,15 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                           + F.lit(damping)
                           * (F.col("_in") + F.col("_dm") / n)).alias("rank"))
                  .localCheckpoint())
+    if bucketed_table is not None:
+        # every round eagerly localCheckpoint'ed, so the links table has
+        # no remaining reader — drop it instead of leaking one managed
+        # table + warehouse dir per call (round-12 ADVICE)
+        table, loc = bucketed_table
+        links.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+        if _os.path.isdir(loc):
+            import shutil as _sh
+            _sh.rmtree(loc, ignore_errors=True)
     return ranks
 
 

@@ -402,6 +402,34 @@ def png_encode(pixels: np.ndarray, *, level: int = 6, color_type: int = 2,
             + _png_chunk(b"IEND", b""))
 
 
+def png_ihdr(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Locate and parse the IHDR chunk (CRC-verified) anywhere in the
+    chunk stream — the same walk ``png_decode`` performs, exposed so
+    consumers report the header ``png_decode`` actually honored instead
+    of reading fixed payload offsets (round-12 ADVICE: a non-conforming-
+    but-decodable payload whose IHDR is not the first chunk would decode
+    fine yet report garbage fields from offsets 24/25). Returns
+    (width, height, bit_depth, color_type, compression, filter_method,
+    interlace); raises on a missing/corrupt IHDR."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            break
+        ctype = payload[pos + 4: pos + 8]
+        body = payload[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            return struct.unpack(">IIBBBBB", body)
+        pos += 12 + ln
+    raise ValueError("PNG missing IHDR")
+
+
 def png_decode(payload: bytes) -> np.ndarray:
     """Decode a non-interlaced PNG into an (h, w, channels) sample array
     — all five public color types at depth 8 (palette expands through
@@ -623,9 +651,13 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
                         out[k].append(None)
                     out["decode_ok"].append(False)
                 else:
-                    # IHDR body starts at byte 16: depth@24, colortype@25
-                    out["color_type"].append(int(data[25]))
-                    out["bit_depth"].append(int(data[24]))
+                    # the IHDR png_decode actually honored (chunk-walked,
+                    # CRC-checked), not fixed payload offsets — round-12
+                    # ADVICE: IHDR need not be the first chunk for
+                    # png_decode to succeed
+                    _w, _h, _depth, _ctype, _, _, _ = png_ihdr(data)
+                    out["color_type"].append(int(_ctype))
+                    out["bit_depth"].append(int(_depth))
                     out["width"].append(px.shape[1])
                     out["height"].append(px.shape[0])
                     ch = px.shape[2]

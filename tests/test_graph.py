@@ -140,3 +140,11 @@ def test_pagerank_bucketed_links_layout_matches_ckpt(spark, monkeypatch):
     assert set(a) == set(b) == set(b2)
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12 and abs(a[k] - b2[k]) < 1e-12
+    # round-12 ADVICE: names are per-call unique and the managed table +
+    # warehouse dir are dropped after the loop — no catalog leftovers
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("_pagerank_links_bucketed")]
+    import os
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert not [d for d in (os.listdir(wh) if os.path.isdir(wh) else [])
+                if d.startswith("_pagerank_links_bucketed")]

@@ -301,6 +301,39 @@ def test_png_split_idat_chunks_decode():
     assert (M.png_decode(rechunked) == px).all()
 
 
+def test_png_ihdr_located_not_assumed_first(spark):
+    """round-12 ADVICE: png_decode accepts IHDR anywhere in the chunk
+    stream, so the stats path must report the CHUNK-WALKED header, not
+    bytes 24/25 — a payload with an ancillary chunk before IHDR decodes
+    fine and must still report the true color_type/bit_depth."""
+    import struct
+    import zlib
+
+    import pandas as pd
+    px = np.random.RandomState(5).randint(
+        0, 256, size=(4, 5, 3), dtype=np.int64).astype(np.uint8)
+    blob = M.png_encode(px)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    # splice a tEXt chunk BETWEEN the signature and IHDR — fixed offsets
+    # 24/25 now land inside the tEXt body
+    sig, rest = blob[:8], blob[8:]
+    weird = sig + chunk(b"tEXt", b"comment\x00before ihdr") + rest
+    assert (M.png_decode(weird) == px).all()
+    w, h, depth, ctype, *_ = M.png_ihdr(weird)
+    assert (w, h, depth, ctype) == (5, 4, 8, 2)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "payload": [weird]}),
+        "media_id long, payload binary")
+    row = M.png_decode_stats(media).collect()[0]
+    assert row["decode_ok"] is True
+    assert row["color_type"] == 2 and row["bit_depth"] == 8
+    assert (row["width"], row["height"]) == (5, 4)
+
+
 def test_png_decode_media_dispatch():
     px = np.random.RandomState(11).randint(
         0, 256, size=(3, 3, 3), dtype=np.int64).astype(np.uint8)

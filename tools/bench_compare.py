@@ -133,14 +133,30 @@ def _load(path: str) -> dict:
     return d
 
 
-def _remeasure(names: list[str], sf_dir: str) -> dict[str, float]:
+def _file_calib(d: dict) -> float | None:
+    """A bench file's calibration reading: min over its fresh-JVM batches
+    of min(start, end) kernel secs — the same least-loaded-batch basis as
+    the per-query min estimator. None for pre-r12 files (no probe)."""
+    vals = []
+    for b in d.get("batches", []):
+        e = b.get("env", {})
+        vs = [v for v in (e.get("calib_secs"), e.get("calib_secs_end"))
+              if v]
+        if vs:
+            vals.append(min(vs))
+    return min(vals) if vals else None
+
+
+def _remeasure(names: list[str],
+               sf_dir: str) -> tuple[dict[str, float], float | None]:
     """Re-time ``names`` with the SAME estimator the main bench uses:
     min over interleaved FRESH-JVM batches via bench.py's
     ``_spawn_batch(only=...)``, plus bench.py's targeted third batch for
     queries whose two samples disagree > NOISY_RATIO (round-11, VERDICT
     r10 item 1 — the previous one-shared-JVM/2-sample re-measure was
     order-sensitive and two same-code gate runs could disagree on a
-    survivor). Returns {} on any subprocess failure — the caller then
+    survivor). Returns ({name: secs}, calib_secs_min_of_batches) —
+    ({}, None) on any subprocess failure, in which case the caller
     reports the raw flags rather than hiding them."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
@@ -149,13 +165,26 @@ def _remeasure(names: list[str], sf_dir: str) -> dict[str, float]:
         import bench
     except Exception as e:  # pragma: no cover
         print(f"NOTE: re-measure unavailable ({e}); reporting raw flags")
-        return {}
-    os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
+        return {}, None
+    # explicit, not setdefault (round-12 ADVICE): a pre-set env var must
+    # not silently override the dataset implied by the files under
+    # comparison
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
     samples: dict[str, list[float]] = {}
+    calibs: list[float] = []
+
+    def _batch_calib(b: dict) -> None:
+        e = b.get("env", {})
+        vals = [v for v in (e.get("calib_secs"), e.get("calib_secs_end"))
+                if v]
+        if vals:
+            calibs.append(min(vals))
+
     try:
         for i in range(2):
             print(f"  re-measure fresh-JVM batch {i + 1}/2 ...")
             b = bench._spawn_batch(only=names)
+            _batch_calib(b)
             for n, s in b["queries"].items():
                 samples.setdefault(n, []).append(float(s))
         noisy = sorted(n for n, ss in samples.items()
@@ -166,12 +195,14 @@ def _remeasure(names: list[str], sf_dir: str) -> dict[str, float]:
             print(f"  re-measure targeted third batch: {len(noisy)} "
                   f"high-variance queries ...")
             b = bench._spawn_batch(only=noisy)
+            _batch_calib(b)
             for n, s in b["queries"].items():
                 samples.setdefault(n, []).append(float(s))
     except Exception as e:  # pragma: no cover
         print(f"NOTE: re-measure failed ({e}); reporting raw flags")
-        return {}
-    return {n: round(min(ss), 3) for n, ss in samples.items()}
+        return {}, None
+    return ({n: round(min(ss), 3) for n, ss in samples.items()},
+            min(calibs) if calibs else None)
 
 
 def main() -> int:
@@ -217,8 +248,19 @@ def main() -> int:
             glob.glob(os.path.join(repo, "BENCH_r*.json")),
             key=lambda p: int(re.search(r"r(\d+)",
                                         os.path.basename(p)).group(1)))
-        base = next((p for p in reversed(locals_)
-                     if json.load(open(p)).get("basis") == "fresh_jvm_min"),
+        def _is_fresh_min(p: str) -> bool:
+            # tolerant scan (round-12 ADVICE): one corrupt/unreadable
+            # baseline file must not crash the gate — skip it and let
+            # the fallback path decide
+            try:
+                with open(p) as fh:
+                    return json.load(fh).get("basis") == "fresh_jvm_min"
+            except (OSError, ValueError):
+                print(f"NOTE: skipping unparsable baseline candidate "
+                      f"{os.path.basename(p)}")
+                return False
+
+        base = next((p for p in reversed(locals_) if _is_fresh_min(p)),
                     None)
         if base and benches:
             old_p, new_p = base, benches[-1]
@@ -282,10 +324,25 @@ def main() -> int:
     old_is_pre_r6 = ("queries_min" not in old and "basis" not in old
                      and "full_results_file" not in old
                      and "full_results_file" not in (old.get("parsed") or {}))
+    # Calibration normalization (round-12, VERDICT r11 item 3): when both
+    # files carry the fixed CPU-kernel probe (bench.calibration_kernel,
+    # recorded per fresh-JVM batch), the gate widens by the measured
+    # contention ratio instead of adjudicating load by narrative. The
+    # factor only ever RELAXES the gate (clamped ≥1 — a quieter new box
+    # must still beat the raw bar) and is capped at 3x so a broken probe
+    # cannot mask an arbitrary real regression.
+    o_calib, n_calib = _file_calib(old), _file_calib(new)
+    calib_f = 1.0
+    if o_calib and n_calib:
+        calib_f = min(max(n_calib / o_calib, 1.0), 3.0)
+        print(f"calibration: old {o_calib:.2f}s, new {n_calib:.2f}s -> "
+              f"gate widened {calib_f:.2f}x" if calib_f > 1.0 else
+              f"calibration: old {o_calib:.2f}s, new {n_calib:.2f}s -> "
+              f"no widening (new box not slower)")
     flagged = []
     for q in shared:
         o, n = float(oq[q]), float(nq[q])
-        if n > max(ratio * o, FLOOR_SECS):
+        if n > max(ratio * o * calib_f, FLOOR_SECS):
             if q in ALLOWED_TRADES:
                 trade_round, reason = ALLOWED_TRADES[q]
                 pre_rewrite = (old_round < trade_round
@@ -304,11 +361,20 @@ def main() -> int:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         print(f"re-measuring {len(names)} flagged queries in a fresh JVM "
               f"at {sf_dir} ...")
-        fresh = _remeasure(names, sf_dir)
+        fresh, re_calib = _remeasure(names, sf_dir)
+        # the re-measure batches carry their OWN calibration — normalize
+        # against the baseline's, same clamp as above, so two gate runs
+        # under different ambient load agree on the survivor set
+        re_f = 1.0
+        if re_calib and o_calib:
+            re_f = min(max(re_calib / o_calib, 1.0), 3.0)
+            if re_f > 1.0:
+                print(f"  re-measure calibration {re_calib:.2f}s vs old "
+                      f"{o_calib:.2f}s -> gate widened {re_f:.2f}x")
         survived = []
         for q, o, n in flagged:
             f = fresh.get(q)
-            if f is not None and f <= max(ratio * o, FLOOR_SECS):
+            if f is not None and f <= max(ratio * o * re_f, FLOOR_SECS):
                 print(f"AMBIENT {q}: recorded {n:.2f}s, fresh-JVM "
                       f"{f:.2f}s vs old {o:.2f}s — under the gate, "
                       f"reclassified as noise")

@@ -282,10 +282,16 @@ def _time(spark: SparkSession, fn, sf_dir: str, n: int = 2) -> float:
 
 
 def main() -> int:
+    # --out is position-independent like every other flag (round-12
+    # ADVICE: the old first-pair-only parse silently ignored
+    # '--quick --out X')
     out_path = None
     argv = sys.argv[1:]
-    if argv and argv[0] == "--out" and len(argv) > 1:
-        out_path = argv[1]
+    for i, a in enumerate(argv):
+        if a == "--out" and i + 1 < len(argv):
+            out_path = argv[i + 1]
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
     # --quick (round 11): skip the CHAIN ratio sweep and normalization
     # (unchanged code paths re-certified in the previous round's file)
     # and run only the explicitly requested probes — used when a round
@@ -518,11 +524,129 @@ def main() -> int:
               f"{stream10['batch_secs_median']}/"
               f"{stream10['batch_secs_last']}s", file=sys.stderr)
 
-    # Bucketed-links PageRank A/B (round-11, VERDICT r10 item 5): the
-    # full part_order_pagerank query at sf10, one FRESH JVM per links
-    # layout (graph._links_layout), single timed run each — the
-    # cluster-scale lever the r10 attribution said local mode could not
-    # express, now expressed via write_bucketed and measured.
+    # Register-table HLL scale probe (round-12, VERDICT r11 item 2): the
+    # r11 promotion pays 3.5-4x at sf0.1 on the claim that the exchange
+    # carries <= groups * 2^lg_k register partials AT SCALE, vs every
+    # distinct (group, value) pair for exact countDistinct. Verify it:
+    # the daily + monthly-rollup distinct-user queries, three ways
+    # (portable register table / binary hll_sketch_agg / exact
+    # countDistinct), at sf0.1, sf1 and sf10 (events replicated to a
+    # third decade below), one FRESH JVM per (scale, variant) with the
+    # UI enabled so shuffle read/write bytes are recorded alongside
+    # wall — growth of the register path's shuffle should track GROUPS,
+    # the exact path's should track distinct pairs.
+    hll = None
+    if "--hll" in sys.argv:
+        import subprocess
+
+        ev10_dir = os.path.join(REPO, ".scale_probe", "sf10")
+        ev10 = os.path.join(ev10_dir, "events.parquet")
+        if not os.path.exists(ev10):
+            # replicate events into the sf10 lake in LOCKSTEP with the
+            # decade-2 convention (_ensure_sf10's part replication):
+            # shift keys by i * (max(sf1 key) + 1)
+            sf1ev = spark.read.parquet(os.path.join(sf1, "events.parquet"))
+            e_max, u_max = sf1ev.agg(F.max("event_id"),
+                                     F.max("user_id")).first()
+            out = None
+            for i in range(10):
+                d = (sf1ev
+                     .withColumn("event_id",
+                                 F.col("event_id") + F.lit(i * (e_max + 1)))
+                     .withColumn("user_id",
+                                 F.col("user_id") + F.lit(i * (u_max + 1))))
+                out = d if out is None else out.unionByName(d)
+            out.repartition(32).write.mode("overwrite").parquet(ev10)
+        prog = r"""
+import json, sys, time, urllib.request
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.session import get_spark
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.sources import catalog
+from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import sketches
+
+spark = get_spark("hll-probe", extra_conf={"spark.ui.enabled": "true"})
+variant = %(variant)r
+ev = catalog.load_table(spark, %(sf_dir)r, "events") \
+    .withColumn("day", F.to_date("ts"))
+ev.count()   # warm footers
+
+
+def build():
+    if variant == "register":
+        daily = sketches.hll_distinct_estimates(
+            ev, ["day"], F.col("user_id"), out_col="n")
+        regs = sketches.hll_register_table(ev, ["day"], F.col("user_id"))
+        monthly = sketches.hll_estimate_registers(
+            sketches.hll_merge_register_tables(
+                regs.withColumn("month", F.trunc("day", "month")),
+                ["month"]),
+            ["month"], out_col="n")
+    elif variant == "binary":
+        daily = sketches.estimate(
+            sketches.distinct_sketches(ev, ["day"], "user_id"),
+            estimate_col="n").select("day", "n")
+        monthly = sketches.merge_sketches(
+            sketches.distinct_sketches(ev, ["day"], "user_id")
+            .withColumn("month", F.trunc("day", "month")),
+            ["month"], estimate_col="n").select("month", "n")
+    else:
+        daily = ev.groupBy("day").agg(
+            F.countDistinct("user_id").alias("n"))
+        monthly = ev.withColumn("month", F.trunc("day", "month")) \
+            .groupBy("month").agg(F.countDistinct("user_id").alias("n"))
+    return {"daily": daily, "monthly": monthly}
+
+
+def shuffle_totals():
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    st = json.load(urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages"))
+    return (sum(s.get("shuffleWriteBytes", 0) or 0 for s in st),
+            sum(s.get("shuffleReadBytes", 0) or 0 for s in st))
+
+
+res = {}
+for name, df in build().items():
+    df.write.format("noop").mode("overwrite").save()   # untimed JIT warm
+    spark.catalog.clearCache()
+    w0, r0 = shuffle_totals()
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    secs = round(time.perf_counter() - t0, 3)
+    w1, r1 = shuffle_totals()
+    res[name] = {"secs": secs, "shuffle_write_bytes": w1 - w0,
+                 "shuffle_read_bytes": r1 - r0}
+print("HLL_PROBE_JSON:" + json.dumps(res))
+"""
+        scales = [("sf0.1", SRC), ("sf1", sf1), ("sf10", ev10_dir)]
+        hll = {}
+        for tag, d in scales:
+            for variant in ("register", "binary", "exact"):
+                print(f"# hll probe: {tag}/{variant} (fresh JVM) ...",
+                      file=sys.stderr)
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     prog % {"repo": REPO, "sf_dir": d,
+                             "variant": variant}],
+                    cwd=REPO, capture_output=True, text=True, timeout=3600)
+                payload = None
+                for ln in r.stdout.splitlines():
+                    if ln.startswith("HLL_PROBE_JSON:"):
+                        payload = json.loads(ln.split(":", 1)[1])
+                hll.setdefault(tag, {})[variant] = payload
+                print(f"# hll probe {tag}/{variant}: {payload} "
+                      f"(rc={r.returncode})", file=sys.stderr)
+
+    # Bucketed-links PageRank A/B (round-11, VERDICT r10 item 5; round-12
+    # VERDICT r11 item 1): the full part_order_pagerank query at sf10,
+    # one FRESH JVM per run. Round 12 upgraded the single pair to an
+    # INTERLEAVED quad — ckpt/bucketed/ckpt/bucketed in one sitting, per
+    # -run load averages recorded — so a load ramp during the sitting
+    # shows up as within-variant spread instead of silently biasing
+    # whichever variant ran second (exactly what inflated the r11 pair
+    # ~5x vs r10's quiet-day ckpt).
     pagerank_ab = None
     if "--pagerank-ab" in sys.argv:
         import subprocess
@@ -540,12 +664,13 @@ e.queries()["part_order_pagerank"](spark, %(sf10)r) \
     .write.format("noop").mode("overwrite").save()
 print("PAGERANK_AB_SECS:%%.3f" %% (time.perf_counter() - t0))
 """
-        pagerank_ab = {}
-        for variant in ("ckpt", "bucketed"):
+        pagerank_ab = {"runs": [], "min": {}}
+        for variant in ("ckpt", "bucketed", "ckpt", "bucketed"):
             env = dict(os.environ)
             env["SPARK_GRAFT_PAGERANK_LINKS"] = variant
-            print(f"# pagerank A/B: {variant} (fresh JVM) ...",
-                  file=sys.stderr)
+            load0 = os.getloadavg()[0]
+            print(f"# pagerank A/B: {variant} (fresh JVM, load "
+                  f"{load0:.2f}) ...", file=sys.stderr)
             r = subprocess.run(
                 [sys.executable, "-c",
                  prog % {"repo": REPO, "sf10": sf10}],
@@ -555,7 +680,14 @@ print("PAGERANK_AB_SECS:%%.3f" %% (time.perf_counter() - t0))
             for ln in r.stdout.splitlines():
                 if ln.startswith("PAGERANK_AB_SECS:"):
                     secs = float(ln.split(":", 1)[1])
-            pagerank_ab[variant] = secs
+            pagerank_ab["runs"].append(
+                {"variant": variant, "secs": secs,
+                 "load_1m_start": round(load0, 2),
+                 "load_1m_end": round(os.getloadavg()[0], 2)})
+            if secs is not None:
+                cur = pagerank_ab["min"].get(variant)
+                pagerank_ab["min"][variant] = (
+                    secs if cur is None else min(cur, secs))
             print(f"# pagerank A/B {variant}: {secs}s (rc={r.returncode})",
                   file=sys.stderr)
 
@@ -566,6 +698,7 @@ print("PAGERANK_AB_SECS:%%.3f" %% (time.perf_counter() - t0))
         **({"probe100": probe100} if probe100 is not None else {}),
         **({"stream_sf1": stream} if stream is not None else {}),
         **({"stream_sf10": stream10} if stream10 is not None else {}),
+        **({"hll_three_way": hll} if hll is not None else {}),
         **({"pagerank_links_ab_sf10": pagerank_ab}
            if pagerank_ab is not None else {}),
         "worst_ratio": worst, "blowup_gate": BLOWUP,
