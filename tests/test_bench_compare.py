@@ -171,3 +171,50 @@ def test_trade_exemption_round_scoped_by_filename(tmp_path, capsys,
                      {"basis": "fresh_jvm_min", "queries": {q: 1.3}})
     assert _run_main(monkeypatch, old_r11, new_p) == 1
     assert "REGRESSION" in capsys.readouterr().out
+
+
+def _fresh_min_file(tmp_path, name, queries, calib=None):
+    d = {"basis": "fresh_jvm_min", "queries": queries}
+    if calib is not None:
+        d["batches"] = [{"queries": queries,
+                         "env": {"calib_secs": calib,
+                                 "calib_secs_end": calib}}]
+    return _write(tmp_path, name, d)
+
+
+def test_calibration_normalization_widens_gate(tmp_path, capsys,
+                                               monkeypatch):
+    """round-12 (VERDICT r11 item 3): when both files carry the CPU
+    calibration kernel, a flag explained by the measured contention
+    ratio is suppressed — and without calibration data the raw gate
+    still applies."""
+    old_p = _fresh_min_file(tmp_path, "OLD.json", {"a": 2.0}, calib=1.0)
+    # 1.9x inflation, calibration says the new box was 2x slower -> OK
+    new_p = _fresh_min_file(tmp_path, "NEW.json", {"a": 3.8}, calib=2.0)
+    assert _run_main(monkeypatch, old_p, new_p) == 0
+    out = capsys.readouterr().out
+    assert "gate widened 2.00x" in out
+    assert "no per-query regressions" in out
+    # same numbers, no calibration in the old file -> raw gate flags
+    old_nc = _fresh_min_file(tmp_path, "OLD_NC.json", {"a": 2.0})
+    assert _run_main(monkeypatch, old_nc, new_p) == 1
+    assert "REGRESSION" in capsys.readouterr().out
+
+
+def test_calibration_clamped_and_never_tightens(tmp_path, capsys,
+                                                monkeypatch):
+    """The factor is clamped to <=3x (a broken probe cannot mask an
+    arbitrary regression) and >=1x (a quieter new box must still beat
+    the raw bar)."""
+    old_p = _fresh_min_file(tmp_path, "OLD.json", {"a": 2.0}, calib=1.0)
+    # 10x calibration ratio but 8x inflation: clamp at 3x -> still flags
+    new_hot = _fresh_min_file(tmp_path, "NEW_HOT.json", {"a": 16.0},
+                              calib=10.0)
+    assert _run_main(monkeypatch, old_p, new_hot) == 1
+    assert "REGRESSION" in capsys.readouterr().out
+    # quieter new box (ratio 0.5) must NOT tighten the 1.5x gate:
+    # 1.4x inflation stays under the raw bar
+    new_quiet = _fresh_min_file(tmp_path, "NEW_QUIET.json", {"a": 2.8},
+                                calib=0.5)
+    assert _run_main(monkeypatch, old_p, new_quiet) == 0
+    assert "no per-query regressions" in capsys.readouterr().out
