@@ -75,18 +75,14 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "daily_genre_kpis", "top_songs_per_genre",
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
         "pack_documents_512",
-        # round-11 rotation: birth-round certification rows (the four
-        # portable-HLL promotions, VERDICT r10 item 2) ...
-        "daily_genre_kpis_approx", "events_profile_approx",
-        "events_daily_users_sketch", "events_monthly_users_sketch_rollup",
-        # ... and staleness reps — one per re-validated r3/r4-era family
-        # (the staleness pass, VERDICT r10 item 6)
-        "lineitem_rollup", "orders_cdc_apply", "tpch_q3_shipping_priority",
-        "media_feature_extract", "neardup_containment_pairs",
-        "user_state_history", "ann_cosine_topk", "dedup_exact_text",
-        "events_windowed_counts_streamed", "kvstore_read_genre_kpis",
-        "orders_time_travel_v1", "purchase_click_interval_streamed",
-        "sessionize_events",
+        # round-12 rotation (VERDICT r11 item 6 — staleness pass over the
+        # oldest driver rows): reps, one per re-validated r4/r5-era family
+        "split_leakage_audit", "tpch_q1_pricing_summary", "user_spend_gini",
+        "union_by_name_evolution", "asof_purchase_next_click",
+        "bigram_lm_counts", "events_value_percentiles", "fk_orphans_audit",
+        "funnel_user_stages", "lineitem_grouping_sets",
+        "orders_status_pivot", "purchase_state_pit", "regional_revenue",
+        "token_cooccur_assoc", "tpch_q6_forecast_revenue",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 
