@@ -967,12 +967,15 @@ def bow_cosine_pairs_dense(df: DataFrame, id_col: str, text_col: str, *,
     vocab = (tf.select("_t").distinct()
              .withColumn("_ti", F.row_number().over(
                  Window.orderBy("_t")) - 1))
-    n_vocab = vocab.count()
+    # ONE scalar job for both envelope checks (round 12): the separate
+    # vocab.count() + distinct-id count() paid two sequential job rounds
+    # over the checkpointed tf for two driver scalars
+    n_vocab, n_docs = tf.agg(
+        F.countDistinct("_t"), F.countDistinct("_id")).first()
     if n_vocab > max_vocab:
         raise ValueError(
             f"dense path needs vocab ≤ {max_vocab}, got {n_vocab}: "
             "feature-hash the terms or use bow_cosine_pairs (postings)")
-    n_docs = tf.select("_id").distinct().count()
     n_blocks = max(1, -(-n_docs // max_block_rows))
     if n_blocks > max_blocks:
         raise ValueError(

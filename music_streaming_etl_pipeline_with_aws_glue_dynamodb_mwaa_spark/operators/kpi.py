@@ -105,19 +105,34 @@ def daily_genre_kpis_portable_approx(joined: DataFrame, *,
 
     ``unique_listeners_est`` is the double estimate; the derived average
     divides the exact total by it (one IEEE division). Groups whose
-    user_id is entirely NULL keep their exact KPIs with NULL estimate
-    (left join), mirroring the sketch only-sees-inserts contract."""
+    user_id is entirely NULL keep their exact KPIs with NULL estimate,
+    mirroring the sketch only-sees-inserts contract.
+
+    Round 12 (guide §2.4): exact measures and register pipeline fused
+    into ONE fact pass — the r11 form computed them as two subtrees over
+    the same scan+join (two fact passes, two fact-sized exchanges); now
+    the exact sums ride the register aggregation's level-1 grain
+    (keys..., j), which refines the report grain, so one scan + one
+    bounded exchange (≤ groups·(2^lg_k + 1) partial rows) feeds both.
+    Bit-identical output (two-level BIGINT sums are associative-exact;
+    the estimate arithmetic is unchanged — pinned by
+    tests/test_kpi.py::test_portable_approx_fused_equals_two_pass)."""
     from . import sketches
     keys = ["listen_date", "track_genre"]
-    exact = joined.groupBy(*keys).agg(
-        F.sum("duration_ms").alias("total_listening_time"),
-        F.count("track_id").alias("listen_count"))
-    est = sketches.hll_distinct_estimates(
+    lvl1 = sketches.hll_fused_level1(
         joined, keys, F.col("user_id"), lg_k=lg_k,
-        out_col="unique_listeners_est")
-    return (exact.join(est, keys, "left")
-            .select(*keys, "unique_listeners_est", "total_listening_time",
-                    "listen_count",
-                    (F.col("total_listening_time").cast("double")
-                     / F.col("unique_listeners_est"))
-                    .alias("avg_listening_time_per_user")))
+        measure_aggs=[F.sum("duration_ms").alias("_d"),
+                      F.count("track_id").alias("_c")])
+    out = sketches.hll_fused_estimates(
+        lvl1, keys, lg_k=lg_k, out_col="unique_listeners_est",
+        measure_aggs=[F.sum("_d").alias("total_listening_time"),
+                      # coalesce keeps count()'s non-nullable schema (a
+                      # group always has >= 1 level-1 row, so the sum is
+                      # never actually NULL)
+                      F.coalesce(F.sum("_c"), F.lit(0).cast("long"))
+                      .alias("listen_count")])
+    return out.select(*keys, "unique_listeners_est",
+                      "total_listening_time", "listen_count",
+                      (F.col("total_listening_time").cast("double")
+                       / F.col("unique_listeners_est"))
+                      .alias("avg_listening_time_per_user"))

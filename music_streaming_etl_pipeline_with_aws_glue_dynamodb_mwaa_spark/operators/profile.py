@@ -125,28 +125,38 @@ def profile_table_portable_approx(df: DataFrame, canon: list, *,
     portable, which is why the canon is explicit). NULL canonicals are
     excluded from the sketch (n_nonnull still counts them exactly).
 
-    Shape: one exact-count pass + one melt (map-side explode, ×n_cols
-    rows like profile_table's Expand) into a single register pipeline
-    grouped by col_name — the exchange carries ≤ n_cols·2^lg_k register
-    partials per task regardless of input size."""
+    Shape (round 12, guide §2.4 — fused single pass): ONE melt
+    (map-side explode, ×n_cols rows like profile_table's Expand) feeds
+    the register pipeline AND the exact counts — the r11 form ran a
+    separate exact-count scan next to the melt (two scans of the fact).
+    The fused level-1 grain (col_name, j) carries the row/nonnull count
+    partials next to rho_max, so the exchange still holds ≤
+    n_cols·(2^lg_k + 1) partial rows per task regardless of input size
+    (NULL canonicals land on j = NULL: counted in n_rows, excluded from
+    the sketch). A literal col_name skeleton left-joins the result so an
+    empty input still reports its n_cols zero rows — bit-identical
+    output, pinned by tests/test_analytics_ops.py::
+    test_profile_portable_fused_equals_two_pass."""
     from . import sketches
     canon = sorted(canon, key=lambda nc: nc[0])
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for name, c in canon:
-        aggs.append(F.count(c).alias(f"_nn_{name}"))
-    one = df.agg(*aggs)
-    stack = F.array(*[
-        F.struct(F.lit(name).alias("col_name"),
-                 F.col("_n").alias("n_rows"),
-                 F.col(f"_nn_{name}").alias("n_nonnull"))
-        for name, _ in canon])
-    base = one.select(F.explode(stack).alias("p")).select("p.*")
     melted = df.select(F.explode(F.array(*[
         F.struct(F.lit(name).alias("col_name"),
                  c.cast("string").alias("v"))
         for name, c in canon])).alias("m")).select("m.*")
-    est = sketches.hll_distinct_estimates(
+    lvl1 = sketches.hll_fused_level1(
         melted, ["col_name"], F.col("v"), lg_k=lg_k,
-        out_col="n_distinct_est")
-    return (base.join(est, "col_name", "left")
-            .select("col_name", "n_rows", "n_nonnull", "n_distinct_est"))
+        measure_aggs=[F.count(F.lit(1)).alias("_cnt")])
+    est = sketches.hll_fused_estimates(
+        lvl1, ["col_name"], lg_k=lg_k, out_col="n_distinct_est",
+        measure_aggs=[
+            F.sum("_cnt").alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("j").isNotNull(),
+                                    F.col("_cnt"))),
+                       F.lit(0)).alias("n_nonnull")])
+    skeleton = df.sparkSession.createDataFrame(
+        [(name,) for name, _ in canon], "col_name string")
+    return (skeleton.join(est, "col_name", "left")
+            .select("col_name",
+                    F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                    F.coalesce("n_nonnull", F.lit(0)).alias("n_nonnull"),
+                    "n_distinct_est"))

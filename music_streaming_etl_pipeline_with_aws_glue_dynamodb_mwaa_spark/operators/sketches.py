@@ -357,3 +357,74 @@ def hll_distinct_estimates(df: DataFrame, keys: list[str], value_key, *,
     return hll_estimate_registers(
         hll_register_table(df, keys, value_key, lg_k=lg_k),
         keys, lg_k=lg_k, rho_cap=rho_cap, out_col=out_col)
+
+
+# --------------------------------------------------------------------------
+# Fused exact-measures + register pipeline (round 12, guide §2.4: remove
+# a whole fact pass). The r11 promoted queries computed their exact
+# aggregates and their register table as TWO subtrees over the same fact
+# scan/join; since the register grain (keys..., j) refines the report
+# grain (keys...), both fold into ONE pass: level 1 aggregates by
+# (keys..., j) carrying the exact measures' partials next to rho_max
+# (the exchange still bounded by groups·(2^lg_k + 1) partial rows —
+# null value_keys land on j = NULL), level 2 combines the measures
+# (associative-exact BIGINT sums/counts) and runs the register estimate.
+# Output is bit-identical to the two-pass form: same registers, same
+# estimate arithmetic, same NULL semantics (a group whose value_key is
+# entirely NULL has zero present registers → NULL estimate, exactly the
+# left-join miss of the two-pass shape).
+# --------------------------------------------------------------------------
+
+def hll_fused_level1(df: DataFrame, keys: list[str], value_key, *,
+                     lg_k: int = 12,
+                     measure_aggs: list | None = None) -> DataFrame:
+    """Level-1 grain of the fused pipeline: (keys..., j) rows carrying
+    ``rho_max`` plus the caller's exact-measure partial aggregates
+    (which must be associative — sums/counts/min/max of the pre-agg
+    columns). ``value_key`` NULLs map to j = NULL (the sketch only sees
+    inserted values; the measures still see every row)."""
+    k = F.col(value_key) if isinstance(value_key, str) else value_key
+    pre = df.withColumn("_h", F.md5(k.cast("string")))
+    w = F.conv(F.substring(F.col("_h"), 9, 15), 16, 10).cast("long")
+    rho = (F.when(w == 0, F.lit(61))
+           .otherwise(F.lit(61) - F.length(F.bin(w)))).cast("int")
+    slot = F.pmod(F.conv(F.substring(F.col("_h"), 1, 8), 16, 10)
+                  .cast("long"), F.lit(1 << lg_k))
+    pre = pre.withColumn("j", slot).withColumn("_rho", rho)
+    return (pre.groupBy(*keys, "j")
+            .agg(F.max("_rho").alias("rho_max"), *(measure_aggs or [])))
+
+
+def hll_fused_estimates(lvl1: DataFrame, keys: list[str], *,
+                        lg_k: int = 12, rho_cap: int = 24,
+                        out_col: str = "n_est",
+                        measure_aggs: list | None = None) -> DataFrame:
+    """Level 2 of the fused pipeline: combine the caller's measure
+    partials and fold the register estimate (same exact-integer Z and
+    driver-injected LC literals as :func:`hll_estimate_registers`, so
+    the estimate is bit-identical). Returns (keys..., measures...,
+    out_col)."""
+    m = 1 << lg_k
+    kk = hll_estimate_scale_constant(lg_k, rho_cap)
+    agg = lvl1.groupBy(*keys).agg(
+        *(measure_aggs or []),
+        F.count("j").alias("_present"),
+        F.sum(F.when(F.col("j").isNotNull(), F.expr(
+            f"shiftleft(1L, CAST({rho_cap} - least(rho_max, {rho_cap}) "
+            f"AS INT))"))).alias("_zp"))
+    measure_cols = [c for c in agg.columns
+                    if c not in set(keys) | {"_present", "_zp"}]
+    agg = agg.select(
+        *keys, *measure_cols,
+        (F.lit(m) - F.col("_present")).alias("_v0"),
+        (F.col("_zp")
+         + (F.lit(m) - F.col("_present")) * F.lit(1 << rho_cap))
+        .alias("_z"))
+    lc = lvl1.sparkSession.createDataFrame(
+        hll_lc_literals(lg_k), "v0 long, lc double")
+    e_raw = F.lit(kk) / F.col("_z").cast("double")
+    est = (F.when((F.col("_v0") > 0) & (e_raw <= F.lit(2.5 * m)),
+                  F.col("lc"))
+           .otherwise(e_raw))
+    return (agg.join(F.broadcast(lc), agg["_v0"] == lc["v0"], "left")
+            .select(*keys, *measure_cols, est.alias(out_col)))

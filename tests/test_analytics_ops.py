@@ -374,3 +374,57 @@ def test_repetition_stats_property_vs_python(spark):
             assert r[f"distinct_{n}g"] == len(c), (i, n)
             assert r[f"top_{n}g"] == (max(c.values()) if c else 0), (i, n)
             assert r[f"dup_{n}g"] == sum(v for v in c.values() if v > 1), (i, n)
+
+
+def test_profile_portable_fused_equals_two_pass(spark):
+    """Round-12 fusion guard: the single-melt (col_name, j)-grain profile
+    must reproduce the r11 two-pass form (separate exact-count scan +
+    melted register pipeline) exactly — including all-NULL columns and
+    the n_cols zero rows on EMPTY input."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import (
+        profile,
+        sketches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (2, None, None)],
+        "id long, s string, z string")
+    canon = [("id", F.col("id")), ("s", F.col("s")), ("z", F.col("z"))]
+
+    def two_pass(d):
+        cs = sorted(canon, key=lambda nc: nc[0])
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for name, c in cs:
+            aggs.append(F.count(c).alias(f"_nn_{name}"))
+        one = d.agg(*aggs)
+        stack = F.array(*[
+            F.struct(F.lit(name).alias("col_name"),
+                     F.col("_n").alias("n_rows"),
+                     F.col(f"_nn_{name}").alias("n_nonnull"))
+            for name, _ in cs])
+        base = one.select(F.explode(stack).alias("p")).select("p.*")
+        melted = d.select(F.explode(F.array(*[
+            F.struct(F.lit(name).alias("col_name"),
+                     c.cast("string").alias("v"))
+            for name, c in cs])).alias("m")).select("m.*")
+        est = sketches.hll_distinct_estimates(
+            melted, ["col_name"], F.col("v"), out_col="n_distinct_est")
+        return (base.join(est, "col_name", "left")
+                .select("col_name", "n_rows", "n_nonnull",
+                        "n_distinct_est"))
+
+    fused = profile.profile_table_portable_approx(df, canon)
+    ref = two_pass(df)
+    assert [(f.name, f.dataType) for f in fused.schema.fields] == \
+        [(f.name, f.dataType) for f in ref.schema.fields]
+    assert sorted(map(tuple, fused.collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+    empty = df.limit(0)
+    got = sorted(map(tuple, profile.profile_table_portable_approx(
+        empty, canon).collect()))
+    want = sorted(map(tuple, two_pass(empty).collect()))
+    assert got == want and len(got) == 3 and all(
+        r[1] == 0 and r[2] == 0 and r[3] is None for r in got)

@@ -99,3 +99,54 @@ def test_broadcast_join_in_plan(spark):
     songs = catalog.songs_from_part(catalog.load_table(spark, SF_SMOKE, "part"))
     plan = kpi.join_streams_songs(kpi.with_listen_date(streams), songs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_portable_approx_fused_equals_two_pass(spark):
+    """Round-12 fusion guard: the single-pass (keys, j)-grain pipeline in
+    daily_genre_kpis_portable_approx must reproduce the r11 two-pass form
+    (separate exact agg + register table, left-joined) EXACTLY — including
+    the NULL-estimate row for a group whose user_id is entirely NULL."""
+    import datetime as dt
+
+    from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark.operators import (
+        sketches,
+    )
+
+    ts = dt.datetime
+    rows = [
+        ("u1", "t1", ts(2024, 1, 1, 10)), ("u1", "t1", ts(2024, 1, 1, 11)),
+        ("u2", "t2", ts(2024, 1, 1, 12)), ("u3", "t3", ts(2024, 1, 2, 9)),
+        (None, "t3", ts(2024, 1, 2, 10)),        # null user inside a group
+        (None, "t1", ts(2024, 1, 3, 9)),         # group with ONLY null users
+    ]
+    streams = spark.createDataFrame(
+        rows, "user_id string, track_id string, listen_time timestamp")
+    songs = spark.createDataFrame(
+        [("t1", "Alpha", "rock", 200_000), ("t2", "Beta", "rock", 100_000),
+         ("t3", "Gamma", "jazz", 300_000)],
+        "track_id string, track_name string, track_genre string, duration_ms long")
+    joined = kpi.join_streams_songs(kpi.with_listen_date(streams), songs)
+
+    fused = kpi.daily_genre_kpis_portable_approx(joined)
+
+    # the r11 two-pass reference form, built literally
+    keys = ["listen_date", "track_genre"]
+    exact = joined.groupBy(*keys).agg(
+        F.sum("duration_ms").alias("total_listening_time"),
+        F.count("track_id").alias("listen_count"))
+    est = sketches.hll_distinct_estimates(
+        joined, keys, F.col("user_id"), out_col="unique_listeners_est")
+    two_pass = (exact.join(est, keys, "left")
+                .select(*keys, "unique_listeners_est",
+                        "total_listening_time", "listen_count",
+                        (F.col("total_listening_time").cast("double")
+                         / F.col("unique_listeners_est"))
+                        .alias("avg_listening_time_per_user")))
+
+    assert fused.schema == two_pass.schema
+    f = sorted(map(tuple, fused.collect()))
+    t = sorted(map(tuple, two_pass.collect()))
+    assert f == t                      # bit-exact, doubles included
+    # the only-null-user group really exercises the NULL-estimate path
+    null_rows = [r for r in f if r[0] == dt.date(2024, 1, 3)]
+    assert null_rows and null_rows[0][2] is None
