@@ -417,10 +417,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     sh = postings if postings is not None \
         else _shingled(df, id_col, text_col, n)
     if hash_scheme == "md5":
+        # hash ONCE per shingle row (round 12): referencing the md5-based
+        # expression inside all 48 min-aggregates put 48 separate
+        # md5(_shingle) calls into the partial-aggregate update path
+        # (verified in the formatted plan) — the same non-CSE'd-across-
+        # aggregates pattern sketches.hll_register_table already works
+        # around. Projecting the reduced base first guarantees one digest
+        # per row; the affine maps stay per-aggregate (they genuinely
+        # differ). Same BIGINT arithmetic, same signatures.
         base = (F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10)
                 .cast("long") % F.lit(_MH_P))
-        aggs = [F.min((base * F.lit(_mh_coeff(i)) + F.lit(i)) % F.lit(_MH_P))
-                .alias(f"h{i}") for i in range(num_hashes)]
+        sh = sh.select("_id", base.alias("_mhb"))
+        aggs = [F.min((F.col("_mhb") * F.lit(_mh_coeff(i)) + F.lit(i))
+                      % F.lit(_MH_P)).alias(f"h{i}")
+                for i in range(num_hashes)]
     else:
         aggs = [F.min(F.xxhash64(F.col("_shingle"), F.lit(i))).alias(f"h{i}")
                 for i in range(num_hashes)]
@@ -1175,9 +1185,12 @@ def grouped_minhash_signatures(df: DataFrame, group_cols: str | list[str],
     sh = df.select(*gcols, F.explode(shingles(text_col, n)).alias("_shingle"))
     base = (F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10)
             .cast("long") % F.lit(_MH_P))
+    # md5 ONCE per shingle row (round 12, same fix as minhash_signatures:
+    # the 48 min-aggregates otherwise each carry their own md5 call)
+    sh = sh.select(*gcols, base.alias("_mhb"))
     wide = sh.groupBy(*gcols).agg(
-        *[F.min((base * F.lit(_mh_coeff(i)) + F.lit(i)) % F.lit(_MH_P))
-          .alias(f"h{i}") for i in range(num_hashes)])
+        *[F.min((F.col("_mhb") * F.lit(_mh_coeff(i)) + F.lit(i))
+                % F.lit(_MH_P)).alias(f"h{i}") for i in range(num_hashes)])
     comps = F.array(*[F.struct(F.lit(i).alias("i"), F.col(f"h{i}").alias("h"))
                       for i in range(num_hashes)])
     return (wide.select(*gcols, F.explode(comps).alias("_c"))
