@@ -81,14 +81,20 @@ def _links_layout() -> str:
 #: sortBy(src) catalog table; the per-round SMJ then reads links with
 #: no exchange), and the measured sf10 A/B (BENCH_SF1_r11.json, fresh
 #: JVM per variant, same day) read bucketed 920.8 s vs ckpt 1513.0 s —
-#: 1.64× faster under that day's heavy host-neighbor load. Because
-#: r10's quiet-day ckpt measured 297.6 s on unchanged code, those
-#: absolute numbers are load-inflated ~5× and the relative win needs an
-#: interleaved quiet-day A/B before flipping the default — until then
-#: "bucketed" stays the opt-in SPARK_GRAFT_PAGERANK_LINKS layout (and
-#: the unambiguous recommendation on a real cluster, where the bucketed
-#: edge table also persists across jobs instead of being rebuilt per
-#: run).
+#: 1.64× faster under that day's heavy host-neighbor load.
+#:
+#: Round-12 DECISION (VERDICT r11 item 1): the interleaved quad at sf10
+#: (ckpt/bucketed/ckpt/bucketed, fresh JVM each, per-run loads recorded
+#: — BENCH_SF1_r12.json.pagerank_links_ab_sf10) read min-basis ckpt
+#: 522.4 s vs bucketed 505.5 s (bucketed 1.03×), with ckpt repeating
+#: within 0.2% across its two runs. The r11 1.64× "win" does not
+#: reproduce once the layouts alternate within one sitting — it was a
+#: load-ramp artifact. Bucketed's one-time bucketBy write is pure
+#: overhead when the table is rebuilt per run, so "ckpt" stays the
+#: default; "bucketed" remains the opt-in SPARK_GRAFT_PAGERANK_LINKS
+#: layout and the right call on a real cluster where the bucketed edge
+#: table PERSISTS across jobs (the write amortizes, every later run
+#: starts exchange- and sort-free on the fact side).
 BROADCAST_NODES_MAX = 2_000_000
 
 
