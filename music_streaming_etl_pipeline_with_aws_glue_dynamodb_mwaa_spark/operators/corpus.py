@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_exact, ngram_jaccard_pairs
-from .text import quality_score
+from .text import quality_keep
 
 
 def build_corpus(docs: DataFrame, *, id_col: str = "doc_id",
@@ -47,9 +47,13 @@ def build_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     At cluster scale prefer writing ``uniq`` to a lake checkpoint instead;
     the flag exists so tests can pin result-equality of both paths.
     """
-    good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
-                         max_tokens=max_tokens).filter("keep").select(id_col)
-    kept = docs.join(good, id_col)
+    # quality gate as a direct row-local filter (round 12): the keep rule
+    # is computable per row, so joining docs back to its own filtered id
+    # projection (`docs ⋈ quality_score(docs).filter(keep)`) paid a second
+    # documents scan plus a join exchange for nothing — the predicate now
+    # rides the scan (guide §2.4 / §6: filters reach the parquet scan).
+    kept = docs.filter(quality_keep(text_col, min_tokens=min_tokens,
+                                    max_tokens=max_tokens))
     uniq = dedup_exact(kept, [text_col], [id_col])
     if materialize_fanout:
         uniq = uniq.localCheckpoint(eager=False)
@@ -75,11 +79,13 @@ def build_corpus_transitive(docs: DataFrame, *, id_col: str = "doc_id",
     build_corpus's docstring, resolved here)."""
     from . import cluster as _cluster
     from .dedup import dedup_exact, ngram_jaccard_pairs, postings_cache_scope
-    from .text import quality_score
+    from .text import quality_keep
 
-    good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
-                         max_tokens=max_tokens).filter("keep").select(id_col)
-    uniq = dedup_exact(docs.join(good, id_col), [text_col], [id_col]) \
+    # row-local quality gate (round 12, see build_corpus): predicate on the
+    # scan instead of a docs⋈ids self-join
+    kept = docs.filter(quality_keep(text_col, min_tokens=min_tokens,
+                                    max_tokens=max_tokens))
+    uniq = dedup_exact(kept, [text_col], [id_col]) \
         .localCheckpoint(eager=False)
     # scope-released postings (round-12, VERDICT r11 item 4): the CC
     # stage inside dedup_clusters forces the pair frame eagerly, so on
@@ -137,10 +143,9 @@ def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
     from .sampling import leakage_safe_split
     from .decontam import decontaminate
 
-    good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
-                         max_tokens=max_tokens).filter("keep") \
-        .select(id_col)
-    kept = docs.join(good, id_col)
+    # row-local quality gate (round 12, see build_corpus)
+    kept = docs.filter(quality_keep(text_col, min_tokens=min_tokens,
+                                    max_tokens=max_tokens))
     rep = repetition_gate(kept, id_col=id_col, text_col=text_col,
                           max_top_2g_frac=max_top_2g_frac,
                           max_dup_3g_frac=max_dup_3g_frac) \
@@ -226,35 +231,50 @@ def curation_funnel(docs: DataFrame, *, id_col: str = "doc_id",
     (stage_idx, stage, n_in, n_kept, n_dropped) for input → quality gate
     → exact dedup → near-dup prune. Exact integers, oracle-checkable.
 
-    Each stage count is a 1-row aggregate of the SAME staged frames the
-    build runs (shared ``localCheckpoint`` barrier on the dedup output, so
-    the expensive prefix-filtered Jaccard subtree executes once); the
-    n_in/n_dropped derivation is a lag window over the 4-row funnel —
-    driver never collects anything."""
-    from pyspark.sql import Window
-
-    good = quality_score(docs, id_col, text_col, min_tokens=min_tokens,
-                         max_tokens=max_tokens).filter("keep").select(id_col)
-    kept = docs.join(good, id_col)
+    Round-12 single-pass shape (guide §2.3/§2.4): the input and
+    quality-gate counts fold into ONE complete aggregate over one
+    documents scan (the keep rule is row-local — ``text.quality_keep``),
+    instead of two union branches that each re-scanned docs through the
+    old ``docs ⋈ quality ids`` self-join. The dedup count reads the same
+    shared ``localCheckpoint`` the Jaccard subtree consumes, and the
+    near-dup stage count is ``n_uniq − n_losers`` (losers is already a
+    DISTINCT subset of uniq's ids), replacing the left-anti join. The
+    three 1-row aggregates meet in broadcast cross-joins and an inline
+    4-row explode carries the n_in/n_kept/n_dropped arithmetic — no lag
+    window, no single-partition WindowExec, and the driver still never
+    collects anything."""
+    keep = quality_keep(text_col, min_tokens=min_tokens,
+                        max_tokens=max_tokens)
+    kept = docs.filter(keep)
     uniq = dedup_exact(kept, [text_col], [id_col]) \
         .localCheckpoint(eager=False)
     losers = (ngram_jaccard_pairs(uniq, id_col, text_col, n=n,
                                   threshold=jaccard_threshold)
               .select(F.col("doc_b").alias(id_col)).distinct())
-    surv = uniq.join(losers, id_col, "left_anti")
 
-    def stage(i: int, name: str, frame: DataFrame) -> DataFrame:
-        return frame.agg(F.count(F.lit(1)).alias("n_kept")).select(
+    gate = docs.agg(
+        F.count(F.lit(1)).alias("_n_input"),
+        F.coalesce(F.sum(F.when(keep, 1).otherwise(0)), F.lit(0))
+        .alias("_n_quality"))
+    n_uniq = uniq.agg(F.count(F.lit(1)).alias("_n_uniq"))
+    n_losers = losers.agg(F.count(F.lit(1)).alias("_n_losers"))
+
+    def row(i: int, name: str, n_in, n_kept):
+        return F.struct(
             F.lit(i).cast("long").alias("stage_idx"),
-            F.lit(name).alias("stage"), "n_kept")
+            F.lit(name).alias("stage"),
+            n_in.cast("long").alias("n_in"),
+            n_kept.cast("long").alias("n_kept"),
+            (n_in - n_kept).cast("long").alias("n_dropped"))
 
-    rows = (stage(0, "input", docs)
-            .unionByName(stage(1, "quality_gate", kept))
-            .unionByName(stage(2, "exact_dedup", uniq))
-            .unionByName(stage(3, "neardup_prune", surv)))
-    n_in = F.coalesce(F.lag("n_kept").over(Window.orderBy("stage_idx")),
-                      F.col("n_kept"))
-    return rows.select(
-        "stage_idx", "stage", n_in.cast("long").alias("n_in"),
-        F.col("n_kept").cast("long").alias("n_kept"),
-        (n_in - F.col("n_kept")).cast("long").alias("n_dropped"))
+    ni, nq = F.col("_n_input"), F.col("_n_quality")
+    nu, ns = F.col("_n_uniq"), F.col("_n_uniq") - F.col("_n_losers")
+    return (gate.crossJoin(F.broadcast(n_uniq))
+            .crossJoin(F.broadcast(n_losers))
+            .select(F.explode(F.array(
+                row(0, "input", ni, ni),
+                row(1, "quality_gate", ni, nq),
+                row(2, "exact_dedup", nq, nu),
+                row(3, "neardup_prune", nu, ns))).alias("_s"))
+            .select("_s.stage_idx", "_s.stage", "_s.n_in", "_s.n_kept",
+                    "_s.n_dropped"))

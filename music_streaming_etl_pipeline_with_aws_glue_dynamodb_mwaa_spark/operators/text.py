@@ -47,6 +47,29 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def quality_keep(text_col: str = "text", *, min_tokens: int = 20,
+                 max_tokens: int = 10_000):
+    """The ROW-LOCAL boolean of :func:`quality_score`'s keep rule, exposed
+    as a bare Column so consumers that only gate (the corpus-build chain)
+    can ``docs.filter(quality_keep(...))`` directly instead of joining
+    docs back to ``quality_score(docs).filter("keep")`` — that self-join
+    re-scans the documents and pays a join exchange for a predicate every
+    row can answer about itself (guide §2.4: remove shuffles outright).
+    Equivalent to the join form whenever the id column is unique, which
+    the documents contract guarantees; NULL text yields NULL keep and is
+    dropped by ``filter`` exactly as the join form drops it."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    mean_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                           F.lit(0), lambda a, x: a + x).cast("double") / n_tokens
+    stop_ratio = stopword_count(text_col).cast("double") / n_tokens
+    return (
+        (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+        & (mean_len >= 2.0) & (mean_len <= 12.0)
+        & (stop_ratio > 0.0)
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", *, min_tokens: int = 20,
                   max_tokens: int = 10_000) -> DataFrame:
@@ -58,17 +81,13 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     mean_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
                            F.lit(0), lambda a, x: a + x).cast("double") / n_tokens
     stop_ratio = stopword_count(text_col).cast("double") / n_tokens
-    keep = (
-        (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
-        & (mean_len >= 2.0) & (mean_len <= 12.0)
-        & (stop_ratio > 0.0)
-    )
     return docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         mean_len.alias("mean_token_len"),
         stop_ratio.alias("stopword_ratio"),
-        keep.alias("keep"),
+        quality_keep(text_col, min_tokens=min_tokens,
+                     max_tokens=max_tokens).alias("keep"),
     )
 
 

@@ -7321,10 +7321,13 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
 """)
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Input → quality gate → exact dedup → near-dup prune, each stage one
-    1-row count of the SAME staged frames corpus_build runs (shared
-    localCheckpoint on the dedup output); n_in/n_dropped via a 4-row lag
-    window — nothing driver-side."""
+    """Input → quality gate → exact dedup → near-dup prune over the SAME
+    staged frames corpus_build runs (shared localCheckpoint on the dedup
+    output). Round-12 single-pass shape: input+quality counts fold into
+    one complete aggregate over one docs scan (row-local keep rule), the
+    near-dup count is n_uniq − n_losers instead of a left-anti join, and
+    the 4-row report is an inline explode — no lag window, nothing
+    driver-side."""
     return corpus.curation_funnel(_docs(spark, sf_dir))
 
 
