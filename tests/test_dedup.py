@@ -226,6 +226,35 @@ def test_containment_prefix_filter_matches_brute_force(spark):
     assert fast == brute and brute, "fixture must contain containment pairs"
 
 
+def test_verification_paths_identical(spark):
+    """round-12: the array-intersect verification (measured default) and
+    the postings-join verification must produce identical pair tables for
+    BOTH similarity families — full rows, not just the pair keys."""
+    docs = _docs(spark)
+    for fn, kw in ((dedup.ngram_jaccard_pairs, {}),
+                   (dedup.containment_pairs, {})):
+        via = sorted(map(tuple, fn(docs, "doc_id", "text", n=3,
+                                   threshold=0.8, verify_via_postings=True,
+                                   **kw).collect()))
+        arr = sorted(map(tuple, fn(docs, "doc_id", "text", n=3,
+                                   threshold=0.8, verify_via_postings=False,
+                                   **kw).collect()))
+        assert via == arr and via, fn.__name__
+
+
+def test_jaccard_shared_postings_defaults_to_postings_verification(spark):
+    """The auto default must keep zero-extra-shingling verification when a
+    caller shares a postings stream (the minhash-eval sharing contract)."""
+    docs = _docs(spark)
+    sh = dedup._shingled(docs, "doc_id", "text", 3)
+    shared = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8,
+        postings=sh).collect()))
+    plain = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8).collect()))
+    assert shared == plain and shared
+
+
 def test_minhash_eval_report(spark):
     from music_streaming_etl_pipeline_with_aws_glue_dynamodb_mwaa_spark import (
         queries_extensions,  # noqa: F401 — populates the registry
