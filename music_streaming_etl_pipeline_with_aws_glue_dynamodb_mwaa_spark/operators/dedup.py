@@ -902,9 +902,16 @@ def shared_ngram_pairs(df: DataFrame, id_col: str, text_col: str, *,
     ``max_docfreq`` additionally drops ubiquitous grams (headers, license
     boilerplate) whose postings would explode quadratically — the same
     stop-gram cut the suffix-array pipelines apply. None = keep all.
+
+    The gram postings feed TWO consumers (the docfreq roll-up and the
+    pruned join side), so they ride the same size-routed materialization
+    barrier as the jaccard chain (round 12; previously the scan+explode
+    re-ran per consumer — the exact pattern ``ngram_jaccard_pairs``'s
+    ``materialize_postings`` exists for).
     """
-    sh = df.select(F.col(id_col).alias("_id"),
-                   F.explode(shingles(text_col, n)).alias("_g"))
+    sh = _materialize_postings(
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(shingles(text_col, n)).alias("_g")))
     freq = sh.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     cond = F.col("_df") > 1
     if max_docfreq is not None:
