@@ -237,6 +237,19 @@ def _worker(out_path: str) -> None:
         for t in spark.catalog.listTables():
             if t.name.startswith("_") and t.isTemporary:
                 spark.catalog.dropTempView(t.name)
+        # ...and lazy localCheckpoint RDD blocks, which clearCache does
+        # NOT touch (they are plain RDD cache blocks, freed by the
+        # ContextCleaner only once their JVM refs are collected).
+        # Measured round 12: 7 ckpt'd-postings queries left 160 MB of
+        # blocks behind clearCache, inflating LATER Python-worker
+        # queries 1.3-1.8x in-suite while the same queries measured at
+        # parity isolated; one System.gc() released all of it. Collect
+        # Python first so py4j drops its object handles, then trigger
+        # the JVM cycle — only when leftover blocks actually exist.
+        if spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            import gc as _gc
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
     env["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
     # bracket the pass: contention arriving MID-batch shows up as a
     # start/end calibration spread; the gate normalizes by the mean
