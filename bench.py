@@ -245,8 +245,13 @@ def _worker(out_path: str) -> None:
         # queries 1.3-1.8x in-suite while the same queries measured at
         # parity isolated; one System.gc() released all of it. Collect
         # Python first so py4j drops its object handles, then trigger
-        # the JVM cycle — only when leftover blocks actually exist.
-        if spark.sparkContext._jsc.sc().getRDDStorageInfo():
+        # the JVM cycle. THRESHOLD-gated (not every leftover block):
+        # System.gc() is a full-heap hint whose concurrent phases can
+        # bleed into the NEXT timed slot, so the common few-MB leftover
+        # is cheaper to carry than to collect — only the pathological
+        # accumulation case pays the cycle.
+        _blocks = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if sum(b.memSize() for b in _blocks) > 64 * 1024 * 1024:
             import gc as _gc
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
