@@ -83,7 +83,16 @@ def connected_components(pairs: DataFrame, src: str, dst: str, *,
         out = [(n, find(n)) for n in parent]
         schema = e.select(F.col("u").alias("node"),
                           F.col("v").alias("component")).schema
-        return pairs.sparkSession.createDataFrame(out, schema)
+        # broadcast hint (round 12): this frame is driver-built and
+        # bounded by driver_threshold edges (≤ 2·threshold nodes), but a
+        # createDataFrame relation carries an UNKNOWN size estimate, so
+        # without the hint every downstream label attach plans as a
+        # SortMergeJoin that shuffles the (wide) corpus side — measured
+        # as the dedup_cluster_reps/corpus chain regression when the
+        # round-12 single-join attach landed. The distributed path below
+        # stays unhinted: its label table is corpus-sized.
+        return F.broadcast(
+            pairs.sparkSession.createDataFrame(out, schema))
 
     labels = (e.select("u").distinct()
               .withColumn("comp", F.col("u"))
@@ -114,17 +123,28 @@ def connected_components(pairs: DataFrame, src: str, dst: str, *,
     return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
 
 
+def with_cluster_ids(df: DataFrame, pairs: DataFrame, id_col: str, *,
+                     src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """``df`` with a ``component`` column appended (all other columns
+    kept): the connected component over ``pairs`` when the row
+    participates in one, else its own id (singleton cluster). ONE left
+    join against the component table — callers that previously joined
+    ``cluster_assignments`` back onto ``df`` ride this directly and skip
+    that second ``df``-sized join (round 12, guide §2.4)."""
+    comp = connected_components(pairs, src, dst) \
+        .withColumnRenamed("node", id_col)
+    return (df.join(comp, id_col, "left")
+            .withColumn("component",
+                        F.coalesce("component", F.col(id_col))))
+
+
 def cluster_assignments(df: DataFrame, pairs: DataFrame, id_col: str, *,
                         src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
     """Every row of ``df`` labeled with its duplicate-cluster id: the
     connected component over ``pairs`` when the row participates in one,
     else its own id (singleton cluster). Output: (id_col, component)."""
-    comp = connected_components(pairs, src, dst) \
-        .withColumnRenamed("node", id_col)
-    return (df.select(id_col)
-            .join(comp, id_col, "left")
-            .select(id_col,
-                    F.coalesce("component", F.col(id_col)).alias("component")))
+    return with_cluster_ids(df.select(id_col), pairs, id_col,
+                            src=src, dst=dst)
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str, *,
@@ -134,11 +154,13 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str, *,
     unchanged. Output: the full ``df`` row set minus non-representative
     duplicates (columns of ``df``, unchanged).
 
-    Cost beyond the component computation: one join of the assignment table
-    back to ``df`` — no window needed, because the component id IS the min
-    member id, so the representative filter is a plain equality.
+    Cost beyond the component computation: ONE left join of the component
+    table onto ``df`` (round 12 — the assignment-table inner join
+    re-scanned ``df``'s id projection for nothing: the assignment frame
+    carries exactly one row per ``df`` row, so the representative filter
+    rides the component join directly). No window needed, because the
+    component id IS the min member id — the filter is a plain equality.
     """
-    assign = cluster_assignments(df, pairs, id_col, src=src, dst=dst)
-    return (df.join(assign, id_col)
-            .filter(F.col(id_col) == F.col("component"))
+    labeled = with_cluster_ids(df, pairs, id_col, src=src, dst=dst)
+    return (labeled.filter(F.col(id_col) == F.col("component"))
             .drop("component"))

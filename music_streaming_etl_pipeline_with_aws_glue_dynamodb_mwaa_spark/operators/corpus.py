@@ -132,7 +132,7 @@ def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
     points keep their documented materialization barriers.
     """
     from .classify import quality_classifier
-    from .cluster import cluster_assignments, dedup_clusters
+    from .cluster import dedup_clusters, with_cluster_ids
     from .dedup import (
         dedup_exact,
         ngram_jaccard_pairs,
@@ -140,7 +140,7 @@ def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
     )
     from .packing import shard_by_token_budget
     from .repetition import repetition_gate
-    from .sampling import leakage_safe_split
+    from .sampling import hash_split
     from .decontam import decontaminate
 
     # row-local quality gate (round 12, see build_corpus)
@@ -173,10 +173,13 @@ def curation_pipeline(docs: DataFrame, benchmark: DataFrame | None = None,
                                  text_col=text_col)
         pairs_split = ngram_jaccard_pairs(reps, id_col, text_col, n=3,
                                           threshold=split_jaccard_threshold)
-        assigns = cluster_assignments(reps, pairs_split, id_col)
-    out = leakage_safe_split(reps, assigns, id_col,
-                             train_pct=split_pcts[0],
-                             val_pct=split_pcts[1])
+        # leakage_safe_split semantics with the assignments re-join elided
+        # (round 12): with_cluster_ids carries the full reps row next to
+        # its component, so the split label attaches without joining the
+        # (id, component) frame back onto reps a second time
+        labeled = with_cluster_ids(reps, pairs_split, id_col)
+    out = hash_split(labeled, "component",
+                     train_pct=split_pcts[0], val_pct=split_pcts[1])
     if shard_tokens is not None:
         shards = shard_by_token_budget(out.select(id_col, text_col),
                                        shard_tokens=shard_tokens,

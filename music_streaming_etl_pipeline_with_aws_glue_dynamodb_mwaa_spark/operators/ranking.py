@@ -150,6 +150,27 @@ def continuation_counts(docs: DataFrame, text_col: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_left_contexts"))
 
 
+def _lm_grams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keyed bigram stream (_id, _bg) of ``docs`` — ONE tokenizing
+    explode, materialized (localCheckpoint) so every consumer (model
+    count tables, per-doc scoring, occurrence tables) folds over the
+    same pass instead of re-tokenizing the corpus."""
+    return (docs.select(F.col(id_col).alias("_id"),
+                        F.explode(_ngrams(text_col, 2)).alias("_bg"))
+            .localCheckpoint())
+
+
+def _lm_model_tables(model_g: DataFrame):
+    """(bg, ctx, vocab_n) count tables over a materialized ``_bg``
+    stream: bigram counts, left-context counts, and the +1 context
+    vocabulary size."""
+    bg = model_g.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx = model_g.select(F.substring_index("_bg", " ", 1).alias("_w1")) \
+        .groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab_n = ctx.agg((F.count(F.lit(1)) + 1).alias("_v"))
+    return bg, ctx, vocab_n
+
+
 def _lm_joined(docs: DataFrame, id_col: str, text_col: str, *,
                lm_docs: DataFrame | None = None,
                lm_text_col: str | None = None) -> DataFrame:
@@ -157,21 +178,28 @@ def _lm_joined(docs: DataFrame, id_col: str, text_col: str, *,
     LEFT-joined against the broadcast model count tables — one row per
     scored bigram carrying (_id, _bg, _c12, _c1, _v), all exact counts.
     ``doc_lm_scores`` applies the ln tree on top; ``doc_lm_count_table``
-    aggregates the counts as-is (pure BIGINT → hash-exact anchor)."""
-    lm = docs if lm_docs is None else lm_docs
-    lm_text = text_col if lm_text_col is None else lm_text_col
-    # ONE materialized model-side gram stream: bg counts, context counts
-    # and V all fold over it — a lazy plan would re-run the tokenizing
-    # explode once per consumer (three corpus scans; measured ~40% of
-    # the operator's wall at sf0.1)
-    grams = (lm.select(F.explode(_ngrams(lm_text, 2)).alias("_bg"))
-             .localCheckpoint())
-    bg = grams.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
-    ctx = grams.select(F.substring_index("_bg", " ", 1).alias("_w1")) \
-        .groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
-    vocab_n = ctx.agg((F.count(F.lit(1)) + 1).alias("_v"))
-    return (docs.select(F.col(id_col).alias("_id"),
-                        F.explode(_ngrams(text_col, 2)).alias("_bg"))
+    aggregates the counts as-is (pure BIGINT → hash-exact anchor).
+
+    Self-trained default (``lm_docs is None``): the scored docs ARE the
+    model corpus, so ONE keyed gram stream (``_lm_grams``) serves both
+    sides — the count tables fold over it and the doc side reads it
+    back, halving the tokenize+explode passes (round 12, guide §2.4). A
+    held-out model (``lm_docs``) keeps the two-stream shape: the model
+    side is materialized once (a lazy plan would re-run the tokenizing
+    explode once per count-table consumer — three corpus scans, measured
+    ~40% of the operator's wall at sf0.1)."""
+    if lm_docs is None:
+        doc_side = _lm_grams(docs, id_col, text_col)
+        model_g = doc_side.select("_bg")
+    else:
+        lm_text = text_col if lm_text_col is None else lm_text_col
+        model_g = (lm_docs.select(F.explode(_ngrams(lm_text, 2))
+                                  .alias("_bg"))
+                   .localCheckpoint())
+        doc_side = docs.select(F.col(id_col).alias("_id"),
+                               F.explode(_ngrams(text_col, 2)).alias("_bg"))
+    bg, ctx, vocab_n = _lm_model_tables(model_g)
+    return (doc_side
             .join(F.broadcast(bg), "_bg", "left")
             .join(F.broadcast(ctx),
                   F.substring_index("_bg", " ", 1) == F.col("_w1"), "left")

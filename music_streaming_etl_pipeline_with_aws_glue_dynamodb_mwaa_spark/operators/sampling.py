@@ -32,19 +32,27 @@ def hash_bucket(key: Column | str, *, buckets: int = 100,
                   .cast("long"), F.lit(buckets))
 
 
+def split_label(key: Column | str, *, train_pct: int = 90,
+                val_pct: int = 5, salt: str = "") -> Column:
+    """The train/val/test label of ``hash_split`` as a bare Column —
+    apply it directly to a key column when the frame already carries the
+    key, instead of joining a labeled id frame back on just to attach
+    the label (round 12, guide §2.4)."""
+    if not 0 < train_pct + val_pct <= 100:
+        raise ValueError("train_pct + val_pct must be in (0, 100]")
+    b = hash_bucket(key, buckets=100, salt=salt)
+    return (F.when(b < train_pct, F.lit("train"))
+            .when(b < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test")))
+
+
 def hash_split(df: DataFrame, key_col: str, *, train_pct: int = 90,
                val_pct: int = 5, salt: str = "") -> DataFrame:
     """Deterministic train/val/test assignment: bucket(key) ∈ [0,100) →
     ``train`` below ``train_pct``, ``val`` in the next ``val_pct``, ``test``
     above. Appends a ``split`` column; filter or partition-write by it."""
-    if not 0 < train_pct + val_pct <= 100:
-        raise ValueError("train_pct + val_pct must be in (0, 100]")
-    b = hash_bucket(key_col, buckets=100, salt=salt)
-    return df.withColumn(
-        "split",
-        F.when(b < train_pct, F.lit("train"))
-         .when(b < train_pct + val_pct, F.lit("val"))
-         .otherwise(F.lit("test")))
+    return df.withColumn("split", split_label(key_col, train_pct=train_pct,
+                                              val_pct=val_pct, salt=salt))
 
 
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,

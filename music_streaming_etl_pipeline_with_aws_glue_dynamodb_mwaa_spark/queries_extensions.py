@@ -4190,15 +4190,18 @@ def neardup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-proof 90/5/5 split: md5 bucketing keyed on the near-dup
     CLUSTER id (connected components over the exact 0.8 jaccard pairs),
-    so a test document's near-copy can never sit in train
-    (operators/sampling.py::leakage_safe_split). The whole chain —
-    pair join, pointer-jumping CC, split — is oracle-exact."""
+    so a test document's near-copy can never sit in train — the
+    ``leakage_safe_split`` semantics with the redundant docs⋈assignments
+    re-join elided (round 12, guide §2.4): the assignment frame carries
+    exactly one row per document, so ``hash_split`` on its component
+    column IS the split. The whole chain — pair join, pointer-jumping
+    CC, split — is oracle-exact."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
                                       n=3, threshold=0.8)
     assigns = cluster.cluster_assignments(docs, pairs, "doc_id")
-    out = sampling.leakage_safe_split(docs.select("doc_id"), assigns,
-                                      "doc_id", train_pct=90, val_pct=5)
+    out = sampling.hash_split(assigns, "component",
+                              train_pct=90, val_pct=5)
     return out.select("doc_id", "component", "split")
 
 
@@ -5901,31 +5904,42 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc split leaks (near-copies of test docs land in train); the
     cluster-keyed split reports 0 cross-split pairs — a structural
     guarantee (both pair endpoints share a component, components key the
-    bucketing), here verified by the oracle rather than asserted."""
+    bucketing), here verified by the oracle rather than asserted.
+
+    Round-12 shape (guide §2.4): the audit only ever looks at PAIR
+    ENDPOINTS, and every endpoint is (a) a document (so the naive label
+    is ``sampling.split_label`` — the exact ``hash_split`` expression —
+    applied to the endpoint id directly, no docs join) and (b) a node of
+    the component table (so the safe label joins the CC output alone —
+    the full-corpus assignment/split frames the pre-round form built and
+    joined twice per scheme attached nothing the endpoints don't already
+    carry). Two docs scans and four docs-sized joins gone; results
+    identical by doc_id uniqueness."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
                                       n=3, threshold=0.8)
     pairs = pairs.localCheckpoint()  # eager + GC-cleaned (no persist leak)
-    assigns = cluster.cluster_assignments(docs, pairs, "doc_id")
-    naive = sampling.hash_split(docs.select("doc_id"), "doc_id",
-                                train_pct=90, val_pct=5)
-    safe = sampling.leakage_safe_split(docs.select("doc_id"), assigns,
-                                       "doc_id", train_pct=90, val_pct=5)
+    comp = cluster.connected_components(pairs, "doc_a", "doc_b")
 
-    def audit(split_df: DataFrame, scheme: str) -> DataFrame:
-        a = split_df.select(F.col("doc_id").alias("doc_a"),
-                            F.col("split").alias("_sa"))
-        b = split_df.select(F.col("doc_id").alias("doc_b"),
-                            F.col("split").alias("_sb"))
-        return (pairs.join(a, "doc_a").join(b, "doc_b")
-                .agg(F.lit(scheme).alias("scheme"),
-                     F.count(F.lit(1)).alias("total_pairs"),
-                     F.sum(F.when(F.col("_sa") != F.col("_sb"), 1)
-                           .otherwise(0)).alias("cross_split_pairs"))
+    def audit(df: DataFrame, sa, sb, scheme: str) -> DataFrame:
+        return (df.agg(F.lit(scheme).alias("scheme"),
+                       F.count(F.lit(1)).alias("total_pairs"),
+                       F.sum(F.when(sa != sb, 1).otherwise(0))
+                       .alias("cross_split_pairs"))
                 .select("scheme", "total_pairs", "cross_split_pairs"))
 
-    return audit(naive, "naive").unionByName(
-        audit(safe, "cluster_safe"))
+    lbl = lambda c: sampling.split_label(c, train_pct=90, val_pct=5)
+    naive = audit(pairs, lbl(F.col("doc_a")), lbl(F.col("doc_b")), "naive")
+    safe_pairs = (pairs
+                  .join(comp.select(F.col("node").alias("doc_a"),
+                                    F.col("component").alias("_ca")),
+                        "doc_a")
+                  .join(comp.select(F.col("node").alias("doc_b"),
+                                    F.col("component").alias("_cb")),
+                        "doc_b"))
+    safe = audit(safe_pairs, lbl(F.col("_ca")), lbl(F.col("_cb")),
+                 "cluster_safe")
+    return naive.unionByName(safe)
 
 
 # --------------------------------------------------------------------------
@@ -11046,8 +11060,9 @@ def _lm_eval_oracle() -> str:
 def lm_quality_agreement_eval(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Hash-exact twin of ``doc_lm_quality``: the SAME shared integer
-    substrate (operators/ranking.py::_lm_joined — one tokenizing explode
-    + broadcast count-table joins), with the ln tree replaced by a
+    substrate (operators/ranking.py::_lm_grams/_lm_model_tables — one
+    tokenizing explode + broadcast count-table joins), with the ln tree
+    replaced by a
     driver-side literal log-prob table keyed on the distinct
     (C(w1 w2), C(w1·)) count pairs and the per-doc float sum replaced by
     a bigram-sorted sequential fold. Returns the FULL per-document score
@@ -11060,19 +11075,25 @@ def lm_quality_agreement_eval(spark: SparkSession,
     grows ~polylog with the corpus; the DRIVER_VOCAB_MAX guard raises
     loudly (never silently truncates) if a corpus breaks that. The fold
     list per doc is the doc's DISTINCT bigrams — bounded by doc length,
-    never corpus size."""
+    never corpus size.
+
+    Round-12 shape (guide §2.3/§2.4): ONE keyed gram pass
+    (ranking._lm_grams) feeds the count tables, the pair collect and the
+    occurrence table — the pre-round form tokenized the corpus twice and
+    joined the count tables onto every bigram OCCURRENCE before the
+    (id, bigram) roll-up. The distinct (c12, c1) domain is collected
+    from the vocabulary-sized bg⋈ctx join, never from the corpus-sized
+    occurrence stream: self-trained means every model bigram is scored
+    at least once, so the two sets are equal by construction."""
     docs = _docs(spark, sf_dir)
-    j = ranking._lm_joined(docs, "doc_id", "text")
-    # self-trained model (production default): every scored bigram exists
-    # in the count tables, so _c12/_c1/_v are non-null by construction
-    occ = (j.groupBy("_id", "_bg")
-           .agg(F.count(F.lit(1)).alias("_occ"),
-                F.first("_c12").alias("_c12"),
-                F.first("_c1").alias("_c1"),
-                F.first("_v").alias("_v"))
-           .localCheckpoint())
-    pair_rows = (occ.select("_c12", "_c1", "_v").distinct()
-                 .limit(bpe.DRIVER_VOCAB_MAX + 1).collect())
+    g = ranking._lm_grams(docs, "doc_id", "text")
+    bg, ctx, _ = ranking._lm_model_tables(g.select("_bg"))
+    w1_of_bg = F.substring_index("_bg", " ", 1)
+    pair_rows = (bg.join(ctx, w1_of_bg == F.col("_w1"))
+                 .select("_c12", "_c1").distinct()
+                 .limit(bpe.DRIVER_VOCAB_MAX + 1)
+                 .crossJoin(ctx.agg((F.count(F.lit(1)) + 1).alias("_v")))
+                 .collect())
     if len(pair_rows) > bpe.DRIVER_VOCAB_MAX:
         raise ValueError(
             f"distinct (c12, c1) count-pair domain exceeds "
@@ -11082,14 +11103,21 @@ def lm_quality_agreement_eval(spark: SparkSession,
                 _lm_eval_lp(int(r["_c12"]), int(r["_c1"]), int(r["_v"])))
                for r in pair_rows]
     lp = spark.createDataFrame(lp_rows, "c12 long, c1 long, lp double")
-    # LEFT join + raise_error (round-9 ADVICE, mirroring the oracle): the
-    # lp table is built FROM occ's own distinct pairs so a miss is
+    # self-trained model (production default): every scored bigram exists
+    # in the count tables, so _c12/_c1 are non-null by construction; the
+    # count tables attach AFTER the (id, bigram) roll-up, so the joins
+    # probe one row per distinct (doc, bigram), not per occurrence
+    occ = g.groupBy("_id", "_bg").agg(F.count(F.lit(1)).alias("_occ"))
+    # LEFT joins + raise_error (round-9 ADVICE, mirroring the oracle): the
+    # lp table is built FROM the model's own distinct pairs so a miss is
     # impossible today, but an INNER join would mask any future
     # divergence (e.g. a limit truncation bug) as silently-dropped rows;
     # poisoning the scored column makes it a named executor error instead.
-    scored = occ.join(F.broadcast(lp),
-                      (occ["_c12"] == lp["c12"]) & (occ["_c1"] == lp["c1"]),
-                      "left")
+    scored = (occ.join(F.broadcast(bg), "_bg", "left")
+              .join(F.broadcast(ctx), w1_of_bg == F.col("_w1"), "left")
+              .join(F.broadcast(lp),
+                    (F.col("_c12") == lp["c12"]) & (F.col("_c1") == lp["c1"]),
+                    "left"))
     lp_checked = F.when(
         F.col("lp").isNull(),
         F.raise_error(F.concat(

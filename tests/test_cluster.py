@@ -86,3 +86,21 @@ def test_dedup_clusters_keeps_min_representative(spark):
     out = cluster.dedup_clusters(docs, pairs, "doc_id")
     assert out.columns == ["doc_id", "text"]
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2, 5]
+
+
+def test_with_cluster_ids_equals_assignment_join(spark):
+    # round-12 equivalence pin: with_cluster_ids (ONE left join of df
+    # against the component table) must equal the pre-round two-join form
+    # df ⋈ cluster_assignments — same rows, same column order
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (7, 8)],
+                                  "doc_a bigint, doc_b bigint")
+    df = spark.createDataFrame([(i, f"p{i}") for i in (1, 2, 3, 5, 7, 8)],
+                               "doc_id bigint, payload string")
+    got = cluster.with_cluster_ids(df, pairs, "doc_id")
+    assert got.columns == ["doc_id", "payload", "component"]
+    old = df.join(cluster.cluster_assignments(df, pairs, "doc_id"), "doc_id")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, old.collect()))
+    # the representative filter rides the same labels
+    reps = cluster.dedup_clusters(df, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 5, 7]

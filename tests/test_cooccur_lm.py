@@ -146,3 +146,16 @@ def test_doc_lm_count_table_held_out_unseen_zero(spark):
                                    lm_docs=train).collect()[0]
     # fully-unseen bigram: both model counts coalesce to 0, never NULL
     assert (r["n_bigrams"], r["sum_c12"], r["sum_c1"]) == (1, 0, 0)
+
+
+def test_lm_joined_self_trained_equals_held_out_same_corpus(spark):
+    # round-12 fused substrate: the self-trained path (ONE keyed gram
+    # pass serving both sides) must produce exactly the two-stream
+    # shape's rows when the model corpus IS the scored corpus
+    df = spark.createDataFrame([(1, "a b a c"), (2, "a b"), (3, "x")],
+                               "doc_id long, text string")
+    fused = ranking._lm_joined(df, "doc_id", "text")
+    two = ranking._lm_joined(df, "doc_id", "text", lm_docs=df)
+    cols = ["_id", "_bg", "_c12", "_c1", "_v"]
+    assert sorted(map(tuple, fused.select(cols).collect())) == \
+        sorted(map(tuple, two.select(cols).collect()))

@@ -215,3 +215,17 @@ def test_shard_by_token_budget_contiguous_and_bounded(spark):
     # every full shard holds >= the budget's worth of starts
     total = out[-1]["cum_tokens"]
     assert shards[-1] == (total - out[-1]["n_tokens"]) // 500
+
+
+def test_split_label_matches_hash_split(spark):
+    # round-12 equivalence pin: the bare-Column split_label must assign
+    # exactly what hash_split assigns, for non-default pcts too
+    import pytest as _pytest
+
+    df = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    a = sampling.hash_split(df, "k", train_pct=80, val_pct=10)
+    b = df.select("k", sampling.split_label(
+        F.col("k"), train_pct=80, val_pct=10).alias("split"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    with _pytest.raises(ValueError):
+        sampling.split_label("k", train_pct=0, val_pct=0)
