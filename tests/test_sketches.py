@@ -171,3 +171,39 @@ def test_portable_hll_null_and_rho_edge(spark):
     assert out[1] == pytest.approx(1.0, abs=0.01)
     assert out[2] == pytest.approx(1.0, abs=0.01)
     assert out[1] == _py_hll_est(["a"]) and out[2] == _py_hll_est(["b"])
+
+
+def test_fast_slot_rho_bit_identical_to_reference_forms(spark):
+    """Round-12 micro-optimization guard: the trailing-hex-digit slot and
+    the ltrim-derived rho must equal the reference conv(8)+pmod /
+    conv(15)+bin+length forms BIT-FOR-BIT on every digit class and both
+    rho edges (w=0 → 61, top-bit-set → 1), plus real md5 output."""
+    rows = [("000000000000000000000000000000ff",),   # w=0 → rho 61
+            ("00000000" + "000000000000001" + "0" * 9,),   # w=1 → rho 60
+            ("ffffffff" + "fffffffffffffff" + "0" * 9,),   # max  → rho 1
+            ("12345678" + "0000000000000a0" + "0" * 9,),
+            ("deadbeef" + "00000000000001f" + "0" * 9,),
+            ("0000aaaa" + "200000000000000" + "0" * 9,),
+            ("00000fff" + "3abcdef01234567" + "0" * 9,),
+            ("87654321" + "48000000000ff00" + "0" * 9,),
+            ("11111111" + "7ffffffffffffff" + "0" * 9,),
+            ("22222222" + "800000000000000" + "0" * 9,),
+            ("33333333" + "9abcdef01234567" + "0" * 9,)]
+    synth = spark.createDataFrame(rows, "h string")
+    real = spark.range(2000).select(F.md5(F.col("id").cast("string"))
+                                    .alias("h"))
+    for df in (synth, real):
+        old_w = F.conv(F.substring("h", 9, 15), 16, 10).cast("long")
+        old_rho = (F.when(old_w == 0, F.lit(61))
+                   .otherwise(F.lit(61) - F.length(F.bin(old_w)))
+                   ).cast("int")
+        new_rho = sketches._hll_rho_of_t(sketches._hll_t_of_h(F.col("h")))
+        for lg_k in (12, 10):  # fast hex-aligned path + pmod fallback
+            old_slot = F.pmod(F.conv(F.substring("h", 1, 8), 16, 10)
+                              .cast("long"), F.lit(1 << lg_k))
+            new_slot = sketches._hll_slot_of_h(F.col("h"), lg_k)
+            bad = df.select(
+                ((old_rho != new_rho)
+                 | (old_slot != new_slot)).cast("int").alias("bad")
+            ).agg(F.sum("bad")).collect()[0][0]
+            assert bad == 0
