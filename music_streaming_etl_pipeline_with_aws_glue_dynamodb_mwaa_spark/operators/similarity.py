@@ -643,12 +643,18 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _lit_vec(v) -> Column:
-    return F.expr(_vec_sql(v))
+    """Literal array<double> as ONE Literal node: ``F.lit`` ships the
+    IEEE doubles directly (bit-identical to parsing the %.17e text —
+    that format round-trips exactly), vs the SQL-text form whose
+    CreateArray carries one node per element through analysis. Round-12
+    measurement: the pq ADC LUTs built from per-element nodes cost
+    ~1.9 s of Catalyst analysis per ann_recall_eval build."""
+    return F.lit([float(x) for x in v])
 
 
 def _lit_vec2(vv) -> Column:
-    """Literal array<array<double>> in one py4j round trip."""
-    return F.expr("array(" + ",".join(_vec_sql(v) for v in vv) + ")")
+    """Literal array<array<double>> as ONE Literal node (see _lit_vec)."""
+    return F.lit([[float(x) for x in v] for v in vv])
 
 
 def lsh_bucket_expr(vec_col: str, planes: "np.ndarray") -> Column:
