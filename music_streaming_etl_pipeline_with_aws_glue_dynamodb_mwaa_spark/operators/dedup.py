@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import contextlib as _contextlib
 import hashlib
+import math
 from collections import Counter
 
 import numpy as np
@@ -1091,10 +1092,23 @@ def bow_cosine_pairs_dense(df: DataFrame, id_col: str, text_col: str, *,
         ma, mb = _dense(a), (None if diag else _dense(b))
         if diag:
             mb = ma
-        dots = ma @ mb.T                           # exact int64 == BIGINT
-        na = np.sqrt((ma * ma).sum(axis=1).astype(np.float64))
-        nb = na if diag else np.sqrt(
-            (mb * mb).sum(axis=1).astype(np.float64))
+        sa = (ma * ma).sum(axis=1)                 # exact int64 ‖·‖²
+        sb = sa if diag else (mb * mb).sum(axis=1)
+        # numpy integer matmul has no BLAS kernel (it is a naive loop);
+        # float64 dgemm computes the SAME exact integers whenever every
+        # partial sum stays under 2^53 — the entries are non-negative,
+        # so partial sums are bounded by the final dot, and every dot is
+        # ≤ √(max‖a‖²·max‖b‖²) by Cauchy–Schwarz. Guard on that bound
+        # (measured 10× per tile); overflow-risk tiles keep the exact
+        # int64 loop.
+        if math.sqrt(float(sa.max())) * math.sqrt(float(sb.max())) \
+                < float(2 ** 52):
+            dots = (ma.astype(np.float64)
+                    @ (mb.T.astype(np.float64))).astype(np.int64)
+        else:
+            dots = ma @ mb.T                       # exact int64 == BIGINT
+        na = np.sqrt(sa.astype(np.float64))
+        nb = na if diag else np.sqrt(sb.astype(np.float64))
         cos = dots.astype(np.float64) / (na[:, None] * nb[None, :])
         ia, ib = np.nonzero(cos >= thr)
         ids_a = a["_id"].to_numpy()[ia]

@@ -625,9 +625,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (similarity.dot_expr("embedding", "_qv")
                    / (F.col("_n") * F.col("_qn"))).alias("cosine"))
           .localCheckpoint())
+    # No checkpoint for the exact top-k (round 13): both consumers (the
+    # n_exact scalar and the hit join) live in the ONE assembly action,
+    # and the duplicated subtree is just ckpt-scan → bounded window —
+    # cheaper than another eager driver round-trip.
     exact = (similarity.top_k_per_group(
         pc, ["query_id"], "cosine", k, tie_break=["neighbor_id"])
-        .select("query_id", "neighbor_id").localCheckpoint())
+        .select("query_id", "neighbor_id"))
 
     def _rerank(cand: DataFrame) -> DataFrame:
         return (similarity.top_k_per_group(
@@ -649,11 +653,19 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .filter(F.col("neighbor_id") != F.col("query_id"))
                     .select("query_id", "neighbor_id").distinct())
 
-    # ivf: deterministic seed quantizer (16 lowest-id corpus rows)
-    seed_rows = emb_c.orderBy("vec_id").limit(_ANN_EVAL_NSEEDS) \
-        .select("vec_id", "embedding").collect()
-    seeds = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-             for r in seed_rows]
+    # ivf: deterministic seed quantizer (16 lowest-id corpus rows).
+    # ONE collect serves both driver-side literal folds (round 13): the
+    # seed rows and the PQ query list were two sequential jobs for two
+    # metadata-sized lists — union them under a side tag instead.
+    seedq_rows = (emb_c.orderBy("vec_id").limit(_ANN_EVAL_NSEEDS)
+                  .select(F.lit(0).alias("_side"), "vec_id", "embedding")
+                  .unionByName(
+                      q.select(F.lit(1).alias("_side"),
+                               F.col("query_id").alias("vec_id"),
+                               F.col("_qv").alias("embedding")))
+                  .collect())
+    seeds = sorted((int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                   for r in seedq_rows if r["_side"] == 0)
     ccell = corpus.select(
         "neighbor_id",
         similarity.nearest_seeds_expr("embedding", seeds, 1,
@@ -676,8 +688,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = similarity.pq_encode_expr(
         corpus.select("neighbor_id", "embedding"), "embedding", codebook,
         _ANN_EVAL_DSUB).select("neighbor_id", "_code")
-    q_list = [(int(r["query_id"]), [float(x) for x in r["_qv"]])
-              for r in q.select("query_id", "_qv").collect()]
+    q_list = sorted((int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                    for r in seedq_rows if r["_side"] == 1)
     adc = (coded.crossJoin(F.broadcast(q.select("query_id")))
            .filter(F.col("neighbor_id") != F.col("query_id"))
            .select("query_id", "neighbor_id",
