@@ -26,9 +26,9 @@ Spark-first shape:
 4. prune: keep the LOWEST doc id of each pair's cluster-local dup graph
    (greedy drop-higher-id — same deterministic rule as corpus.build_corpus).
 
-The per-cluster block counts come from one k-row ``groupBy(cluster).count()``
-collect — bounded by the codebook size (k·16 bytes; the paper's web-scale
-k≈10⁵ collects ~2 MB), never by the corpus.
+The per-cluster block counts and the block-pair task table derive from one
+k-row ``groupBy(cluster)`` aggregate IN-PLAN (bounded by the codebook size,
+never the corpus) — nothing cluster-shaped ever reaches the driver.
 
 Float matmul scores → rows-only registration; determinism, soundness
 (every dropped row has a kept near-dup witness) and recall vs the exact
@@ -42,8 +42,6 @@ memory like any block knob.
 """
 
 from __future__ import annotations
-
-import math
 
 import numpy as np
 import pandas as pd
@@ -66,7 +64,6 @@ def semantic_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
         raise ValueError("max_cell_rows must be ≥ 2")
     if centroids is None:
         centroids = _kmeans.kmeans_fit(emb, vec_col, k=k)
-    spark = emb.sparkSession
     # materialize the (id, cluster) map ONCE — it is read twice (the k-row
     # count below and the replication join), and recomputing it would run
     # the assign matmul pass twice; localCheckpoint is GC-cleaned and the
@@ -76,23 +73,40 @@ def semantic_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
                   .select(id_col, "cluster_id").localCheckpoint())
     assigned = assign_map.join(emb.select(id_col, vec_col), id_col)
 
-    # k-row collect (codebook-sized, never corpus-sized): per-cell row
-    # counts decide how many sub-blocks each cell needs.
-    counts = {r["cluster_id"]: r["_cnt"] for r in
-              assign_map.groupBy("cluster_id")
-              .agg(F.count(F.lit(1)).alias("_cnt")).collect()}
-    nb_rows, task_rows = [], []
-    for cid, cnt in sorted(counts.items()):
-        nb = max(1, math.ceil(cnt / max_cell_rows))
-        nb_rows.append((cid, nb))
-        for bi in range(nb):
-            for bj in range(bi, nb):
-                task_rows.append((cid, bi, bi, bj, True))
-                if bi != bj:
-                    task_rows.append((cid, bj, bi, bj, False))
-    nb_df = spark.createDataFrame(nb_rows, "cluster_id int, _nb int")
-    task_df = spark.createDataFrame(
-        task_rows, "cluster_id int, block int, bi int, bj int, _is_a boolean")
+    # Per-cell sub-block counts and the (cell, block-pair) task table,
+    # derived DISTRIBUTEDLY from the checkpointed assignment (round 13):
+    # the k-row counts collect plus two driver ``createDataFrame`` calls
+    # were three sequential driver round-trips for codebook-sized
+    # metadata — the same tables fall out of one groupBy + two bounded
+    # explodes, and the broadcast hints below keep the join strategy
+    # identical. Row set is the exact task enumeration the driver loop
+    # produced (diagonal task per (cid, bi), two sides per off-diagonal).
+    nb_df = (assign_map.groupBy("cluster_id")
+             .agg(F.greatest(
+                 F.lit(1),
+                 F.ceil(F.count(F.lit(1)) / F.lit(float(max_cell_rows))))
+                 .cast("int").alias("_nb")))
+    task_df = (nb_df
+               .select("cluster_id",
+                       F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+                       .alias("bi"), "_nb")
+               .select("cluster_id", "bi",
+                       F.explode(F.sequence(F.col("bi"), F.col("_nb") - 1))
+                       .alias("bj"))
+               .select("cluster_id", "bi", "bj",
+                       F.explode(F.when(
+                           F.col("bi") == F.col("bj"),
+                           F.array(F.struct(
+                               F.col("bi").alias("block"),
+                               F.lit(True).alias("_is_a"))))
+                           .otherwise(F.array(
+                               F.struct(F.col("bi").alias("block"),
+                                        F.lit(True).alias("_is_a")),
+                               F.struct(F.col("bj").alias("block"),
+                                        F.lit(False).alias("_is_a")))))
+                       .alias("_t"))
+               .select("cluster_id", F.col("_t.block").alias("block"),
+                       "bi", "bj", F.col("_t._is_a").alias("_is_a")))
 
     # row → its cell's block by id hash; replicate to every task that
     # references (cluster, block) via a broadcast EQUI-join (the OR-form

@@ -625,13 +625,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (similarity.dot_expr("embedding", "_qv")
                    / (F.col("_n") * F.col("_qn"))).alias("cosine"))
           .localCheckpoint())
-    # No checkpoint for the exact top-k (round 13): both consumers (the
-    # n_exact scalar and the hit join) live in the ONE assembly action,
-    # and the duplicated subtree is just ckpt-scan → bounded window —
-    # cheaper than another eager driver round-trip.
+    # The exact top-k stays checkpointed: a round-13 A/B that dropped it
+    # (both consumers live in the one assembly action) measured 1.05× —
+    # the duplicated window subtree re-enters the assembly plan's
+    # Catalyst analysis, which is this query's documented bottleneck.
     exact = (similarity.top_k_per_group(
         pc, ["query_id"], "cosine", k, tie_break=["neighbor_id"])
-        .select("query_id", "neighbor_id"))
+        .select("query_id", "neighbor_id").localCheckpoint())
 
     def _rerank(cand: DataFrame) -> DataFrame:
         return (similarity.top_k_per_group(
@@ -4161,13 +4161,28 @@ def neardup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from these same postings instead of re-shingling raw text).
     sh = dedup._shingled(docs, "doc_id", "text", 3).localCheckpoint(
         eager=False)
-    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
-                                      n=3, threshold=0.8, postings=sh) \
-        .select("doc_a", "doc_b").localCheckpoint()
-    approx = dedup.minhash_near_dup_pairs(docs, "doc_id", "text",
-                                          n=3, threshold=0.8,
-                                          hash_scheme="md5", postings=sh) \
-        .select("doc_a", "doc_b").localCheckpoint()
+    # The exact and MinHash pipelines are INDEPENDENT consumers of the
+    # shared postings stream, but their eager checkpoints previously ran
+    # back to back — each one's stage tail left the cluster idle (guide
+    # §2.6). Two driver threads overlap them; contents are deterministic
+    # pair sets either way (the shared lazy-ckpt postings materialize
+    # once under the block manager's per-partition compute locks).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8, postings=sh) \
+            .select("doc_a", "doc_b").localCheckpoint()
+
+    def _approx():
+        return dedup.minhash_near_dup_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8,
+            hash_scheme="md5", postings=sh) \
+            .select("doc_a", "doc_b").localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fe, _fa = _pool.submit(_exact), _pool.submit(_approx)
+        exact, approx = _fe.result(), _fa.result()
     tp = approx.join(exact, ["doc_a", "doc_b"], "left_semi") \
         .agg(F.count(F.lit(1)).alias("_c"))
     n_e = exact.agg(F.count(F.lit(1)).alias("_e"))
@@ -10913,18 +10928,16 @@ def lexical_rank_agreement_eval(spark: SparkSession,
         (F.col("tf") * F.col("idf_t")).desc(), F.col("term").asc())
     wb = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+
+    # NOTE (round 13): overlapping the `a` and `pdoc` checkpoints from
+    # two driver threads (guide §2.6) was tried and REVERTED — measured
+    # 1.14× (A 3.70 vs B 4.22 min-basis): `pdoc` is term-filtered and
+    # tiny, so there is no stage tail to back-fill, only scheduling
+    # interference with the full-width rank window.
     a = (sc.select("doc_id", "term", F.row_number().over(wa).alias("_rka"))
          .filter(F.col("_rka") <= _LEX_EVAL_K).localCheckpoint())
     b = (s.select("doc_id", "term", F.row_number().over(wb).alias("_rkb"))
          .filter(F.col("_rkb") <= _LEX_EVAL_K))
-    tj = a.join(b, ["doc_id", "term"])
-    t_over = tj.agg(
-        F.count(F.lit(1)).alias("tfidf_overlap"),
-        F.coalesce(F.sum(F.when(F.col("_rka") == F.col("_rkb"), 1)
-                         .otherwise(0)), F.lit(0))
-        .cast("long").alias("tfidf_rank_exact"))
-    t_slots = a.agg(F.count(F.lit(1)).alias("tfidf_slots"))
-
     dl = s.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     avg = dl.agg((F.sum("dl").cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("avgdl"))
@@ -10947,6 +10960,13 @@ def lexical_rank_agreement_eval(spark: SparkSession,
                                 lambda acc, x: acc + x).alias("bm25"),
                     "sum_tf", "n_matched")
             .localCheckpoint())
+    tj = a.join(b, ["doc_id", "term"])
+    t_over = tj.agg(
+        F.count(F.lit(1)).alias("tfidf_overlap"),
+        F.coalesce(F.sum(F.when(F.col("_rka") == F.col("_rkb"), 1)
+                         .otherwise(0)), F.lit(0))
+        .cast("long").alias("tfidf_rank_exact"))
+    t_slots = a.agg(F.count(F.lit(1)).alias("tfidf_slots"))
     wba = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     wbb = Window.orderBy(F.col("sum_tf").desc(), F.col("n_matched").desc(),
                          F.col("doc_id").asc())
