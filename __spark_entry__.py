@@ -57,37 +57,34 @@ _ANCHORS = [
 _PRIORITY = _ANCHORS + [
     # --- permanent anchors (6, _ANCHORS above): reference surface tripwires
     # (VERDICT r4 item 1 sanctioned rotating everything else).
-    # --- round-12 rotation: STALENESS PASS (VERDICT r11 item 6).
+    # --- round-13 rotation: STALENESS PASS (continuing the r12 plan).
     # No new/promoted queries this round, so all 44 fill slots go to the
-    # registry queries whose LAST driver row is oldest: the 9 remaining
-    # r4-era rows plus 35 of the 39 r5-era rows (alphabetical within
-    # round). The 4 r5 stragglers that don't fit the 50-window
-    # (user_cohort_retention, user_interevent_stats, user_value_trend,
-    # weighted_sample_docs) lead the r13 rotation; min last-validated
-    # then rises r5 -> r6.
-    # r4-era fill (9): tpch tails + splits/audits
-    "source_token_cap_docs", "split_leakage_audit",
-    "tpch_q17_small_quantity_revenue", "tpch_q1_pricing_summary",
-    "tpch_q21_waiting_supplier", "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit", "union_by_name_evolution",
-    "user_spend_gini",
-    # r5-era fill (35): stats family + remaining tpch + lm/text batch
-    "asof_purchase_next_click", "bigram_lm_counts", "doc_term_stats",
-    "events_value_anomalies", "events_value_histogram",
-    "events_value_mad_outliers", "events_value_moments",
-    "events_value_ntile", "events_value_percentiles",
-    "fk_orphans_audit", "funnel_user_stages", "kn_continuation_counts",
-    "lineitem_grouping_sets", "lineitem_measures_long",
-    "orders_cdc_change_counts", "orders_custkey_loo_price",
-    "orders_merge_changelog", "orders_status_pivot",
-    "purchase_state_pit", "regional_revenue", "sql_nation_revenue",
-    "token_cooccur_assoc", "tpch_q11_important_stock",
-    "tpch_q12_late_shipments", "tpch_q13_customer_order_counts",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts", "tpch_q19_discounted_revenue",
-    "tpch_q20_dominant_suppliers", "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    # registry queries whose LAST driver row is oldest: the 4 r5-era
+    # stragglers the r12 window couldn't fit, plus 40 of the 43 r6-era
+    # rows (alphabetical within round). The 3 r6 stragglers
+    # (user_modal_event_type, vocab_growth_curve, weekly_top10_churn)
+    # lead the r14 rotation; min last-validated then rises r6 -> r7.
+    # r5-era stragglers (4):
+    "user_cohort_retention", "user_interevent_stats", "user_value_trend",
+    "weighted_sample_docs",
+    # r6-era fill (40): stats/eval batch + packing + transcripts
+    "ab_purchase_ks", "ab_purchase_welch_t", "classifier_auc",
+    "classifier_calibration_bins", "classifier_eval_metrics",
+    "customer_cohort_ltv", "customer_rfm_segments", "doc_lm_count_core",
+    "docs_kfold_assign", "docs_kfold_stats", "docs_quality_rank_corr",
+    "embedding_signbit_signatures", "event_type_user_overlap_kmv",
+    "events_cusum_by_type", "events_daily_count_dispersion",
+    "events_k_anonymity_audit", "events_k_anonymity_summary",
+    "events_temporal_split", "events_type_dow_independence",
+    "events_user_bottomk_sample", "events_value_autocorrelation",
+    "lineitem_weighted_median_qty", "monthly_new_vs_returning",
+    "nation_share_of_region", "neardup_embedding_signbit_pairs",
+    "orders_benford_digits", "orders_revenue_8020", "pack_offsets_probe",
+    "pack_tokens_probe", "packing_stats_512", "part_abc_classes",
+    "session_transcripts", "source_minhash_signature_rollup",
+    "source_minhash_similarity", "temporal_split_user_leakage",
+    "top_songs_per_genre_ties", "top_user_paths",
+    "transcript_pattern_counts", "user_daily_ohlc", "user_event_streaks",
 ]
 
 # Rotation plan (for continuity): with the never-validated ledger

@@ -10662,16 +10662,26 @@ def kmeans_assign_agreement_eval(spark: SparkSession,
 
     a0 = assign(cents, "_c0").localCheckpoint()
     cur = a0
-    for rnd in range(1, _KME_EVAL_ROUNDS + 1):
-        sums = [F.sum(F.floor(F.col("embedding").getItem(i)
-                              * F.lit(_KME_EVAL_SCALE) + F.lit(0.5))
-                      .cast("long")).alias(f"_s{i}")
-                for i in range(dim)]
-        rows = cur.groupBy(f"_c{rnd - 1}").agg(*sums).collect()
-        cs = sorted((int(r[f"_c{rnd - 1}"]),
-                     [float(r[f"_s{i}"]) for i in range(dim)])
-                    for r in rows)
-        cur = assign(cs, f"_c{rnd}")
+    # Per-round aggregate expressions built ONCE (only the groupBy key
+    # changes), and the loop runs with AQE paused: each round's collect
+    # is bounded at k×(d+1) rows whatever the input, so adaptive
+    # re-planning only adds per-query-stage scheduler jobs (the
+    # kmeans_fit measurement, round 13); restored in `finally`.
+    sums = [F.sum(F.floor(F.col("embedding").getItem(i)
+                          * F.lit(_KME_EVAL_SCALE) + F.lit(0.5))
+                  .cast("long")).alias(f"_s{i}")
+            for i in range(dim)]
+    _aqe_old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for rnd in range(1, _KME_EVAL_ROUNDS + 1):
+            rows = cur.groupBy(f"_c{rnd - 1}").agg(*sums).collect()
+            cs = sorted((int(r[f"_c{rnd - 1}"]),
+                         [float(r[f"_s{i}"]) for i in range(dim)])
+                        for r in rows)
+            cur = assign(cs, f"_c{rnd}")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_old)
     j = (a0.select("vec_id", F.col("_c0").alias("_cs"))
          .join(cur.select("vec_id",
                           F.col(f"_c{_KME_EVAL_ROUNDS}").alias("_cl")),
@@ -11251,10 +11261,19 @@ def dsir_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 buckets=_DSIR_EVAL_BUCKETS).localCheckpoint()
     tb = curation._gram_buckets(target, "doc_id", "text", n=2,
                                 buckets=_DSIR_EVAL_BUCKETS)
-    rcnt = {int(r["_b"]): int(r["_c"]) for r in
-            rb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c")).collect()}
-    tcnt = {int(r["_b"]): int(r["_c"]) for r in
-            tb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c")).collect()}
+    # ONE collect serves both bucket-count dicts (round 13): the raw and
+    # target counts are independent bucket-bounded aggregates — union
+    # them under a side tag instead of two sequential driver jobs.
+    _cnt_rows = (rb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+                 .select(F.lit(0).alias("_side"), "_b", "_c")
+                 .unionByName(
+                     tb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+                     .select(F.lit(1).alias("_side"), "_b", "_c"))
+                 .collect())
+    rcnt = {int(r["_b"]): int(r["_c"]) for r in _cnt_rows
+            if r["_side"] == 0}
+    tcnt = {int(r["_b"]): int(r["_c"]) for r in _cnt_rows
+            if r["_side"] == 1}
     r_total, t_total = sum(rcnt.values()), sum(tcnt.values())
     llr_rows = [(k, _dsir_eval_llr(tcnt.get(k, 0), t_total,
                                    rcnt.get(k, 0), r_total))

@@ -75,14 +75,16 @@ def test_driver_window_holds_reference_surface_and_family_reps():
         "daily_genre_kpis", "top_songs_per_genre",
         "kv_genre_kpi_items", "latest_day_kpis", "csv_scan_corrupt_routing",
         "pack_documents_512",
-        # round-12 rotation (VERDICT r11 item 6 — staleness pass over the
-        # oldest driver rows): reps, one per re-validated r4/r5-era family
-        "split_leakage_audit", "tpch_q1_pricing_summary", "user_spend_gini",
-        "union_by_name_evolution", "asof_purchase_next_click",
-        "bigram_lm_counts", "events_value_percentiles", "fk_orphans_audit",
-        "funnel_user_stages", "lineitem_grouping_sets",
-        "orders_status_pivot", "purchase_state_pit", "regional_revenue",
-        "token_cooccur_assoc", "tpch_q6_forecast_revenue",
+        # round-13 rotation (staleness pass over the oldest driver rows):
+        # reps, one per re-validated r5/r6-era family
+        "user_cohort_retention", "user_interevent_stats",
+        "user_value_trend", "weighted_sample_docs", "ab_purchase_ks",
+        "classifier_eval_metrics", "customer_rfm_segments",
+        "docs_kfold_assign", "events_k_anonymity_audit",
+        "events_user_bottomk_sample", "lineitem_weighted_median_qty",
+        "orders_benford_digits", "packing_stats_512",
+        "session_transcripts", "source_minhash_similarity",
+        "top_user_paths",
     }
     assert must_hold <= set(first50), must_hold - set(first50)
 
